@@ -1,0 +1,203 @@
+"""Stage 1 — mention detection as a mapInPandas table function.
+
+Reference semantics: model_handler.predict_entities
+(src/streamlit/app/models/model_handler.py:123-191) — text in, list of
+{text,label,score,start,end} out, threshold-filtered, scores 3-dp.
+Its batch variant loops per text even inside "batches"
+(model_handler.py:221-227); here the Arrow record batch IS the
+micro-batch and one compiled catalog (or one loaded model) serves the
+whole Python worker, never reloaded per row.
+
+Scale design:
+- cost of detection is ~linear in text length → repartition by
+  (length-bucket, salt) so tasks are cost-balanced and no executor gets
+  all the 10k-char documents (SURVEY.md §2.10 item 1).
+- exact content dedup BEFORE detection (detect_mentions_deduped)
+  replaces the reference's 100-entry prediction cache
+  (model_handler.py:111-121) and removes the hot-key skew from
+  boilerplate/duplicated files: at 10^12 files, running the model once
+  per distinct sha instead of once per row is the dominant saving.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import patterns as pat
+from ..functions import textlib
+
+MENTION_FIELDS = (
+    "mention_id string, text string, label string, score double, "
+    "start_idx int, end_idx int"
+)
+
+
+def _mention_schema(id_cols: tuple[str, ...]) -> str:
+    return ", ".join([f"{c} string" for c in id_cols]) + ", " + MENTION_FIELDS
+
+
+def length_balanced(df: DataFrame, text_col: str, partitions: int) -> DataFrame:
+    """Repartition by (log2 length bucket, salt) so per-task detection
+    cost is balanced regardless of document-length skew."""
+    bucket = F.floor(F.log2(F.greatest(F.length(F.col(text_col)), F.lit(1)) + 1))
+    salt = F.pmod(F.xxhash64(F.col(text_col)), F.lit(partitions))
+    return df.repartition(partitions, bucket, salt)
+
+
+def detect_mentions(
+    docs: DataFrame,
+    text_col: str = "conclusion",
+    catalog: dict[str, str] | None = None,
+    threshold: float = 0.5,
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    partitions: int | None = None,
+) -> DataFrame:
+    """Run pattern-NER over `text_col`, returning exploded mention rows.
+
+    Output: id_cols + (mention_id, text, label, score, start_idx,
+    end_idx). Offsets are char offsets into `text_col`'s value, matching
+    EntityPrediction.start_idx/end_idx (model_handler.py:25-26).
+    """
+    catalog = catalog or pat.MEDICAL_PATTERNS
+    schema = _mention_schema(id_cols)
+    key_col = id_cols[min(1, len(id_cols) - 1)]  # usually 'path'
+
+    # P6 empty-text guard (model_handler.py:98-99) as a Catalyst filter
+    # *before* the opaque UDF so pruning/pushdown still apply.
+    pruned = docs.select(*id_cols, text_col).filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    if partitions:
+        pruned = length_balanced(pruned, text_col, partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        compiled = pat.compile_catalog(catalog)  # once per python worker task
+        out_cols = list(id_cols) + [
+            "mention_id", "text", "label", "score", "start_idx", "end_idx",
+        ]
+        for pdf in batches:
+            rows: list[tuple] = []
+            ids = pdf[list(id_cols)].to_numpy()
+            texts = pdf[text_col].to_numpy()
+            for i in range(len(pdf)):
+                text = texts[i]
+                key = ids[i][min(1, len(id_cols) - 1)]
+                for label, rx in compiled.items():
+                    for m in rx.finditer(text):
+                        score = textlib.stable_score(m.group(0), label)
+                        if score < threshold:
+                            continue
+                        rows.append(
+                            (*ids[i],
+                             textlib.mention_id(key, m.start(), m.end(), label),
+                             m.group(0), label, score, m.start(), m.end())
+                        )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    _ = key_col
+    return pruned.mapInPandas(run, schema=schema)
+
+
+def detect_mentions_deduped(
+    docs: DataFrame,
+    text_col: str = "conclusion",
+    catalog: dict[str, str] | None = None,
+    threshold: float = 0.5,
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact-dedup-then-detect-then-rejoin: the scale path (M3).
+
+    Detection runs once per distinct content hash; results fan back out
+    to every (repo,path,commit) carrying that hash. Offsets/labels are
+    identical because detection is a pure function of the text.
+    """
+    hashed = docs.select(*id_cols, text_col).withColumn(
+        "_sha", F.sha2(F.col(text_col), 256)
+    )
+    distinct = hashed.select("_sha", text_col).dropDuplicates(["_sha"])
+    found = detect_mentions(
+        distinct.withColumnRenamed("_sha", "sha_key"),
+        text_col=text_col,
+        catalog=catalog,
+        threshold=threshold,
+        id_cols=("sha_key",),
+        partitions=partitions,
+    )
+    # fan results back out; mention_id re-keyed per document
+    joined = hashed.select(*id_cols, "_sha").join(
+        found, hashed["_sha"] == found["sha_key"], "inner"
+    )
+    key = id_cols[min(1, len(id_cols) - 1)]
+    return joined.select(
+        *id_cols,
+        F.sha2(
+            F.concat_ws("\x1f", F.col(key), "start_idx", "end_idx", "label"), 256
+        ).alias("mention_id"),
+        "text", "label", "score", "start_idx", "end_idx",
+    )
+
+
+def detect_mentions_gliner(
+    docs: DataFrame,
+    text_col: str = "conclusion",
+    model_path: str | None = None,
+    labels: tuple[str, ...] | None = None,
+    threshold: float = 0.5,
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    batch_size: int = 32,
+) -> DataFrame:
+    """Real-GLiNER path: identical DAG, different UDF body.
+
+    Gated behind an import-try — the `gliner` package
+    (reference requirements.txt) is not in this environment; the stage
+    raises at execution time if missing. One model instance per Python
+    worker (module-level lazy init), mirroring the reference's
+    singleton+lock (model_handler.py:42-82) without the lock: Spark
+    python workers are single-threaded.
+    """
+    from .. import config as cfg
+
+    labels = labels or cfg.LABELS
+    schema = _mention_schema(id_cols)
+    pruned = docs.select(*id_cols, text_col).filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from gliner import GLiNER  # type: ignore
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "gliner not installed; use detect_mentions (pattern path)"
+            ) from e
+        model = GLiNER.from_pretrained(model_path)
+        out_cols = list(id_cols) + [
+            "mention_id", "text", "label", "score", "start_idx", "end_idx",
+        ]
+        for pdf in batches:
+            rows = []
+            for i in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[i : i + batch_size]
+                texts = [
+                    textlib.preprocess_for_model(t) for t in chunk[text_col]
+                ]
+                preds = model.batch_predict_entities(
+                    texts, list(labels), threshold=threshold
+                )
+                for (_, row), ents in zip(chunk.iterrows(), preds):
+                    key = row[id_cols[min(1, len(id_cols) - 1)]]
+                    for e in ents:
+                        rows.append(
+                            (*[row[c] for c in id_cols],
+                             textlib.mention_id(key, e["start"], e["end"], e["label"]),
+                             e["text"], e["label"], round(e["score"], 3),
+                             e["start"], e["end"])
+                        )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return pruned.mapInPandas(run, schema=schema)

@@ -1,0 +1,158 @@
+"""The four-stage KG-construction DAG (north_star), end to end.
+
+documents(repo, path, commit, lang, content)
+  stage 0 validate     Catalyst filters (S4/P3/P6) + sha256 lineage col
+  stage 1 sectionize   clean+conclusion pandas UDF (F1-F10)
+  stage 2 mentions     dedup-by-sha -> pattern/GLiNER mapInPandas (M1-M3)
+                       -> overlap merge (A2)
+  stage 3 link         MinHash-LSH blocking (J4) -> jaccard verify ->
+                       connected components (J5) -> canonical surface
+  stage 4 triples      (subj, pred, obj, canonical_obj, score,
+                       provenance, content_sha256) partitioned by pred
+
+Every stage snapshots through CheckpointManager (kill/rerun resumes at
+stage granularity; per-pred lineage rows on the triples stage). The
+whole job is also exposed as `run_pipeline` for spark-submit.
+
+Reference lifecycle being generalized: app.process_file
+(src/streamlit/app/app.py:162-230); see SURVEY.md §3.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import config
+from ..functions import patterns as pat
+from ..functions import spark_fns
+from ..operators import components, linking, merge, ner
+from ..sources.checkpoint import CheckpointManager
+
+DOC_COLS = ("repo", "path", "commit")
+
+
+def validate_documents(docs: DataFrame) -> DataFrame:
+    """Stage 0: S4 size cap + allowed-lang + P6 non-empty, plus the
+    content_sha256 lineage column (the per-row invariant)."""
+    return (
+        docs.filter(
+            F.col("content").isNotNull()
+            & (F.trim(F.col("content")) != "")
+            & (F.length("content") <= F.lit(config.MAX_FILE_SIZE))
+        )
+        .withColumn("content_sha256", spark_fns.content_sha256(F.col("content")))
+    )
+
+
+def sectionize(docs: DataFrame) -> DataFrame:
+    """Stage 1: conclusion extraction (F8/F9) — the one pandas-UDF pass
+    over full content. Downstream stages never read `content` again
+    (column pruning does the rest)."""
+    return docs.select(
+        *DOC_COLS,
+        "lang",
+        "content_sha256",
+        spark_fns.extract_conclusion_udf(F.col("content")).alias("conclusion"),
+    )
+
+
+def detect(
+    sectionized: DataFrame,
+    catalog: dict[str, str] | None = None,
+    threshold: float = config.DEFAULT_CONFIDENCE_THRESHOLD,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Stage 2: mention detection (dedup-by-content first) + overlap
+    merge, keyed back to documents with sha lineage."""
+    mentions = ner.detect_mentions_deduped(
+        sectionized,
+        text_col="conclusion",
+        catalog=catalog or pat.MEDICAL_PATTERNS,
+        threshold=threshold,
+        id_cols=DOC_COLS,
+        partitions=partitions,
+    )
+    merged = merge.merge_overlaps(mentions, group_cols=(*DOC_COLS, "label"))
+    sha = sectionized.select(*DOC_COLS, "content_sha256")
+    return merged.join(sha, list(DOC_COLS), "inner")
+
+
+def canonicalize(mentions: DataFrame) -> DataFrame:
+    """Stage 3: similarity edges between (label, surface) pairs ->
+    connected components -> (label, text, canonical) map."""
+    edges = linking.link_surfaces(mentions, text_col="text", key_cols=("label",))
+    # node id = label \x1f surface so components never cross labels
+    sep = "\x1f"
+    e = edges.select(
+        F.concat_ws(sep, "label", "text_a").alias("src"),
+        F.concat_ws(sep, "label", "text_b").alias("dst"),
+    )
+    nodes = mentions.select(
+        F.concat_ws(sep, "label", "text").alias("node")
+    ).distinct()
+    cmap = components.canonical_map(e, nodes)
+    return cmap.select(
+        F.substring_index("node", sep, 1).alias("label"),
+        F.substring_index("node", sep, -1).alias("text"),
+        F.substring_index("canonical", sep, -1).alias("canonical_text"),
+    )
+
+
+def materialize_triples(mentions: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Stage 4: long (subj, pred, obj) rows with provenance + lineage.
+
+    obj is the mention surface (what the reference emits in its wide
+    row, entity_processor.py:74-77); canonical_obj adds the linked
+    canonical surface. pred uses the stable label slugs."""
+    slug_map = F.create_map(
+        *[x for kv in config.LABEL_SLUGS.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    joined = mentions.join(F.broadcast(cmap), ["label", "text"], "left")
+    return joined.select(
+        spark_fns.doc_id(F.col("repo"), F.col("path"), F.col("commit")).alias("subj"),
+        F.coalesce(slug_map[F.col("label")], F.col("label")).alias("pred"),
+        F.col("text").alias("obj"),
+        F.coalesce("canonical_text", "text").alias("canonical_obj"),
+        F.round("score", 3).alias("score"),
+        "repo", "path", "commit", "start_idx", "end_idx",
+        "content_sha256",
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    workdir: str,
+    catalog: dict[str, str] | None = None,
+    threshold: float = config.DEFAULT_CONFIDENCE_THRESHOLD,
+    partitions: int | None = None,
+    force: bool = False,
+) -> DataFrame:
+    """Full DAG with stage checkpoints; returns the triples DataFrame
+    (read back from its parquet snapshot)."""
+    ckpt = CheckpointManager(workdir)
+
+    validated = validate_documents(documents)
+    sectionized = ckpt.get_or_compute(
+        spark, "sectionized", lambda: sectionize(validated), force=force
+    )
+    mentions = ckpt.get_or_compute(
+        spark,
+        "mentions",
+        lambda: detect(sectionized, catalog=catalog, threshold=threshold,
+                       partitions=partitions),
+        force=force,
+    )
+    cmap = ckpt.get_or_compute(
+        spark, "entities", lambda: canonicalize(mentions), force=force
+    )
+    triples = ckpt.get_or_compute(
+        spark,
+        "triples",
+        lambda: materialize_triples(mentions, cmap),
+        partition_by=("pred",),
+        lineage_key="pred",
+        force=force,
+    )
+    return triples

@@ -1,0 +1,108 @@
+"""Stage checkpointing with per-partition lineage + metrics (P8 resume).
+
+Iceberg is the production target (snapshot tables, MERGE, incremental
+reads); its runtime jars are not in this sandbox, so this module
+implements the same layout on plain parquet:
+
+    <root>/<stage>/data/            partitioned parquet snapshot
+    <root>/<stage>/_metrics.json    rows, partitions, wall seconds
+    <root>/<stage>/_lineage/        per-partition row counts + content
+                                    fingerprints (parquet)
+
+Resume semantics generalize the reference's skip-already-processed-file
+check (src/streamlit/app/app.py:345) and its append-only corrections
+log discipline (data/corrections_manager.py:105-113): a stage is
+complete iff its _SUCCESS exists; partial re-runs anti-join the
+completed partition keys (`resume_filter`)."""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointManager:
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+
+    def _stage_dir(self, stage: str) -> Path:
+        return self.root / stage
+
+    def exists(self, stage: str) -> bool:
+        return (self._stage_dir(stage) / "data" / "_SUCCESS").exists()
+
+    def write(
+        self,
+        stage: str,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+        lineage_key: str | None = None,
+    ) -> None:
+        """Materialize a stage snapshot + metrics (+ per-partition lineage
+        when lineage_key given: rows and a sha-fold content fingerprint
+        per partition value — the north rule's per-partition lineage)."""
+        d = self._stage_dir(stage)
+        t0 = time.time()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(d / "data"))
+        wall = time.time() - t0
+
+        back = self.read(df.sparkSession, stage)
+        n_rows = back.count()
+        metrics = {
+            "stage": stage,
+            "rows": n_rows,
+            "wall_seconds": round(wall, 3),
+            "partition_by": list(partition_by),
+        }
+        if lineage_key:
+            lineage = back.groupBy(lineage_key).agg(
+                F.count("*").alias("rows"),
+                F.sum(
+                    F.crc32(F.concat_ws("\x1f", *back.columns))
+                ).alias("content_fingerprint"),
+            )
+            lineage.write.mode("overwrite").parquet(str(d / "_lineage"))
+            metrics["lineage_partitions"] = lineage.count()
+        (d / "_metrics.json").write_text(json.dumps(metrics, indent=2))
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(str(self._stage_dir(stage) / "data"))
+
+    def metrics(self, stage: str) -> dict:
+        return json.loads((self._stage_dir(stage) / "_metrics.json").read_text())
+
+    def resume_filter(
+        self, spark: SparkSession, stage: str, incoming: DataFrame,
+        key_cols: tuple[str, ...],
+    ) -> DataFrame:
+        """Left-anti join `incoming` against the stage's already-written
+        keys: only unprocessed rows flow (stage-partition resume)."""
+        if not self.exists(stage):
+            return incoming
+        done = self.read(spark, stage).select(*key_cols).distinct()
+        return incoming.join(done, list(key_cols), "left_anti")
+
+    def get_or_compute(
+        self,
+        spark: SparkSession,
+        stage: str,
+        compute,
+        partition_by: tuple[str, ...] = (),
+        lineage_key: str | None = None,
+        force: bool = False,
+    ) -> DataFrame:
+        """The resume primitive: reuse the snapshot if complete, else
+        compute, persist, and return the persisted copy (so downstream
+        stages read columnar parquet, not a live lineage chain)."""
+        if self.exists(stage) and not force:
+            return self.read(spark, stage)
+        df = compute()
+        self.write(stage, df, partition_by=partition_by, lineage_key=lineage_key)
+        return self.read(spark, stage)
