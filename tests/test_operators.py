@@ -1,0 +1,195 @@
+"""Operator-level Spark tests: overlap merge, pivot, linking,
+connected components, corrections, dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gliner_transbronchialbiopsy_spark.operators import (
+    components,
+    dedup,
+    linking,
+    merge,
+    pivot,
+    stats,
+)
+
+MENTION_SCHEMA = (
+    "repo string, path string, commit string, mention_id string, "
+    "text string, label string, score double, start_idx int, end_idx int"
+)
+
+
+def _mentions(spark, rows):
+    full = [("r", "p", "c", f"m{i}", *row) for i, row in enumerate(rows)]
+    return spark.createDataFrame(full, MENTION_SCHEMA)
+
+
+# --- A2 overlap merge (entity_processor.py:137-192 semantics) ---------------
+def test_merge_keeps_higher_score(spark):
+    m = _mentions(spark, [("A0", "Grade A", 0.6, 10, 20), ("A1", "Grade A", 0.9, 12, 22)])
+    out = merge.merge_overlaps(m).collect()
+    assert len(out) == 1 and out[0]["text"] == "A1"
+
+
+def test_merge_iou_exactly_half_not_merged(spark):
+    # spans [0,10) and [5,15): overlap 5, union 15 -> 1/3 < 0.5 kept;
+    # craft IoU == 0.5 exactly: [0,10) & [0,20): overlap 10, union 20
+    m = _mentions(spark, [("x", "Site", 0.9, 0, 10), ("y", "Site", 0.8, 0, 20)])
+    out = merge.merge_overlaps(m).collect()
+    assert len(out) == 2  # strict > threshold (reference :179)
+
+
+def test_merge_equal_scores_keeps_first(spark):
+    m = _mentions(spark, [("first", "Site", 0.8, 0, 10), ("second", "Site", 0.8, 1, 10)])
+    out = merge.merge_overlaps(m).collect()
+    # IoU = 9/10 > 0.5; equal scores -> current kept (strict < at :181)
+    assert len(out) == 1 and out[0]["text"] == "first"
+
+
+def test_merge_linear_sweep_not_transitive(spark):
+    # chain a-b overlap, b-c overlap, a-c don't: reference sweep keeps
+    # max(a,b) then compares with c
+    m = _mentions(
+        spark,
+        [("a", "Site", 0.9, 0, 10), ("b", "Site", 0.5, 2, 12), ("c", "Site", 0.7, 9, 19)],
+    )
+    out = {r["text"] for r in merge.merge_overlaps(m).collect()}
+    # a vs b: IoU 8/12 > .5 -> keep a (0.9). a vs c: overlap 1/union 19 -> keep both
+    assert out == {"a", "c"}
+
+
+# --- A1 pivot ----------------------------------------------------------------
+def test_pivot_wide_order_and_nulls(spark):
+    m = _mentions(
+        spark,
+        [
+            ("B0", "Grade B", 0.7, 30, 32),
+            ("A0", "Grade A", 0.9, 10, 12),
+            ("A1", "Grade A", 0.8, 20, 22),
+        ],
+    )
+    row = pivot.pivot_wide(m).collect()[0]
+    assert row["Grade A"] == "A0;A1"  # span order, not collect order
+    assert row["Grade B"] == "B0"
+    assert row["Site"] is None
+    assert row["scores"]["Grade A"] == [0.9, 0.8]
+
+
+def test_melt_to_triples_roundtrip(spark):
+    m = _mentions(
+        spark, [("A0", "Grade A", 0.9, 0, 2), ("A1", "Grade A", 0.8, 5, 7)]
+    )
+    wide = pivot.pivot_wide(m, with_scores=False)
+    triples = pivot.melt_to_triples(wide).collect()
+    assert {(t["pred"], t["obj"]) for t in triples} == {
+        ("Grade A", "A0"), ("Grade A", "A1"),
+    }
+    assert all(t["subj"] == "r/p@c" for t in triples)
+
+
+# --- J4 linking ---------------------------------------------------------------
+def test_linking_finds_near_duplicates(spark):
+    rows = [
+        ("doc", "lobe inférieur droit"),
+        ("doc", "lobe inferieur droit"),   # near-dup (accent dropped)
+        ("doc", "complètement différent"),
+    ]
+    df = spark.createDataFrame(rows, "label string, text string")
+    edges = linking.link_surfaces(
+        df, num_hashes=32, bands=16, jaccard_threshold=0.5
+    ).collect()
+    found = {(e["text_a"], e["text_b"]) for e in edges}
+    assert ("lobe inferieur droit", "lobe inférieur droit") in found
+    assert all("différent" not in a and "différent" not in b for a, b in found)
+
+
+def test_minhash_is_unbiased_jaccard_estimate(spark):
+    # identical strings must always collide on every band
+    df = spark.createDataFrame(
+        [("l", "texte identique"), ("l", "texte identique x")],
+        "label string, text string",
+    )
+    sigs = linking.minhash_signatures(df, num_hashes=8).collect()
+    assert len(sigs) == 2
+    assert all(len(s["sig"]) == 8 for s in sigs)
+
+
+# --- J5 connected components ---------------------------------------------------
+def test_connected_components_two_clusters(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    comp = {r["node"]: r["component"] for r in components.connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_connected_components_star_graph(spark):
+    # hot-key shape: one hub connected to 30 spokes
+    edges = spark.createDataFrame(
+        [("hub", f"s{i:02d}") for i in range(30)], "src string, dst string"
+    )
+    comp = components.connected_components(edges)
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == 31
+
+
+def test_canonical_map_covers_isolated_nodes(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    nodes = spark.createDataFrame([("a",), ("b",), ("z",)], "node string")
+    cmap = {r["node"]: r["canonical"] for r in components.canonical_map(edges, nodes).collect()}
+    assert cmap == {"a": "a", "b": "a", "z": "z"}
+
+
+# --- O4/J2 corrections ----------------------------------------------------------
+def test_last_writer_wins_and_apply(spark):
+    base = spark.createDataFrame(
+        [("d1", "Site", "LID"), ("d2", "Site", "LM")],
+        "document string, entity_type string, value string",
+    )
+    corr = spark.createDataFrame(
+        [
+            ("d1", "Site", "LSD", "2024-01-01 10:00:00", 1),
+            ("d1", "Site", "LIG", "2024-01-02 10:00:00", 2),  # latest wins
+        ],
+        "document string, entity_type string, corrected_value string, "
+        "timestamp string, correction_id int",
+    )
+    out = {
+        r["document"]: r["value"]
+        for r in stats.apply_corrections(
+            base, corr, ("document", "entity_type"), "value"
+        ).collect()
+    }
+    assert out == {"d1": "LIG", "d2": "LM"}
+
+
+# --- dedup ----------------------------------------------------------------------
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_duplicates(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_dups"] == 2 and out[0]["doc_ids"] == [1, 2]
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "z z z q q q")],
+        "doc_id long, text string",
+    )
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert len(out) == 1
+    assert (out[0]["id_a"], out[0]["id_b"]) == (1, 2)
+    assert out[0]["jaccard"] == pytest.approx(1.0)
+
+
+def test_simhash_identical_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "pareil pareil pareil"), (2, "pareil pareil pareil")],
+        "doc_id long, text string",
+    )
+    out = dedup.simhash_buckets(df).collect()
+    assert len(out) == 1 and out[0]["hamming"] == 0

@@ -1,0 +1,87 @@
+"""Structured-Streaming smoke: incremental documents ingest through the
+detect DAG via foreachBatch, and the watermarked corrections window agg."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from gliner_transbronchialbiopsy_spark.sources import corpus
+from gliner_transbronchialbiopsy_spark.streaming import stream
+
+
+@pytest.mark.timeout(300)
+def test_incremental_pipeline_availableNow(spark, tmpdir_path):
+    docs_pd, _ = corpus.generate_corpus(n_docs=60, seed=42)
+    in_dir = os.path.join(tmpdir_path, "in")
+    os.makedirs(in_dir)
+    # two 'upload batches' as separate files
+    docs_pd.iloc[:30].to_parquet(os.path.join(in_dir, "batch1.parquet"), index=False)
+    docs_pd.iloc[30:].to_parquet(os.path.join(in_dir, "batch2.parquet"), index=False)
+
+    out_dir = os.path.join(tmpdir_path, "out")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    from gliner_transbronchialbiopsy_spark.functions import patterns as pat
+
+    q = stream.run_incremental_pipeline(
+        spark, in_dir, out_dir, ckpt, catalog=pat.MEDICAL_PATTERNS
+    )
+    q.awaitTermination(240)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() > 0
+    assert {"repo", "path", "label", "text", "content_sha256"} <= set(got.columns)
+
+    # exactly-once on restart: availableNow with same checkpoint adds nothing
+    n = got.count()
+    q2 = stream.run_incremental_pipeline(
+        spark, in_dir, out_dir, ckpt, catalog=pat.MEDICAL_PATTERNS
+    )
+    q2.awaitTermination(240)
+    assert spark.read.parquet(out_dir).count() == n
+
+
+def test_corrections_streaming_window(spark, tmpdir_path):
+    rows = pd.DataFrame(
+        {
+            "document": ["d1", "d1", "d2"],
+            "entity_type": ["Site", "Site", "Grade A"],
+            "original_value": ["LID", "LID", "A0"],
+            "corrected_value": ["LM", "LSD", "A1"],
+            "timestamp": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-02 09:00"]
+            ),
+            "user": ["u", "u", "v"],
+            "notes": [None, None, None],
+        }
+    )
+    src = os.path.join(tmpdir_path, "corr")
+    os.makedirs(src)
+    # pandas defaults to ns timestamps, which Spark's parquet reader
+    # rejects for TimestampType — coerce to micros
+    rows.to_parquet(
+        os.path.join(src, "log.parquet"),
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+
+    cstream = (
+        spark.readStream.schema(stream.CORRECTIONS_SCHEMA)
+        .parquet(src)
+    )
+    agg = stream.corrections_running_counts(cstream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("corr_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        (r["entity_type"], str(r["day_start"])[:10]): r["n_corrections"]
+        for r in spark.sql("SELECT * FROM corr_counts").collect()
+    }
+    assert out[("Site", "2024-01-01")] == 2
+    assert out[("Grade A", "2024-01-02")] == 1

@@ -1,0 +1,106 @@
+"""spark-submit entry for the KG-construction job (north_rule launch
+path). Also runnable as plain python for the scaling bench.
+
+    spark-submit --py-files gliner_transbronchialbiopsy_spark.zip \
+        tools/run_kg_job.py --input <documents parquet dir/file> \
+        --workdir /tmp/kgrun --cpus 32 --catalog medical
+
+Prints one JSON line: rows, wall seconds, triples/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--catalog", choices=("medical", "keyword"), default="medical")
+    ap.add_argument("--fresh", action="store_true", help="clear workdir first")
+    ap.add_argument("--skip-sectionize", action="store_true",
+                    help="treat content as already-sectionized text")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from gliner_transbronchialbiopsy_spark.functions import patterns as pat
+    from gliner_transbronchialbiopsy_spark.plans import kg_pipeline
+    from gliner_transbronchialbiopsy_spark.session import get_spark
+
+    if args.fresh and os.path.exists(args.workdir):
+        shutil.rmtree(args.workdir)
+
+    catalog = (
+        pat.MEDICAL_PATTERNS if args.catalog == "medical" else pat.KEYWORD_PATTERNS
+    )
+    spark = get_spark("kg_job", cpus=args.cpus, shuffle_partitions=args.cpus)
+    docs = spark.read.parquet(args.input)
+    if "repo" not in docs.columns:  # driver-table shape adapter
+        docs = docs.select(
+            F.col("source").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("HEAD").alias("commit"),
+            "lang",
+            F.col("text").alias("content"),
+        )
+
+    t0 = time.time()
+    if args.skip_sectionize:
+        validated = kg_pipeline.validate_documents(docs)
+        sectionized = validated.select(
+            "repo", "path", "commit", "lang", "content_sha256",
+            F.col("content").alias("conclusion"),
+        )
+        from gliner_transbronchialbiopsy_spark.sources.checkpoint import (
+            CheckpointManager,
+        )
+
+        ckpt = CheckpointManager(args.workdir)
+        mentions = ckpt.get_or_compute(
+            spark, "mentions",
+            lambda: kg_pipeline.detect(sectionized, catalog=catalog,
+                                       partitions=args.cpus * 2),
+        )
+        cmap = ckpt.get_or_compute(
+            spark, "entities", lambda: kg_pipeline.canonicalize(mentions)
+        )
+        triples = ckpt.get_or_compute(
+            spark, "triples",
+            lambda: kg_pipeline.materialize_triples(mentions, cmap),
+            partition_by=("pred",), lineage_key="pred",
+        )
+    else:
+        triples = kg_pipeline.run_pipeline(
+            spark, docs, args.workdir, catalog=catalog,
+            partitions=args.cpus * 2,
+        )
+    n = triples.count()
+    wall = time.time() - t0
+    n_docs = docs.count()
+    print(
+        json.dumps(
+            {
+                "triples": n,
+                "docs": n_docs,
+                "wall_sec": round(wall, 2),
+                "triples_per_sec": round(n / wall, 1),
+                "docs_per_sec": round(n_docs / wall, 1),
+                "cpus": args.cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
