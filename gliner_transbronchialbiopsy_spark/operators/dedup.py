@@ -107,21 +107,38 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_n: int = 5,
     jaccard_threshold: float = 0.6,
+    exact_verify: bool = False,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs over char shingles, verified with
-    exact char-shingle Jaccard. Returns (id_a, id_b, jaccard)."""
+    """MinHash+LSH near-dup pairs over char shingles. Returns
+    (id_a, id_b, jaccard).
+
+    Default verification is the MinHash ESTIMATE (equal-slot fraction,
+    std err ~1/sqrt(num_hashes)) — no per-pair array work, which is
+    what survives 100 TB. exact_verify=True recomputes true shingle
+    Jaccard per candidate (use for short texts / final audits)."""
     keyed = df.select(F.col(id_col).cast("string").alias("_key"),
                       F.col(text_col).alias("text"))
-    edges = linking.link_surfaces(
-        keyed.withColumn("label", F.lit("doc")),
-        text_col="text",
-        key_cols=("label",),
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_n=shingle_n,
-        jaccard_threshold=jaccard_threshold,
-    )
-    # map surfaces back to ids (duplicate texts -> all their ids)
+    surfaces = keyed.withColumn("label", F.lit("doc"))
+    sigs = linking.minhash_signatures(
+        surfaces, "text", ("label",), num_hashes=num_hashes, shingle_n=shingle_n
+    ).localCheckpoint()
+    pairs = linking.lsh_candidate_pairs(
+        sigs, "text", ("label",), bands=bands
+    ).localCheckpoint()
+    if exact_verify:
+        edges = linking.verified_edges(
+            pairs, ("label",), shingle_n=shingle_n,
+            jaccard_threshold=jaccard_threshold,
+        )
+    else:
+        edges = linking.estimated_edges(
+            pairs, sigs, "text", ("label",),
+            jaccard_threshold=jaccard_threshold,
+        )
+    # map surfaces back to ids (duplicate texts -> their representative
+    # id; exact dups were collapsed by dropDuplicates in the signature
+    # stage — run exact_duplicates() for the full duplicate groups)
+    edges = edges.localCheckpoint()
     ids = keyed.groupBy("text").agg(F.min("_key").alias("rep_id"))
     return (
         edges.join(ids.withColumnRenamed("text", "text_a"), "text_a")
@@ -197,6 +214,15 @@ def simhash_buckets(
     banded = hashed.select(
         id_col, "simhash", F.explode(bands_arr).alias("band")
     ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    # hot-bucket cap: same skew guard as linking.lsh_candidate_pairs —
+    # a band bucket of b rows costs b^2/2 pairs
+    ok = (
+        banded.groupBy("band_id", "band_val")
+        .count()
+        .filter(F.col("count") <= 256)
+        .drop("count")
+    )
+    banded = banded.join(ok, ["band_id", "band_val"], "left_semi")
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

@@ -55,12 +55,13 @@ def minhash_signatures(
     aggs = [
         F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
-    ]
+    ] + [F.count("*").alias("n_shingles")]
     sig = exploded.groupBy(*key_cols, text_col).agg(*aggs)
     return sig.select(
         *key_cols,
         text_col,
         F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+        "n_shingles",
     )
 
 
@@ -69,17 +70,27 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     key_cols: tuple[str, ...] = ("label",),
     bands: int = 4,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Banded LSH: split each signature into `bands` slices, equi-join on
     (key_cols, band_id, band_hash). Returns distinct candidate pairs
-    (key_cols, text_a, text_b) with text_a < text_b."""
-    num_hashes = bands  # re-derived below from actual array length
-    _ = num_hashes
+    (key_cols, text_a, text_b) with text_a < text_b.
+
+    max_bucket_size is the hot-band skew guard (north_rule): a band
+    bucket holding b rows yields b^2/2 candidate pairs, so one
+    boilerplate-dominated bucket can dwarf the whole join. Buckets
+    larger than the cap are dropped BEFORE the self-join (rows keep
+    their other, more selective bands — graceful recall degradation on
+    pathological near-uniform corpora, bounded work always)."""
     sig_len = F.size("sig")
     rows_per_band = (sig_len / bands).cast("int")
+    size_col = (
+        ["n_shingles"] if "n_shingles" in signatures.columns else []
+    )
     banded = signatures.select(
         *key_cols,
         F.col(text_col),
+        *size_col,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -99,11 +110,21 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("band"),
-    ).select(*key_cols, text_col, "band.band_id", "band.band_hash")
+    ).select(*key_cols, text_col, *size_col, "band.band_id", "band.band_hash")
+
+    if max_bucket_size is not None:
+        bucket_cols = [*key_cols, "band_id", "band_hash"]
+        ok = (
+            banded.groupBy(*bucket_cols)
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        banded = banded.join(ok, bucket_cols, "left_semi")
 
     left = banded
     right = banded.select(
-        *[F.col(c).alias(f"_r_{c}") for c in (*key_cols, text_col)],
+        *[F.col(c).alias(f"_r_{c}") for c in (*key_cols, text_col, *size_col)],
         F.col("band_id").alias("_r_band_id"),
         F.col("band_hash").alias("_r_band_hash"),
     )
@@ -114,12 +135,18 @@ def lsh_candidate_pairs(
     )
     for c in key_cols:
         cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+    size_out = (
+        [F.col("n_shingles").alias("sz_a"), F.col("_r_n_shingles").alias("sz_b")]
+        if size_col
+        else []
+    )
     return (
         left.join(right, cond, "inner")
         .select(
             *key_cols,
             F.col(text_col).alias("text_a"),
             F.col(f"_r_{text_col}").alias("text_b"),
+            *size_out,
         )
         .dropDuplicates([*key_cols, "text_a", "text_b"])
     )
@@ -132,14 +159,60 @@ def verified_edges(
     jaccard_threshold: float = 0.7,
 ) -> DataFrame:
     """Exact char-n-gram Jaccard on candidate pairs (JVM array ops),
-    keeping pairs >= threshold as similarity edges."""
+    keeping pairs >= threshold as similarity edges.
+
+    When the pair rows carry (sz_a, sz_b) shingle counts from the
+    signature stage, the union is derived (|A|+|B|-|A∩B|) instead of
+    materializing array_union — halves the per-pair array work."""
     a = char_shingles(F.col("text_a"), shingle_n)
     b = char_shingles(F.col("text_b"), shingle_n)
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    if "sz_a" in pairs.columns:
+        union = F.col("sz_a") + F.col("sz_b") - inter
+    else:
+        union = F.size(F.array_union(a, b))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return pairs.withColumn("jaccard", jac).filter(
-        F.col("jaccard") >= jaccard_threshold
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .drop("sz_a", "sz_b")
+    )
+
+
+def estimated_edges(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("label",),
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-estimated Jaccard: fraction of equal signature slots
+    (E[match] = J, std err ~ 1/sqrt(num_hashes)). No per-pair array
+    construction — two joins against the (small, distinct-surface)
+    signature table + a zip_with over num_hashes longs. This is the
+    scale path for near-dup detection on long documents; exact
+    verification (verified_edges) remains for short surfaces."""
+    sig_map = signatures.select(*key_cols, text_col, "sig")
+    a = sig_map.withColumnRenamed(text_col, "text_a").withColumnRenamed(
+        "sig", "sig_a"
+    )
+    b = sig_map.withColumnRenamed(text_col, "text_b").withColumnRenamed(
+        "sig", "sig_b"
+    )
+    joined = (
+        pairs.select(*key_cols, "text_a", "text_b")
+        .join(a, [*key_cols, "text_a"])
+        .join(b, [*key_cols, "text_b"])
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, m: acc + m,
+    )
+    jac = matches / F.size("sig_a")
+    return (
+        joined.select(*key_cols, "text_a", "text_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
     )
 
 
@@ -151,13 +224,29 @@ def link_surfaces(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """End-to-end blocking+verification: mentions -> similarity edges
-    (key_cols, text_a, text_b, jaccard)."""
+    (key_cols, text_a, text_b, jaccard).
+
+    Stage boundaries are materialized (localCheckpoint) by default: the
+    candidate join references the signature subtree three times (bucket
+    census + both join sides), so a fused lineage recomputes the shingle
+    explode + 32-agg shuffle repeatedly and the optimizer chokes on the
+    duplicated expression trees (measured: >8x wall). Same rationale as
+    the per-iteration checkpoint in components.py; on a cluster these
+    become real checkpoint/Iceberg stage tables (sources/checkpoint.py)."""
     sigs = minhash_signatures(
         mentions, text_col, key_cols, num_hashes=num_hashes, shingle_n=shingle_n
     )
-    pairs = lsh_candidate_pairs(sigs, text_col, key_cols, bands=bands)
+    if materialize:
+        sigs = sigs.localCheckpoint()
+    pairs = lsh_candidate_pairs(
+        sigs, text_col, key_cols, bands=bands, max_bucket_size=max_bucket_size
+    )
+    if materialize:
+        pairs = pairs.localCheckpoint()
     return verified_edges(
         pairs, key_cols, shingle_n=shingle_n, jaccard_threshold=jaccard_threshold
     )
