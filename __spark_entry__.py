@@ -407,6 +407,94 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12-style semi-structured scan: typed JSON parse of the props
+    column (never eval/regex — the reference's eval() round-trip is the
+    bug class we eliminate, charts.py:92)."""
+    from pyspark.sql import types as T
+
+    ev = _read(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "props_k",
+        F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))["k"],
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("props_k").alias("sum_k"),
+        F.round(F.avg("props_k"), 4).alias("avg_k"),
+        F.count("props_k").alias("n_k"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split on >30min gaps (window
+    lag + running sum), then session stats. One shuffle on user_id."""
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sessioned = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_id", F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        )
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+def q_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): for each 'error' event,
+    the most recent prior 'view' value of the same user — implemented
+    as last(ignorenulls) over an ordered per-user window (the
+    union-and-carry-forward formulation; no join at all)."""
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = ev.withColumn(
+        "prior_view_value",
+        F.last(
+            F.when(F.col("event_type") == "view", F.round("value", 2)),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "prior_view_value"
+    )
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage dashboard (natural generalization of A5;
+    SURVEY.md §2.6 note): cube over (event_type, day)."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    return ev.cube("event_type", "day").agg(F.count("*").alias("n"))
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
@@ -462,6 +550,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_knn_join": q_sim_knn_join,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "json_extract_agg": q_json_extract_agg,
+        "sessionize": q_sessionize,
+        "asof_prior_view": q_asof_prior_view,
+        "cube_counts": q_cube_counts,
+        "rollup_revenue": q_rollup_revenue,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
@@ -769,6 +862,63 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, vec_id) AS rank
                   FROM prod) t
             WHERE rank <= 3
+        """,
+        "json_extract_agg": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                     AS sum_k,
+                   round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4)
+                     AS avg_k,
+                   count(json_extract(props, '$.k')) AS n_k
+            FROM events GROUP BY event_type
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            OR lag(ts) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g),
+            per AS (
+              SELECT user_id, session_id, count(*) AS n_events
+              FROM s GROUP BY 1, 2)
+            SELECT user_id,
+                   count(*) AS n_sessions,
+                   max(n_events) AS max_session_events,
+                   CAST(sum(n_events) AS BIGINT) AS n_events
+            FROM per GROUP BY user_id
+        """,
+        "asof_prior_view": """
+            SELECT event_id, user_id, prior_view_value FROM (
+              SELECT event_id, user_id, event_type,
+                     last_value(CASE WHEN event_type = 'view'
+                                     THEN round(value, 2) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prior_view_value
+              FROM events) t
+            WHERE event_type = 'error'
+        """,
+        "cube_counts": """
+            SELECT event_type,
+                   strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   count(*) AS n
+            FROM events
+            GROUP BY CUBE(event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "text_langid": r"""
             WITH h AS (

@@ -18,14 +18,55 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def connected_components_driver(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Union-find on the driver for SMALL edge sets (collect + path
+    compression + parallelize back). The similarity graph between
+    distinct entity SURFACES is bounded by the surface vocabulary, not
+    the corpus size, so even at 10^12 documents it typically fits in
+    driver memory — the big mention table never leaves the executors.
+    Used automatically by connected_components below the size cutoff."""
+    rows = edges.select(src, dst).collect()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = find(r[0]), find(r[1])
+        if a != b:
+            # deterministic: smaller string becomes the root
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    nodes = {n for r in rows for n in (r[0], r[1])}
+    out = [(n, find(n)) for n in sorted(nodes)]
+    return edges.sparkSession.createDataFrame(
+        out, "node string, component string"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 20,
+    driver_cutoff: int = 1_000_000,
 ) -> DataFrame:
     """edges(src, dst) [string ids] -> (node, component) where component
-    is the lexicographic minimum string id in the node's component."""
+    is the lexicographic minimum string id in the node's component.
+
+    Hybrid strategy: below driver_cutoff edges, a driver union-find is
+    strictly faster (the iterative-join loop pays ~2 Spark jobs per
+    iteration); above it, distributed min-propagation with per-iteration
+    lineage checkpoints. Both elect the same canonical minimum."""
+    if driver_cutoff and edges.limit(driver_cutoff + 1).count() <= driver_cutoff:
+        return connected_components_driver(edges, src, dst)
     # Work on (node -> comp) as minimum-string propagation. For string
     # ids, min() is well-defined and deterministic.
     sym = (

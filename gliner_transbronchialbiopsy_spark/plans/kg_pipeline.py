@@ -81,17 +81,23 @@ def detect(
 def canonicalize(mentions: DataFrame) -> DataFrame:
     """Stage 3: similarity edges between (label, surface) pairs ->
     connected components -> (label, text, canonical) map."""
-    edges = linking.link_surfaces(mentions, text_col="text", key_cols=("label",))
-    # node id = label \x1f surface so components never cross labels
-    sep = "\x1f"
-    e = edges.select(
-        F.concat_ws(sep, "label", "text_a").alias("src"),
-        F.concat_ws(sep, "label", "text_b").alias("dst"),
-    )
+    edges = linking.link_surfaces(
+        mentions, text_col="text", key_cols=("label",)
+    ).localCheckpoint()
+    sep = "\x1f"  # node id = label \x1f surface: components never cross labels
     nodes = mentions.select(
         F.concat_ws(sep, "label", "text").alias("node")
     ).distinct()
-    cmap = components.canonical_map(e, nodes)
+    if edges.isEmpty():
+        # common fast path (no near-duplicate surfaces): identity map,
+        # skip the CC driver loop entirely
+        cmap = nodes.select("node", F.col("node").alias("canonical"))
+    else:
+        e = edges.select(
+            F.concat_ws(sep, "label", "text_a").alias("src"),
+            F.concat_ws(sep, "label", "text_b").alias("dst"),
+        )
+        cmap = components.canonical_map(e, nodes)
     return cmap.select(
         F.substring_index("node", sep, 1).alias("label"),
         F.substring_index("node", sep, -1).alias("text"),

@@ -21,6 +21,24 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_local_dir() -> str:
+    """Prefer tmpfs for shuffle/spill: this host's disk serializes
+    concurrent shuffle writers (measured: the same 16-thread join+write
+    ran 5x faster with spark.local.dir on /dev/shm). Overridable via
+    SPARK_LOCAL_DIRS; real clusters use instance-local NVMe."""
+    override = os.environ.get("SPARK_LOCAL_DIRS")
+    if override:
+        return override
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/spark-local"
+        try:
+            os.makedirs(d, exist_ok=True)
+            return d
+        except OSError:
+            pass
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "gliner_tbb_spark",
     cpus: int | None = None,
@@ -39,8 +57,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # split even modest parquet files across tasks: a 200 MB
+        # single-file input must not become a 1-2 task scan when the
+        # first stage is an expensive per-row UDF
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", _default_local_dir())
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )
     for k, v in (extra_conf or {}).items():

@@ -47,6 +47,13 @@ class CheckpointManager:
         per partition value — the north rule's per-partition lineage)."""
         d = self._stage_dir(stage)
         t0 = time.time()
+        if partition_by:
+            # co-locate each partition value into a few salted tasks
+            # before the partitioned write: avoids shuffle_partitions ×
+            # values small files while keeping the write parallel
+            # (448 -> ~8 per value for the triples stage)
+            salt = F.pmod(F.spark_partition_id(), F.lit(8))
+            df = df.repartition(*[F.col(c) for c in partition_by], salt)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

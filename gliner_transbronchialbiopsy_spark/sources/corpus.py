@@ -101,16 +101,18 @@ def _grade_fragment(rng: random.Random) -> tuple[str, str | None, str | None]:
 
 
 def generate_corpus(
-    n_docs: int = 200, seed: int = 42
+    n_docs: int = 200, seed: int = 42, path_offset: int = 0
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Build (documents, gold) pandas frames deterministically."""
+    """Build (documents, gold) pandas frames deterministically.
+    path_offset keeps doc identities disjoint across sharded writers."""
     rng = random.Random(seed)
     boilerplates: list[tuple[str, dict[str, str]]] = []
 
     doc_rows: list[dict] = []
     gold_rows: list[dict] = []
 
-    for j in range(n_docs):
+    for i in range(n_docs):
+        j = i + path_offset
         repo = f"repo{j % 50:03d}"
         path = f"reports/report{j:06d}.txt"
         commit = textlib.sha256_hex(f"{repo}/{path}")[:40]
@@ -210,8 +212,52 @@ def write_corpus(out_dir: str | Path, n_docs: int = 200, seed: int = 42) -> None
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     documents, gold = generate_corpus(n_docs=n_docs, seed=seed)
-    documents.to_parquet(out / "documents.parquet", index=False)
-    gold.to_parquet(out / "gold.parquet", index=False)
+    # small row groups so Spark's scan can split the single file into
+    # parallel tasks (a one-row-group file pins the whole first UDF
+    # stage to one task regardless of maxPartitionBytes)
+    documents.to_parquet(out / "documents.parquet", index=False,
+                         row_group_size=4096)
+    gold.to_parquet(out / "gold.parquet", index=False, row_group_size=4096)
+
+
+def _write_shard(args: tuple) -> str:
+    out_dir, shard, n_docs, seed = args
+    documents, gold = generate_corpus(
+        n_docs=n_docs, seed=seed, path_offset=shard * n_docs
+    )
+    documents.to_parquet(
+        Path(out_dir) / "documents.parquet" / f"part-{shard:04d}.parquet",
+        index=False, row_group_size=4096,
+    )
+    gold.to_parquet(
+        Path(out_dir) / "gold.parquet" / f"part-{shard:04d}.parquet",
+        index=False, row_group_size=4096,
+    )
+    return f"shard {shard}"
+
+
+def write_corpus_sharded(
+    out_dir: str | Path,
+    n_docs: int,
+    shards: int = 16,
+    seed: int = 42,
+    processes: int | None = None,
+) -> None:
+    """Parallel sharded corpus writer for large scaling corpora:
+    `shards` independent deterministic streams (seed+shard), one parquet
+    file each under documents.parquet/ — which also gives Spark's scan
+    natural file-level parallelism (the 100 TB layout in miniature).
+    NOTE: shard streams differ from the single-stream write_corpus at
+    the same n_docs; use write_corpus for P/R-gold fixtures."""
+    import multiprocessing as mp
+
+    out = Path(out_dir)
+    (out / "documents.parquet").mkdir(parents=True, exist_ok=True)
+    (out / "gold.parquet").mkdir(parents=True, exist_ok=True)
+    per = n_docs // shards
+    jobs = [(str(out), s, per, seed + s) for s in range(shards)]
+    with mp.Pool(processes or min(shards, 16)) as pool:
+        pool.map(_write_shard, jobs)
 
 
 def gold_triples(gold: pd.DataFrame) -> pd.DataFrame:

@@ -45,6 +45,12 @@ def main() -> None:
     )
     spark = get_spark("kg_job", cpus=args.cpus, shuffle_partitions=args.cpus)
     docs = spark.read.parquet(args.input)
+    # Fan the input out across all cores up front: the first stage is a
+    # per-row UDF, and a compressed single-file fixture yields too few
+    # scan splits. One explicit shuffle of the raw bytes, symmetric at
+    # every parallelism level. On a real cluster the Iceberg file
+    # layout gives the scan this parallelism for free.
+    docs = docs.repartition(args.cpus * 2)
     if "repo" not in docs.columns:  # driver-table shape adapter
         docs = docs.select(
             F.col("source").alias("repo"),

@@ -57,7 +57,12 @@ def main() -> None:
     input_path = os.path.join(corpus_dir, "documents.parquet")
     if not os.path.exists(input_path):
         os.makedirs(corpus_dir, exist_ok=True)
-        corpus.write_corpus(corpus_dir, n_docs=args.n_docs, seed=42)
+        if args.n_docs >= 100_000:
+            corpus.write_corpus_sharded(
+                corpus_dir, n_docs=args.n_docs, shards=16, seed=42
+            )
+        else:
+            corpus.write_corpus(corpus_dir, n_docs=args.n_docs, seed=42)
 
     low = run_level(input_path, args.low, args.runs)
     high = run_level(input_path, args.high, args.runs)
