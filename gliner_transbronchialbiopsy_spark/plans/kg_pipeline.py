@@ -63,19 +63,41 @@ def detect(
     threshold: float = config.DEFAULT_CONFIDENCE_THRESHOLD,
     partitions: int | None = None,
 ) -> DataFrame:
-    """Stage 2: mention detection (dedup-by-content first) + overlap
-    merge, keyed back to documents with sha lineage."""
-    mentions = ner.detect_mentions_deduped(
-        sectionized,
+    """Stage 2: dedup-by-content -> detect -> overlap-merge -> fan out.
+
+    Both detection AND the overlap merge run at distinct-content
+    granularity (overlaps are a pure function of the text, so merging
+    before the fan-out to duplicate documents does strictly less work —
+    the same M3 argument as dedup-before-inference), then results
+    rejoin every (repo, path, commit, sha)."""
+    hashed = sectionized.select(
+        *DOC_COLS, "content_sha256", "conclusion"
+    ).filter(
+        F.col("conclusion").isNotNull() & (F.trim(F.col("conclusion")) != "")
+    )
+    distinct = hashed.select(
+        F.col("content_sha256").alias("sha_key"), "conclusion"
+    ).dropDuplicates(["sha_key"])
+    found = ner.detect_mentions(
+        distinct,
         text_col="conclusion",
         catalog=catalog or pat.MEDICAL_PATTERNS,
         threshold=threshold,
-        id_cols=DOC_COLS,
+        id_cols=("sha_key",),
         partitions=partitions,
     )
-    merged = merge.merge_overlaps(mentions, group_cols=(*DOC_COLS, "label"))
-    sha = sectionized.select(*DOC_COLS, "content_sha256")
-    return merged.join(sha, list(DOC_COLS), "inner")
+    merged = merge.merge_overlaps(found, group_cols=("sha_key", "label"))
+    fanned = hashed.select(*DOC_COLS, "content_sha256").join(
+        merged, hashed["content_sha256"] == merged["sha_key"], "inner"
+    )
+    return fanned.select(
+        *DOC_COLS,
+        F.sha2(
+            F.concat_ws("\x1f", F.col("path"), "start_idx", "end_idx", "label"),
+            256,
+        ).alias("mention_id"),
+        "text", "label", "score", "start_idx", "end_idx", "content_sha256",
+    )
 
 
 def canonicalize(mentions: DataFrame) -> DataFrame:

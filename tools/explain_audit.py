@@ -1,0 +1,75 @@
+"""Physical-plan audit: prints `.explain("formatted")` for key queries
+and checks the properties that matter at 100 TB:
+
+- parquet scans carry PushedFilters + pruned ReadSchema
+- dimension joins go broadcast
+- non-UDF stages sit inside WholeStageCodegen spans
+
+Writes PLANS.md. Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from gliner_transbronchialbiopsy_spark.session import get_spark  # noqa: E402
+
+AUDIT = {
+    "q1_pricing_summary": (
+        "PushedFilters",  # shipdate filter reaches the scan
+        "WholeStageCodegen",
+    ),
+    "q3_top_orders": ("BroadcastHashJoin",),  # dim side broadcast
+    "broadcast_lookup": ("BroadcastHashJoin",),
+    "filter_range": ("PushedFilters", "WholeStageCodegen"),
+    "last_writer_wins": ("Window",),
+    "kg_triples": ("MapInPandas",),  # the single Python stage
+    "text_quality": ("WholeStageCodegen",),  # pure JVM, no Python
+}
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain_audit", cpus=4, shuffle_partitions=4)
+    qs = entrymod.queries()
+    sections, failures = [], []
+    for name, expectations in AUDIT.items():
+        df = qs[name](spark, sf_dir)
+        plan = plan_of(df)
+        checks = []
+        for token in expectations:
+            ok = token in plan
+            checks.append(f"  - {'OK ' if ok else 'MISSING'} `{token}`")
+            if not ok:
+                failures.append((name, token))
+        sections.append(
+            f"## {name}\n\n" + "\n".join(checks) + "\n\n```\n" + plan + "```\n"
+        )
+
+    with open("PLANS.md", "w") as f:
+        f.write(
+            "# PLANS — physical-plan audit (`.explain('formatted')`)\n\n"
+            "Checked properties: filter pushdown to parquet scans, "
+            "broadcast joins on dimension tables, whole-stage codegen "
+            "for JVM stages, Python confined to the one MapInPandas "
+            "detection stage.\n\n" + "\n".join(sections)
+        )
+    print(f"{len(AUDIT) - len({n for n, _ in failures})}/{len(AUDIT)} clean; "
+          f"failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,12 +45,13 @@ def main() -> None:
     )
     spark = get_spark("kg_job", cpus=args.cpus, shuffle_partitions=args.cpus)
     docs = spark.read.parquet(args.input)
-    # Fan the input out across all cores up front: the first stage is a
-    # per-row UDF, and a compressed single-file fixture yields too few
-    # scan splits. One explicit shuffle of the raw bytes, symmetric at
-    # every parallelism level. On a real cluster the Iceberg file
+    # Fan the input out when the scan can't: a compressed single-file
+    # fixture yields too few splits and the first stage is a per-row
+    # UDF. Multi-file (sharded) inputs already scan in parallel — then
+    # skip the full-content shuffle. On a real cluster the Iceberg file
     # layout gives the scan this parallelism for free.
-    docs = docs.repartition(args.cpus * 2)
+    if docs.rdd.getNumPartitions() < args.cpus:
+        docs = docs.repartition(args.cpus * 2)
     if "repo" not in docs.columns:  # driver-table shape adapter
         docs = docs.select(
             F.col("source").alias("repo"),
