@@ -432,7 +432,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _read(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")  # ts is NTZ
+    gap = epoch - F.lag(epoch).over(w)
     sessioned = ev.withColumn(
         "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     ).withColumn(

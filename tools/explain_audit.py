@@ -19,17 +19,20 @@ sys.path.insert(0, ".")
 import __spark_entry__ as entrymod  # noqa: E402
 from gliner_transbronchialbiopsy_spark.session import get_spark  # noqa: E402
 
+# expected substrings; "!" prefix = must be ABSENT
 AUDIT = {
     "q1_pricing_summary": (
-        "PushedFilters",  # shipdate filter reaches the scan
-        "WholeStageCodegen",
+        "PushedFilters: [IsNotNull(l_shipdate)",  # filter reaches the scan
+        "HashAggregate",  # partial + final (map-side combine)
+        "!InPandas",  # pure JVM
     ),
     "q3_top_orders": ("BroadcastHashJoin",),  # dim side broadcast
     "broadcast_lookup": ("BroadcastHashJoin",),
-    "filter_range": ("PushedFilters", "WholeStageCodegen"),
-    "last_writer_wins": ("Window",),
-    "kg_triples": ("MapInPandas",),  # the single Python stage
-    "text_quality": ("WholeStageCodegen",),  # pure JVM, no Python
+    "filter_range": ("PushedFilters: [IsNotNull(value)", "!InPandas"),
+    "last_writer_wins": ("Window", "!InPandas"),
+    "kg_triples": ("InPandas",),  # python confined to detection+sweep
+    "text_quality": ("!InPandas",),  # regex/count features stay JVM
+    "sim_topk_cosine": ("TakeOrderedAndProject", "!InPandas"),  # no full sort
 }
 
 
@@ -50,8 +53,13 @@ def main() -> int:
         plan = plan_of(df)
         checks = []
         for token in expectations:
-            ok = token in plan
-            checks.append(f"  - {'OK ' if ok else 'MISSING'} `{token}`")
+            if token.startswith("!"):
+                ok = token[1:] not in plan
+                label = f"absent `{token[1:]}`"
+            else:
+                ok = token in plan
+                label = f"present `{token}`"
+            checks.append(f"  - {'OK ' if ok else 'FAIL'} {label}")
             if not ok:
                 failures.append((name, token))
         sections.append(
