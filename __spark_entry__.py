@@ -496,6 +496,63 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: per-metric mean/std/min/max across deterministic folds
+    (train_cross_validation.py:92-124 semantics on the events table:
+    metric = event_type, per-fold value = avg(value))."""
+    ev = _read(spark, sf_dir, "events")
+    per_fold = (
+        stats.kfold_assign(ev, "event_id", k=5, seed=42)
+        .groupBy("event_type", "fold")
+        .agg(F.avg("value").alias("fold_avg"))
+    )
+    return stats.fold_metrics(per_fold, "event_type", "fold_avg")
+
+
+def q_training_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 3 (annotation projection) on driver data: the
+    pivoted keyword cells act as the wide gold table; spans are
+    projected back onto the text (json_convertissor.py:13-36).
+    Token-subsequence search is not SQL-expressible -> rows-only."""
+    from gliner_transbronchialbiopsy_spark.plans import annotation_projection as ap
+
+    m = _kg_mentions(spark, sf_dir)
+    labels = tuple(sorted(pat.KEYWORD_PATTERNS))
+    wide = pivot.pivot_wide(
+        m, labels=labels, doc_cols=("repo", "path", "commit"), with_scores=False
+    )
+    docs = _docs_as_corpus(spark, sf_dir).select(
+        "path", F.col("content").alias("conclusion_text")
+    )
+    gold = docs.join(wide.select("path", *labels), "path", "inner")
+    records = ap.project_annotations(gold, slug_cols=labels)
+    return records.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.size("tokenized_text").alias("n_tokens"),
+        F.size("ner").alias("n_spans"),
+    )
+
+
+def q_scores_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: per-doc mean score folded from the typed scores map
+    (replaces the reference's eval()-of-stringified-dict,
+    charts.py:92-115). Scores are sha-derived -> rows-only check."""
+    m = _kg_mentions(spark, sf_dir)
+    wide = pivot.pivot_wide(
+        m, labels=tuple(sorted(pat.KEYWORD_PATTERNS)),
+        doc_cols=("repo", "path", "commit"), with_scores=True,
+    )
+    all_scores = F.flatten(F.map_values("scores"))
+    mean_score = F.aggregate(
+        all_scores, F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size(all_scores)
+    return wide.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round(mean_score, 4).alias("mean_score"),
+        F.size(all_scores).alias("n_scores"),
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
@@ -551,6 +608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_knn_join": q_sim_knn_join,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "fold_metrics": q_fold_metrics,
+        "training_records": q_training_records,
+        "scores_map_stats": q_scores_map_stats,
         "json_extract_agg": q_json_extract_agg,
         "sessionize": q_sessionize,
         "asof_prior_view": q_asof_prior_view,
@@ -863,6 +923,19 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, vec_id) AS rank
                   FROM prod) t
             WHERE rank <= 3
+        """,
+        "fold_metrics": """
+            WITH per_fold AS (
+              SELECT event_type,
+                     CAST((event_id * 2654435761 + 42) % 5 AS INT) AS fold,
+                     avg(value) AS fold_avg
+              FROM events GROUP BY 1, 2)
+            SELECT event_type,
+                   round(avg(fold_avg), 4) AS mean,
+                   round(stddev_samp(fold_avg), 4) AS std,
+                   round(min(fold_avg), 4) AS min,
+                   round(max(fold_avg), 4) AS max
+            FROM per_fold GROUP BY event_type
         """,
         "json_extract_agg": """
             SELECT event_type,

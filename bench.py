@@ -49,8 +49,13 @@ def main() -> None:
     subset = os.environ.get("BENCH_QUERIES")
     names = tuple(subset.split(",")) if subset else HEADLINE
 
-    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
     qs = entrymod.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(
+            f"bench: unknown queries {unknown}; available: {sorted(qs)}"
+        )
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
 
     # warm the JVM/python-worker pools once (excluded from timings)
     qs["label_stats"](spark, sf_dir).count()

@@ -37,6 +37,8 @@ def main() -> None:
     from gliner_transbronchialbiopsy_spark.plans import kg_pipeline
     from gliner_transbronchialbiopsy_spark.session import get_spark
 
+    if not os.path.exists(args.input):
+        ap.error(f"--input path does not exist: {args.input}")
     if args.fresh and os.path.exists(args.workdir):
         shutil.rmtree(args.workdir)
 
