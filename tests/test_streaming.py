@@ -85,3 +85,39 @@ def test_corrections_streaming_window(spark, tmpdir_path):
     }
     assert out[("Site", "2024-01-01")] == 2
     assert out[("Grade A", "2024-01-02")] == 1
+
+
+def test_stateful_running_label_totals(spark, tmpdir_path):
+    import os
+
+    rows = pd.DataFrame(
+        {
+            "label": ["Site", "Site", "Grade A", "Site", "Grade A", "DAD"],
+            "text": ["LID", "LM", "A0", "LSD", "A1", "DAD"],
+        }
+    )
+    src = os.path.join(tmpdir_path, "mstream")
+    os.makedirs(src)
+    rows.iloc[:3].to_parquet(os.path.join(src, "b1.parquet"), index=False)
+    rows.iloc[3:].to_parquet(os.path.join(src, "b2.parquet"), index=False)
+
+    mstream = (
+        spark.readStream.schema("label string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream.running_label_totals(mstream)
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("label_totals")
+        .option("checkpointLocation", os.path.join(tmpdir_path, "st_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT label, max(total_mentions) AS total FROM label_totals GROUP BY label"
+    ).collect()
+    totals = {r["label"]: r["total"] for r in out}
+    assert totals == {"Site": 3, "Grade A": 2, "DAD": 1}
