@@ -25,9 +25,13 @@ HEADLINE = (
     "kg_mentions_by_label",
     "q1_pricing_summary",
     "q3_top_orders",
+    "q5_local_supplier_volume",
+    "q14_promo_share",
     "label_stats",
     "cooccurrence",
     "last_writer_wins",
+    "sessionize",
+    "asof_prior_view",
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "sim_topk_cosine",
