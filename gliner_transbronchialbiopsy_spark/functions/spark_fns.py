@@ -119,3 +119,21 @@ def extract_conclusion_udf(s: pd.Series) -> pd.Series:
 def tokenize_udf(s: pd.Series) -> pd.Series:
     """F11 word+punct tokenizer (json_convertissor.py:7-11)."""
     return s.map(lambda t: textlib.tokenize(t) if t is not None else None)
+
+
+def highlight_mentions(text_col: Column, surface_col: Column, label_col: Column) -> Column:
+    """F14 entity-highlight rewrite (dashboard.py:154-173): wrap every
+    occurrence of the mention surface in a labeled span. Regex-escapes
+    the surface like the reference's re.escape."""
+    escaped = F.regexp_replace(surface_col, r"([\\.\[\]{}()*+?^$|])", r"\\$1")
+    return F.regexp_replace(
+        text_col,
+        escaped,
+        F.concat(
+            F.lit('<span class="entity" data-label="'),
+            label_col,
+            F.lit('">'),
+            surface_col,
+            F.lit("</span>"),
+        ),
+    )

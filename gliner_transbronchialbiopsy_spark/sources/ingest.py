@@ -1,0 +1,109 @@
+"""Raw-file ingest: bytes -> typed documents (S2/S3/S4/S5).
+
+Reference lifecycle: upload bytes -> get_file_type (extension dispatch,
+file_handler.py:92-107) -> validate_file (size cap / extension /
+libmagic sniff, :45-90) -> extract_text (pdfplumber for pdf,
+encoding-fallback decode for txt, text_processor.py:29-94).
+
+Spark restatement: one mapInPandas over a BinaryType column. PDF
+extraction needs pdfplumber (not in this environment) and is gated
+behind an import-try — txt decoding (the 7-encoding fallback chain) is
+fully implemented. Validation is Catalyst filters with a quarantine
+split so rejects are observable, not dropped (SURVEY.md S4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import config
+from ..functions import textlib
+
+RAW_SCHEMA = "repo string, path string, commit string, payload binary"
+
+try:  # S2 gate — pdfplumber absent in this environment
+    import pdfplumber  # type: ignore # noqa: F401
+
+    _HAVE_PDFPLUMBER = True
+except ImportError:
+    _HAVE_PDFPLUMBER = False
+
+
+def file_type_of(path_col):
+    """S5 extension dispatch (file_handler.py:92-107): pdf|txt|NULL."""
+    lower = F.lower(path_col)
+    return (
+        F.when(lower.endswith(".pdf"), F.lit("pdf"))
+        .when(lower.endswith(".txt"), F.lit("txt"))
+        .otherwise(F.lit(None))
+    )
+
+
+def split_valid_quarantine(
+    raw: DataFrame, max_size: int = config.MAX_FILE_SIZE
+) -> tuple[DataFrame, DataFrame]:
+    """S4 validation as a filter split: (valid, quarantined-with-reason).
+    Size cap (config.py:19) + allowed type (config.py:18). Rejects are
+    kept with a reason column instead of silently dropped."""
+    typed = raw.withColumn("lang", file_type_of(F.col("path")))
+    reason = (
+        F.when(F.col("payload").isNull(), "empty_payload")
+        .when(F.length("payload") > max_size, "too_large")
+        .when(F.col("lang").isNull(), "unsupported_type")
+    )
+    flagged = typed.withColumn("reject_reason", reason)
+    valid = flagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+    quarantine = flagged.filter(F.col("reject_reason").isNotNull())
+    return valid, quarantine
+
+
+def extract_text(valid: DataFrame) -> DataFrame:
+    """S2/S3: payload bytes -> content string, by detected type.
+
+    txt: the reference's 7-encoding fallback chain
+    (text_processor.py:51-68). pdf: pdfplumber per-page extraction
+    (text_processor.py:29-49) when available, else those rows error
+    clearly at execution."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            contents = []
+            for lang, payload in zip(pdf_batch["lang"], pdf_batch["payload"]):
+                if payload is None:
+                    contents.append(None)
+                elif lang == "txt":
+                    contents.append(textlib.decode_with_fallback(bytes(payload)))
+                elif lang == "pdf":
+                    if not _HAVE_PDFPLUMBER:  # pragma: no cover - env
+                        raise NotImplementedError(
+                            "pdf extraction requires pdfplumber (not "
+                            "installed); route pdf rows elsewhere or "
+                            "install it on the cluster"
+                        )
+                    import io as _io
+
+                    with pdfplumber.open(_io.BytesIO(bytes(payload))) as doc:
+                        text = "\n".join(
+                            page.extract_text() or "" for page in doc.pages
+                        )
+                    contents.append(text.strip() or None)
+                else:
+                    contents.append(None)
+            out = pdf_batch[["repo", "path", "commit", "lang"]].copy()
+            out["content"] = contents
+            yield out
+
+    return valid.mapInPandas(
+        run,
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+
+
+def ingest(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """bytes -> (documents in input_hint shape, quarantine)."""
+    valid, quarantine = split_valid_quarantine(raw)
+    return extract_text(valid), quarantine

@@ -216,3 +216,32 @@ def test_ivf_recall_against_brute_force(spark):
         for r in similarity.ivf_topk(assigned, qvec, k=10, n_probe=8, n_buckets=8).collect()
     ]
     assert full == exact
+
+
+# --- F14 highlight + doc-level merge variant -----------------------------------
+def test_highlight_mentions(spark):
+    from gliner_transbronchialbiopsy_spark.functions import spark_fns
+
+    df = spark.createDataFrame(
+        [("grade A0 noté (A0)", "A0", "Grade A")],
+        "text string, surface string, label string",
+    )
+    out = df.select(
+        spark_fns.highlight_mentions(
+            F.col("text"), F.col("surface"), F.col("label")
+        ).alias("html")
+    ).head()["html"]
+    assert out.count('<span class="entity" data-label="Grade A">A0</span>') == 2
+
+
+def test_merge_across_labels_doc_level(spark):
+    # reference variant: merge across ALL labels of a doc at once
+    # (entity_processor.py:153-188) — pass group_cols without 'label'
+    m = _mentions(
+        spark,
+        [("A0", "Grade A", 0.6, 10, 20), ("LID", "Site", 0.9, 12, 22)],
+    )
+    out = merge.merge_overlaps(m, group_cols=("repo", "path", "commit"))
+    rows = out.collect()
+    # IoU = 8/12 > 0.5 across labels -> higher score wins even cross-label
+    assert len(rows) == 1 and rows[0]["text"] == "LID"
