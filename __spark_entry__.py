@@ -905,7 +905,10 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY event_type
         """,
         "kfold_split": """
-            SELECT CAST((event_id * 2654435761 + 42) % 5 AS INT) AS fold,
+            -- mod-first affine map: identical to (id*2654435761+42)%5 for
+            -- non-negative ids, overflow-safe on BOTH engines
+            SELECT CAST(((event_id % 5) * (2654435761 % 5) + 42) % 5 AS INT)
+                     AS fold,
                    count(*) AS n
             FROM events GROUP BY 1
         """,
@@ -1003,7 +1006,8 @@ def oracle_sql() -> dict[str, str]:
         "fold_metrics": """
             WITH per_fold AS (
               SELECT event_type,
-                     CAST((event_id * 2654435761 + 42) % 5 AS INT) AS fold,
+                     CAST(((event_id % 5) * (2654435761 % 5) + 42) % 5 AS INT)
+                       AS fold,
                      avg(value) AS fold_avg
               FROM events GROUP BY 1, 2)
             SELECT event_type,

@@ -106,3 +106,24 @@ ALLOWED_LANGS: tuple[str, ...] = ("pdf", "txt")  # reference config.py:18
 
 # Timestamp storage format (reference config.py:110, entity_processor.py:59).
 DATE_FORMAT = "%Y-%m-%d %H:%M:%S"
+
+
+# ------------------------------------------------------------- validation
+def validate_label_config(
+    labels: tuple[str, ...] = LABELS,
+    slugs: dict[str, str] | None = None,
+) -> None:
+    """U3 startup consistency check (reference config.py:180-181 asserts
+    label/color set equality): every label must have a slug and vice
+    versa. Raises ValueError with the exact divergence."""
+    slugs = LABEL_SLUGS if slugs is None else slugs
+    missing = set(labels) - set(slugs)
+    extra = set(slugs) - set(labels)
+    if missing or extra:
+        raise ValueError(
+            f"label/slug sets diverge: missing slugs for {sorted(missing)}, "
+            f"slugs without labels {sorted(extra)}"
+        )
+
+
+validate_label_config()  # fail fast at import, like the reference

@@ -124,8 +124,13 @@ def tokenize_udf(s: pd.Series) -> pd.Series:
 def highlight_mentions(text_col: Column, surface_col: Column, label_col: Column) -> Column:
     """F14 entity-highlight rewrite (dashboard.py:154-173): wrap every
     occurrence of the mention surface in a labeled span. Regex-escapes
-    the surface like the reference's re.escape."""
+    the surface like the reference's re.escape — on BOTH sides: the
+    pattern side escapes all regex metachars; the replacement side must
+    separately escape '\\' and '$', which Java's regexp_replace treats
+    as group references (an unescaped '$1' in a surface would corrupt
+    the rewritten text or throw)."""
     escaped = F.regexp_replace(surface_col, r"([\\.\[\]{}()*+?^$|])", r"\\$1")
+    repl_safe = F.regexp_replace(surface_col, r"([\\$])", r"\\$1")
     return F.regexp_replace(
         text_col,
         escaped,
@@ -133,7 +138,7 @@ def highlight_mentions(text_col: Column, surface_col: Column, label_col: Column)
             F.lit('<span class="entity" data-label="'),
             label_col,
             F.lit('">'),
-            surface_col,
+            repl_safe,
             F.lit("</span>"),
         ),
     )

@@ -76,31 +76,48 @@ class CorrectionsLog:
         label_cols: tuple[str, ...] = (),
     ) -> DataFrame:
         """Materialize the corrected wide rows: for each label column,
-        coalesce(latest correction, original). One window + one join —
-        the distributed restatement of corrections_manager.py:85-97."""
-        latest = self.latest_corrections().select(
-            F.col("document").alias(doc_col),
-            "entity_type",
-            "corrected_value",
-            F.col("timestamp").alias("last_updated_candidate"),
+        coalesce(latest correction, original). ONE pivot + ONE join
+        regardless of label count — the distributed restatement of
+        corrections_manager.py:85-97. (A per-label join loop would cost
+        len(label_cols) shuffles and a 14-deep plan on the reference's
+        14-label vocabulary; pivoting the latest corrections by
+        entity_type with FIXED pivot values keeps it to one shuffle plus
+        one join.)"""
+        if not label_cols:
+            return base
+        latest = self.latest_corrections().filter(
+            F.col("entity_type").isin(list(label_cols))
         )
-        out = base
-        for label in label_cols:
-            lab = latest.filter(F.col("entity_type") == label).select(
-                doc_col,
-                F.col("corrected_value").alias(f"_corr_{label}"),
-                F.col("last_updated_candidate").alias(f"_ts_{label}"),
-            )
-            out = out.join(lab, doc_col, "left").withColumn(
-                label, F.coalesce(f"_corr_{label}", F.col(f"`{label}`"))
-            ).drop(f"_corr_{label}")
-        ts_cols = [F.col(f"`_ts_{lb}`") for lb in label_cols]
-        if ts_cols:
-            out = out.withColumn(
-                "last_updated", F.greatest(*ts_cols) if len(ts_cols) > 1 else ts_cols[0]
-            )
-            out = out.drop(*[f"_ts_{lb}" for lb in label_cols])
-        return out
+        piv = (
+            latest.groupBy(F.col("document").alias(doc_col))
+            .pivot("entity_type", list(label_cols))
+            .agg(F.first(F.struct("corrected_value", "timestamp")))
+        )
+        # positional aliases: label strings may contain spaces/backticks
+        piv = piv.select(
+            doc_col,
+            *[
+                F.col(f"`{lb}`").alias(f"_corr_{i}")
+                for i, lb in enumerate(label_cols)
+            ],
+        )
+        joined = base.join(piv, doc_col, "left")
+        idx = {lb: i for i, lb in enumerate(label_cols)}
+        projected = [
+            F.coalesce(
+                F.col(f"_corr_{idx[c]}")["corrected_value"], F.col(f"`{c}`")
+            ).alias(c)
+            if c in idx
+            else F.col(f"`{c}`")
+            for c in base.columns
+        ]
+        ts_cols = [
+            F.col(f"_corr_{i}")["timestamp"] for i in range(len(label_cols))
+        ]
+        last_updated = (
+            F.greatest(*ts_cols) if len(ts_cols) > 1 else ts_cols[0]
+        ).alias("last_updated")
+        return joined.select(*projected, last_updated)
 
     def export_session_json(self, out_dir: str) -> None:
         """S9: JSON interchange with the reference's session files."""

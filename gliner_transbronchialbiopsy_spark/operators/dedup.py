@@ -61,17 +61,38 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for every pair sharing >=1 shingle.
 
     Plan shape: explode shingles -> self-equi-join on shingle ->
     count shared per pair -> join sizes -> J = c / (|A|+|B|-c).
-    Never a cartesian join; the shuffle key is the shingle."""
+    Never a cartesian join; the shuffle key is the shingle.
+
+    Hot-shingle guard: a shingle present in f documents contributes
+    f*(f-1)/2 join rows, so one boilerplate trigram reintroduces the
+    quadratic blowup the LSH path caps (linking.lsh_candidate_pairs).
+    `max_shingle_df` drops shingles whose document frequency exceeds the
+    cap BEFORE the self-join (same skew pattern as the 64-row band-bucket
+    cap). Trade-off: shared counts exclude capped shingles while set
+    sizes stay full, so the reported Jaccard is a LOWER BOUND — hot
+    shingles carry almost no similarity signal, which is exactly why
+    stop-shingle dropping is the standard corpus-dedup practice. Default
+    None computes exact Jaccard (small corpora / oracle parity); at
+    100 TB always set a cap (e.g. 256)."""
     shingled = df.select(
         F.col(id_col), word_ngrams(F.col(text_col), n).alias("grams")
     )
     sizes = shingled.select(id_col, F.size("grams").alias("sz"))
     exploded = shingled.select(id_col, F.explode("grams").alias("gram"))
+    if max_shingle_df is not None:
+        rare = (
+            exploded.groupBy("gram")
+            .count()
+            .filter(F.col("count") <= max_shingle_df)
+            .drop("count")
+        )
+        exploded = exploded.join(rare, "gram", "left_semi")
     pairs = (
         exploded.alias("a")
         .join(

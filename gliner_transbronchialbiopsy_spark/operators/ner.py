@@ -73,8 +73,6 @@ def detect_mentions(
     if partitions:
         pruned = length_balanced(pruned, text_col, partitions)
 
-    key_idx = min(1, len(id_cols) - 1)
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         compiled = pat.compile_catalog(catalog)  # once per python worker task
         score_cache: dict[tuple[str, str], float] = {}
@@ -89,7 +87,9 @@ def detect_mentions(
             texts = pdf[text_col].to_numpy()
             for i in range(len(pdf)):
                 text = texts[i]
-                key = ids[i][key_idx]
+                # mention_id covers the FULL document key — a path-only
+                # key collides across repos/commits sharing a path
+                key = "\x1f".join(str(x) for x in ids[i])
                 for label, rx in compiled.items():
                     for m in rx.finditer(text):
                         surface = m.group(0)
@@ -151,15 +151,20 @@ def detect_mentions_deduped(
         id_cols=("sha_key",),
         partitions=partitions,
     )
-    # fan results back out; mention_id re-keyed per document
+    # fan results back out; mention_id re-keyed per document over the
+    # FULL id tuple (repo+path+commit) — a path-only key collides across
+    # repos/commits that share a path
     joined = hashed.select(*id_cols, "_sha").join(
         found, hashed["_sha"] == found["sha_key"], "inner"
     )
-    key = id_cols[min(1, len(id_cols) - 1)]
     return joined.select(
         *id_cols,
         F.sha2(
-            F.concat_ws("\x1f", F.col(key), "start_idx", "end_idx", "label"), 256
+            F.concat_ws(
+                "\x1f", *[F.col(c) for c in id_cols],
+                "start_idx", "end_idx", "label",
+            ),
+            256,
         ).alias("mention_id"),
         "text", "label", "score", "start_idx", "end_idx",
     )
@@ -213,7 +218,7 @@ def detect_mentions_gliner(
                     texts, list(labels), threshold=threshold
                 )
                 for (_, row), ents in zip(chunk.iterrows(), preds):
-                    key = row[id_cols[min(1, len(id_cols) - 1)]]
+                    key = "\x1f".join(str(row[c]) for c in id_cols)
                     for e in ents:
                         rows.append(
                             (*[row[c] for c in id_cols],

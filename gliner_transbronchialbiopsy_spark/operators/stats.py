@@ -139,13 +139,27 @@ def apply_corrections(
     ).drop(corrected_col)
 
 
+_KFOLD_MULT = 2654435761  # Knuth multiplicative constant (2^32 / phi)
+
+
 def kfold_assign(df: DataFrame, id_col: str, k: int = 5, seed: int = 42) -> DataFrame:
     """U5 deterministic k-fold bucketing: pmod over a seeded affine map
     of the id (replaces the reference's shuffle+slice split,
     train_cross_validation.py:456-465, with a reproducible, cluster-
-    stable rule)."""
+    stable rule).
+
+    Overflow safety: `id * 2654435761` wraps int64 in Spark (non-ANSI)
+    for ids >= ~3.5e9 while an oracle engine promotes — so the modulus
+    is distributed FIRST: ((id % k) * (MULT % k) + seed) % k, which is
+    arithmetically identical to (id*MULT+seed) % k for non-negative ids
+    at ANY id magnitude and never leaves small-int range. (xxhash64
+    would also work Spark-side but has no DuckDB equivalent, which
+    would forfeit the oracle check.)"""
     return df.withColumn(
-        "fold", F.pmod(F.col(id_col) * 2654435761 + seed, k).cast("int")
+        "fold",
+        F.pmod(
+            F.pmod(F.col(id_col), k) * F.lit(_KFOLD_MULT % k) + seed, k
+        ).cast("int"),
     )
 
 

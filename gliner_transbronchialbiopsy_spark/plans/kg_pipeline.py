@@ -90,10 +90,16 @@ def detect(
     fanned = hashed.select(*DOC_COLS, "content_sha256").join(
         merged, hashed["content_sha256"] == merged["sha_key"], "inner"
     )
+    # mention_id covers the full (repo, path, commit) key — a path-only
+    # key would collide across repos/commits sharing a path, conflating
+    # lineage rows and any downstream dedup-by-mention_id
     return fanned.select(
         *DOC_COLS,
         F.sha2(
-            F.concat_ws("\x1f", F.col("path"), "start_idx", "end_idx", "label"),
+            F.concat_ws(
+                "\x1f", *[F.col(c) for c in DOC_COLS],
+                "start_idx", "end_idx", "label",
+            ),
             256,
         ).alias("mention_id"),
         "text", "label", "score", "start_idx", "end_idx", "content_sha256",

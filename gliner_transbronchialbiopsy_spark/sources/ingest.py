@@ -47,13 +47,22 @@ def split_valid_quarantine(
     raw: DataFrame, max_size: int = config.MAX_FILE_SIZE
 ) -> tuple[DataFrame, DataFrame]:
     """S4 validation as a filter split: (valid, quarantined-with-reason).
-    Size cap (config.py:19) + allowed type (config.py:18). Rejects are
-    kept with a reason column instead of silently dropped."""
+    Size cap (config.py:19) + allowed type (config.py:18) + magic-byte
+    content sniff (the reference validates content with libmagic,
+    file_handler.py:45-90; here a dependency-free '%PDF-' prefix check
+    on the payload column catches both mislabel directions: a '.txt'
+    carrying PDF bytes would otherwise flow into the decode chain, and
+    a '.pdf' without the PDF magic would crash the extractor). Rejects
+    are kept with a reason column instead of silently dropped."""
     typed = raw.withColumn("lang", file_type_of(F.col("path")))
+    # magic-byte sniff: compare the first 5 payload bytes to b"%PDF-"
+    is_pdf_magic = F.substring(F.col("payload"), 1, 5) == F.lit(b"%PDF-")
     reason = (
         F.when(F.col("payload").isNull(), "empty_payload")
         .when(F.length("payload") > max_size, "too_large")
         .when(F.col("lang").isNull(), "unsupported_type")
+        .when((F.col("lang") == "txt") & is_pdf_magic, "content_type_mismatch")
+        .when((F.col("lang") == "pdf") & ~is_pdf_magic, "content_type_mismatch")
     )
     flagged = typed.withColumn("reject_reason", reason)
     valid = flagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")

@@ -6,8 +6,8 @@ append-only corrections log (corrections_manager.py). Those map to:
 
 - `stream_documents`: readStream over a documents directory (new
   parquet files = new upload batches); the same validate → detect DAG
-  runs per micro-batch via foreachBatch, appending to the mentions
-  checkpoint — exactly-once through Spark's streaming checkpoint.
+  runs per micro-batch via foreachBatch into an epoch-keyed idempotent
+  sink — effectively-once (foreachBatch alone is at-least-once).
 - `corrections_latest_state`: a streaming last-writer-wins over the
   corrections event log with a watermark, mirroring
   corrections_manager.latest_state (:85-97) as a live view.
@@ -58,8 +58,13 @@ def run_incremental_pipeline(
     checkpoint_dir: str,
     catalog: dict[str, str] | None = None,
 ):
-    """Per-micro-batch batch DAG via foreachBatch (exactly-once sink).
-    Returns the StreamingQuery; caller awaits/processes it."""
+    """Per-micro-batch batch DAG via foreachBatch. foreachBatch itself is
+    only at-least-once (a retried epoch re-runs process_batch), so the
+    sink is made IDEMPOTENT by keying each write to an epoch=<id>
+    partition directory with overwrite: a replayed epoch replaces its
+    own output instead of appending duplicate mention rows — end-to-end
+    effectively-once. Readers `spark.read.parquet(output_dir)` and get
+    an extra `epoch` partition column. Returns the StreamingQuery."""
     from ..operators import ner
     from ..plans import kg_pipeline
 
@@ -79,7 +84,10 @@ def run_incremental_pipeline(
             sectionized.select("repo", "path", "commit", "content_sha256"),
             ["repo", "path", "commit"],
         )
-        joined.write.mode("append").parquet(output_dir)
+        # idempotent per-epoch sink: overwrite THIS epoch's directory only
+        joined.write.mode("overwrite").parquet(
+            f"{output_dir}/epoch={int(epoch_id)}"
+        )
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -65,3 +65,23 @@ def test_ingest_feeds_pipeline(spark):
     assert ("Site", "LID") in got
     assert ("Grade A", "A0") in got and ("Grade B", "B0") in got
     assert ("Nombre Total De Fragments", "7") in got
+
+
+def test_magic_byte_sniff_quarantines_mismatches(spark):
+    """S4 content sniff (reference file_handler.py:45-90 uses libmagic):
+    a '.txt' carrying PDF bytes and a '.pdf' without the PDF magic both
+    land in quarantine with reason content_type_mismatch."""
+    rows = [
+        ("r", "lying.txt", "c", bytearray(b"%PDF-1.7 not text at all")),
+        ("r", "lying.pdf", "c", bytearray(b"just plain words")),
+        ("r", "honest.txt", "c", bytearray(b"du texte normal")),
+        ("r", "honest.pdf", "c", bytearray(b"%PDF-1.4 stream")),
+    ]
+    valid, quarantine = ingest.split_valid_quarantine(_raw(spark, rows))
+    v = {r["path"] for r in valid.collect()}
+    q = {r["path"]: r["reject_reason"] for r in quarantine.collect()}
+    assert v == {"honest.txt", "honest.pdf"}
+    assert q == {
+        "lying.txt": "content_type_mismatch",
+        "lying.pdf": "content_type_mismatch",
+    }

@@ -245,3 +245,84 @@ def test_merge_across_labels_doc_level(spark):
     rows = out.collect()
     # IoU = 8/12 > 0.5 across labels -> higher score wins even cross-label
     assert len(rows) == 1 and rows[0]["text"] == "LID"
+
+
+# --- J5 distributed CC: large-star/small-star -----------------------------------
+def test_cc_distributed_chain_converges_olog(spark):
+    """A 10k-node chain (diameter ~10k) converges within the default
+    20-iteration budget — the O(log n) property plain neighbor-min
+    propagation does not have. driver_cutoff=0 forces the star path."""
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(n - 1)],
+        "src string, dst string",
+    )
+    comp = components.connected_components(edges, driver_cutoff=0)
+    got = comp.select("component").distinct().collect()
+    assert [r["component"] for r in got] == ["n00000"]
+    assert comp.count() == n
+
+
+def test_cc_distributed_matches_driver_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"v{i:03d}" for i in range(300)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(260)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    dist = {
+        r["node"]: r["component"]
+        for r in components.connected_components(edf, driver_cutoff=0).collect()
+    }
+    drv = {
+        r["node"]: r["component"]
+        for r in components.connected_components_driver(edf).collect()
+    }
+    assert dist == drv
+
+
+def test_cc_raises_on_exhausted_iterations(spark):
+    edges = spark.createDataFrame(
+        [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(199)],
+        "src string, dst string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        components.connected_components(edges, driver_cutoff=0, max_iterations=1)
+
+
+def test_highlight_mentions_metachar_surface(spark):
+    """Replacement-side '$' and '\\' must be escaped: Java regexp_replace
+    treats them as group references in the replacement string."""
+    from gliner_transbronchialbiopsy_spark.functions import spark_fns
+
+    df = spark.createDataFrame(
+        [
+            ("total: $100 payés", "$100", "Montant"),
+            (r"chemin a\b vu", r"a\b", "Path"),
+        ],
+        "text string, surface string, label string",
+    )
+    rows = df.select(
+        "surface",
+        spark_fns.highlight_mentions(
+            F.col("text"), F.col("surface"), F.col("label")
+        ).alias("html"),
+    ).collect()
+    out = {r["surface"]: r["html"] for r in rows}
+    assert '<span class="entity" data-label="Montant">$100</span>' in out["$100"]
+    assert '<span class="entity" data-label="Path">a\\b</span>' in out[r"a\b"]
+
+
+def test_label_config_validation():
+    from gliner_transbronchialbiopsy_spark import config as cfg
+
+    cfg.validate_label_config()  # shipped config is consistent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="diverge"):
+        cfg.validate_label_config(labels=("Site", "Ghost"), slugs={"Site": "site"})

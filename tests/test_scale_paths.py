@@ -110,3 +110,40 @@ def test_deterministic_across_partitionings(spark):
             )
         )
     assert outs[0] == outs[1]
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounds_join(spark):
+    """One stop-shingle shared by every doc: uncapped the self-join emits
+    C(60,2)=1770 pair rows; with a df cap the hot shingle is dropped
+    before the join and the candidate set collapses."""
+    from gliner_transbronchialbiopsy_spark.operators import dedup
+
+    rows = [
+        (i, f"alpha beta gamma unique{i} tail{i} suffix{i} end{i}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.0)
+    capped = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.0, max_shingle_df=10
+    )
+    assert uncapped.count() == 60 * 59 // 2
+    assert capped.count() == 0
+
+
+def test_ngram_jaccard_cap_keeps_true_near_dups(spark):
+    """The cap only drops corpus-wide boilerplate: genuinely similar
+    pairs (sharing RARE shingles) survive with a lower-bound jaccard."""
+    from gliner_transbronchialbiopsy_spark.operators import dedup
+
+    boiler = " ".join(f"chapeau{j}" for j in range(3))
+    rows = [(i, f"{boiler} filler{i} mots{i} divers{i}") for i in range(40)]
+    rows += [
+        (100, f"{boiler} rare pair identique un deux trois"),
+        (101, f"{boiler} rare pair identique un deux trois"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3, max_shingle_df=5
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(100, 101)}
