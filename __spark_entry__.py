@@ -82,14 +82,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# one computation of the mention table per (session, sf_dir): four
+# contract queries (kg_triples, kg_mentions_by_label, kg_pivot_wide,
+# training_records, scores_map_stats) consume the same subplan, so the
+# detect+merge work runs once and is served from the block cache after
+_MENTIONS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    cached = _MENTIONS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from gliner_transbronchialbiopsy_spark.plans import kg_pipeline
+
     docs = _docs_as_corpus(spark, sf_dir)
     docs = docs.withColumn("content_sha256", spark_fns.content_sha256(F.col("content")))
-    mentions = ner.detect_mentions_deduped(
-        docs, text_col="content", catalog=pat.KEYWORD_PATTERNS,
-        id_cols=("repo", "path", "commit"),
+    # detect AND overlap-merge at distinct-content granularity, then fan
+    # out (kg_pipeline.detect): one less shuffle of the full mention
+    # table than merge-after-fanout, identical results (merge is a pure
+    # function of the text)
+    sectionized = docs.select(
+        "repo", "path", "commit", "content_sha256",
+        F.col("content").alias("conclusion"),
     )
-    return merge.merge_overlaps(mentions, group_cols=("repo", "path", "commit", "label"))
+    mentions = kg_pipeline.detect(sectionized, catalog=pat.KEYWORD_PATTERNS)
+    # prune to what the contract queries read before materializing the
+    # cache (mention_id's per-row sha256 would otherwise be computed and
+    # stored for nothing)
+    pruned = mentions.select(
+        "repo", "path", "commit", "label", "text", "score",
+        "start_idx", "end_idx",
+    )
+    _MENTIONS_CACHE[key] = pruned.persist()
+    return _MENTIONS_CACHE[key]
 
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,11 +473,16 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF machinery at full probe (n_probe = n_buckets): exercises the
+    assign/probe/prune plan end-to-end while being provably equal to
+    exact top-k, so it gets a DuckDB oracle. Partial-probe recall
+    (n_probe=4 -> recall >= 0.5) is pytest-covered where the bucket
+    membership can be compared against brute force directly."""
     emb = _read(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
     assigned = similarity.ivf_assign(emb.filter(F.col("vec_id") != 0), n_buckets=8)
     out = similarity.ivf_topk(
-        assigned, list(qvec), k=10, n_probe=4, n_buckets=8
+        assigned, list(qvec), k=10, n_probe=8, n_buckets=8
     )
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
@@ -585,19 +616,30 @@ def q_training_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scores_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12: per-doc mean score folded from the typed scores map
     (replaces the reference's eval()-of-stringified-dict,
-    charts.py:92-115). Scores are sha-derived -> rows-only check."""
+    charts.py:92-115). Scores are 3-dp sha256-derived, so the fold sums
+    exact integer MILLIS (one long per score) before one final division
+    — bit-stable under any addition order, hence DuckDB-oracle-checkable
+    (the float-sum formulation could flip the 4th decimal digit
+    depending on aggregation order)."""
     m = _kg_mentions(spark, sf_dir)
     wide = pivot.pivot_wide(
         m, labels=tuple(sorted(pat.KEYWORD_PATTERNS)),
         doc_cols=("repo", "path", "commit"), with_scores=True,
     )
     all_scores = F.flatten(F.map_values("scores"))
-    mean_score = F.aggregate(
-        all_scores, F.lit(0.0), lambda acc, x: acc + x
-    ) / F.size(all_scores)
+    millis = F.aggregate(
+        all_scores,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.round(x * 1000).cast("long"),
+    )
+    # floor-truncate to 4dp instead of round: a mean like 0.742350 is a
+    # round-half TIE whose direction differs between Spark (decimal
+    # half-up) and DuckDB (binary-double) — floor on the identical IEEE
+    # double is direction-free on both engines
+    mean_score = F.floor(millis / 1000.0 / F.size(all_scores) * 10000) / 10000.0
     return wide.select(
         F.col("path").cast("long").alias("doc_id"),
-        F.round(mean_score, 4).alias("mean_score"),
+        mean_score.alias("mean_score"),
         F.size(all_scores).alias("n_scores"),
     )
 
@@ -1115,6 +1157,73 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint_md5
             FROM documents
         """,
-        # dedup_minhash / dedup_simhash / sim_ivf_topk intentionally have
-        # no SQL oracle (xxhash64-based); driver records rows-only checks.
+        # full-probe IVF == exact top-k (every bucket probed), so the
+        # brute-force SQL is its oracle; the pruning path itself is
+        # pytest-checked (recall >= 0.5 at n_probe=4, == exact at 8/8)
+        "sim_ivf_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            prod AS (
+              SELECT e.vec_id,
+                     sum(CAST(t.z[1] AS DOUBLE) * CAST(t.z[2] AS DOUBLE)) AS dot,
+                     sum(CAST(t.z[1] AS DOUBLE) * CAST(t.z[1] AS DOUBLE)) AS ne,
+                     sum(CAST(t.z[2] AS DOUBLE) * CAST(t.z[2] AS DOUBLE)) AS nq
+              FROM embeddings e, q,
+                   LATERAL unnest(list_zip(e.embedding, q.qv)) t(z)
+              WHERE e.vec_id != 0
+              GROUP BY e.vec_id)
+            SELECT vec_id, round(dot / (sqrt(ne) * sqrt(nq)), 4) AS cosine
+            FROM prod ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # score millis = 500 + (first 8 hex digits of sha256(surface
+        # \x1f label) as int) % 500 — textlib.stable_score restated in SQL
+        "scores_map_stats": f"""
+            WITH m AS (
+              SELECT d.doc_id, l.label, u.obj
+              FROM documents d
+              JOIN (VALUES {kw_values}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            s AS (
+              SELECT doc_id,
+                     500 + (CAST('0x' || substr(
+                              sha256(obj || chr(31) || label), 1, 8)
+                            AS BIGINT) % 500) AS millis
+              FROM m)
+            SELECT doc_id,
+                   floor(sum(millis) / 1000.0 / count(*) * 10000) / 10000.0
+                     AS mean_score,
+                   CAST(count(*) AS INT) AS n_scores
+            FROM s GROUP BY doc_id
+        """,
+        # n_spans restates find_token_spans (json_convertissor.py:13-36):
+        # each ';'-cell value projects once per case-insensitive token
+        # occurrence, so n_spans = sum over hits of that hit's token count
+        "training_records": rf"""
+            WITH toks AS (
+              SELECT doc_id, lower(t.tok) AS tok
+              FROM documents,
+                   LATERAL unnest(
+                     regexp_extract_all(text, '\b\w+\b|[^\w\s]')) t(tok)),
+            tokcnt AS (
+              SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            hits AS (
+              SELECT d.doc_id, lower(u.obj) AS tok
+              FROM documents d
+              JOIN (VALUES {kw_values}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)),
+            spans AS (
+              SELECT h.doc_id, CAST(sum(tc.c) AS INT) AS n_spans
+              FROM hits h
+              JOIN tokcnt tc ON h.doc_id = tc.doc_id AND h.tok = tc.tok
+              GROUP BY 1)
+            SELECT s.doc_id,
+                   CAST(len(regexp_extract_all(d.text, '\b\w+\b|[^\w\s]'))
+                        AS INT) AS n_tokens,
+                   s.n_spans
+            FROM spans s JOIN documents d ON d.doc_id = s.doc_id
+        """,
+        # dedup_minhash / dedup_simhash intentionally have no SQL oracle
+        # (the LSH banding is xxhash64-based); the driver records
+        # rows-only checks and pytest cross-checks minhash estimates
+        # against the exact-Jaccard oracle pairs.
     }

@@ -147,3 +147,42 @@ def test_ngram_jaccard_cap_keeps_true_near_dups(spark):
         docs, "text", "doc_id", n=3, threshold=0.3, max_shingle_df=5
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in got} == {(100, 101)}
+
+
+def test_minhash_exact_verify_matches_true_jaccard(spark):
+    """Cross-check of the minhash path against ground truth: in
+    exact_verify mode every returned pair's jaccard must equal the true
+    char-5-shingle Jaccard (computed in pure python), be >= threshold,
+    and include the known high-similarity pair."""
+    from gliner_transbronchialbiopsy_spark.operators import dedup
+
+    base = "le rapport decrit des biopsies transbronchiques avec fragments"
+    rows = [
+        (0, base + " variante zero"),
+        (1, base + " variante zero!"),          # near-dup of 0 (J ~ 0.9)
+        (2, "texte totalement different sans rapport aucun ici"),
+        (3, base + " un contenu assez eloigne avec bien plus de mots"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.minhash_near_duplicates(
+        docs, "text", "doc_id", jaccard_threshold=0.6, exact_verify=True,
+        shingle_n=5,
+    ).collect()
+
+    def shingles(t):
+        t = t.lower()
+        return {t[i : i + 5] for i in range(max(len(t) - 4, 1))}
+
+    texts = dict(rows)
+    true_j = {}
+    for a in texts:
+        for b in texts:
+            if a < b:
+                sa, sb = shingles(texts[a]), shingles(texts[b])
+                true_j[(a, b)] = len(sa & sb) / len(sa | sb)
+
+    found = {(int(r["id_a"]), int(r["id_b"])): r["jaccard"] for r in got}
+    assert (0, 1) in found  # the known near-dup pair survives LSH + verify
+    for pair, j in found.items():
+        assert j == pytest.approx(true_j[pair], abs=1e-9)
+        assert j >= 0.6
