@@ -272,3 +272,23 @@ def gold_triples(gold: pd.DataFrame) -> pd.DataFrame:
                 for part in v.split(";"):
                     rows.append((r["path"], label, part))
     return pd.DataFrame(rows, columns=["path", "label", "value"])
+
+
+def read_gold_excel(spark, xlsx_path: str):
+    """S10: the reference's gold-annotation Excel source
+    (json_convertissor.py:40 `pd.read_excel`) as a gated driver-side
+    shim: one small gold workbook -> createDataFrame. Gold tables are
+    human-curated (thousands of rows, not billions), so a driver-side
+    read is the right shape; the projection over the CORPUS stays
+    distributed. Gated on openpyxl (pandas' xlsx engine), same
+    discipline as the pdfplumber gate."""
+    try:
+        import openpyxl  # type: ignore # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "Excel gold source requires openpyxl (not installed); "
+            "convert the workbook to parquet/csv or install openpyxl "
+            "on the driver"
+        ) from e
+    pdf = pd.read_excel(xlsx_path, engine="openpyxl")
+    return spark.createDataFrame(pdf)

@@ -77,3 +77,50 @@ def write_reference_json(wide: DataFrame, out_dir: str) -> None:
     """S9: JSON edge (ensure_ascii=False equivalent: Spark writes UTF-8
     natively)."""
     wide.write.mode("overwrite").json(out_dir)
+
+
+try:  # S8 gate — openpyxl absent in this environment
+    import openpyxl  # type: ignore # noqa: F401
+
+    _HAVE_OPENPYXL = True
+except ImportError:
+    _HAVE_OPENPYXL = False
+
+# Excel's hard per-sheet row cap: the reason this sink is a driver-side
+# EDGE (toPandas) and never a distributed writer.
+EXCEL_MAX_ROWS = 1_048_575  # 1,048,576 minus the header row
+
+
+def write_reference_excel(
+    wide: DataFrame, out_path: str, sheet_name: str = "Structured"
+) -> None:
+    """S8: the styled Excel download edge (reference
+    dashboard_v1.py:482-521, ui/components.py:509-515 — bold/filled
+    header, frozen top row). Excel is a single-machine interchange
+    format with a 1,048,576-row sheet cap, so this is deliberately a
+    `toPandas()` export tail: the cap is enforced explicitly rather
+    than silently truncating. Gated on openpyxl (same discipline as
+    the pdfplumber gate)."""
+    if not _HAVE_OPENPYXL:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "Excel export requires openpyxl (not installed); use "
+            "write_reference_csv / write_reference_json, or install "
+            "openpyxl on the driver"
+        )
+    import pandas as pd
+    from openpyxl.styles import Font, PatternFill
+
+    pdf = wide.limit(EXCEL_MAX_ROWS + 1).toPandas()
+    if len(pdf) > EXCEL_MAX_ROWS:
+        raise ValueError(
+            f"Excel sheet cap is {EXCEL_MAX_ROWS} data rows; filter or "
+            "split the export (this sink is an interchange edge, not a "
+            "data sink)"
+        )
+    with pd.ExcelWriter(out_path, engine="openpyxl") as xw:
+        pdf.to_excel(xw, index=False, sheet_name=sheet_name)
+        ws = xw.sheets[sheet_name]
+        for cell in ws[1]:
+            cell.font = Font(bold=True)
+            cell.fill = PatternFill("solid", fgColor="DDE5F0")
+        ws.freeze_panes = "A2"

@@ -45,3 +45,38 @@ def test_reference_wide_export(spark, tmpdir_path):
     )
     assert back.count() == len(rows)
     assert back.columns == wide.columns
+
+
+# --- S8/S10 Excel edges (gated) --------------------------------------------------
+def _have_openpyxl():
+    try:
+        import openpyxl  # type: ignore # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_excel_export_gate_or_roundtrip(spark, tmpdir_path):
+    import os
+
+    from gliner_transbronchialbiopsy_spark.sources import corpus, export
+
+    wide = spark.createDataFrame(
+        [("doc1.txt", "LID", "A0"), ("doc2.txt", "LM", "A1")],
+        "Nom_Document string, Site string, `Grade A` string",
+    )
+    out = os.path.join(tmpdir_path, "export.xlsx")
+    if not _have_openpyxl():
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="openpyxl"):
+            export.write_reference_excel(wide, out)
+        with _pytest.raises(NotImplementedError, match="openpyxl"):
+            corpus.read_gold_excel(spark, out)
+        return
+    # round-trip when the engine is present (S8 sink -> S10 source)
+    export.write_reference_excel(wide, out)
+    back = corpus.read_gold_excel(spark, out)
+    assert back.count() == 2
+    assert set(back.columns) == {"Nom_Document", "Site", "Grade A"}
