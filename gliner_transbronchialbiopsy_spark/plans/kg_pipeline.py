@@ -62,14 +62,36 @@ def detect(
     catalog: dict[str, str] | None = None,
     threshold: float = config.DEFAULT_CONFIDENCE_THRESHOLD,
     partitions: int | None = None,
+    detector_overlaps: bool = False,
 ) -> DataFrame:
-    """Stage 2: dedup-by-content -> detect -> overlap-merge -> fan out.
+    """Stage 2: dedup-by-content -> detect -> [overlap-merge] -> fan out.
 
     Both detection AND the overlap merge run at distinct-content
     granularity (overlaps are a pure function of the text, so merging
     before the fan-out to duplicate documents does strictly less work —
     the same M3 argument as dedup-before-inference), then results
-    rejoin every (repo, path, commit, sha)."""
+    rejoin every (repo, path, commit, sha).
+
+    Shuffle inventory (the 4->16 scaling bottleneck is shuffles of the
+    mention/doc tables, so each one is deliberate):
+    - ONE repartition(partitions, sha) that is simultaneously the dedup
+      clustering and the length balancer: dropDuplicates on the same key
+      reuses the exchange (Catalyst sees the child partitioning already
+      satisfies the aggregate's clustering), and hash-on-sha scatters
+      document lengths uniformly, which is exactly what the separate
+      length-bucket repartition bought — so that second full-text
+      shuffle is gone.
+    - the overlap-merge window shuffle runs ONLY when the detector can
+      actually emit per-label overlaps (detector_overlaps=True, the
+      GLiNER path). A single compiled regex's finditer output is
+      non-overlapping within a label BY CONSTRUCTION (re.finditer scans
+      left to right, resuming at each match end), so for pattern
+      catalogs the per-(sha,label) sweep is a provable no-op and its
+      full-mention-table shuffle is skipped. merge_overlaps stays the
+      default for any detector without this guarantee.
+    - the fan-out join shuffles both sides (mapInPandas output carries
+      no partitioning guarantee — verified; a bucketed/Iceberg-sorted
+      documents table would co-locate the doc side for free)."""
     hashed = sectionized.select(
         *DOC_COLS, "content_sha256", "conclusion"
     ).filter(
@@ -77,16 +99,23 @@ def detect(
     )
     distinct = hashed.select(
         F.col("content_sha256").alias("sha_key"), "conclusion"
-    ).dropDuplicates(["sha_key"])
+    )
+    if partitions:
+        distinct = distinct.repartition(partitions, "sha_key")
+    distinct = distinct.dropDuplicates(["sha_key"])
     found = ner.detect_mentions(
         distinct,
         text_col="conclusion",
         catalog=catalog or pat.MEDICAL_PATTERNS,
         threshold=threshold,
         id_cols=("sha_key",),
-        partitions=partitions,
+        partitions=None,  # the sha repartition above already balanced
     )
-    merged = merge.merge_overlaps(found, group_cols=("sha_key", "label"))
+    merged = (
+        merge.merge_overlaps(found, group_cols=("sha_key", "label"))
+        if detector_overlaps
+        else found
+    )
     fanned = hashed.select(*DOC_COLS, "content_sha256").join(
         merged, hashed["content_sha256"] == merged["sha_key"], "inner"
     )
