@@ -136,38 +136,74 @@ def minhash_near_duplicates(
     Default verification is the MinHash ESTIMATE (equal-slot fraction,
     std err ~1/sqrt(num_hashes)) — no per-pair array work, which is
     what survives 100 TB. exact_verify=True recomputes true shingle
-    Jaccard per candidate (use for short texts / final audits)."""
-    keyed = df.select(F.col(id_col).cast("string").alias("_key"),
-                      F.col(text_col).alias("text"))
+    Jaccard per candidate (use for short texts / final audits).
+
+    Scale shape: after the signature stage the document TEXT never
+    travels again — banding, the candidate self-join, and the estimate
+    joins all run on a 64-byte sha256 text id. Candidate pair rows
+    otherwise carry TWO full documents each through two joins, which
+    dominates shuffle volume on long-document corpora. Only the
+    exact_verify path joins real text back (it must re-shingle), and
+    only for the surviving candidates."""
+    keyed = df.select(
+        F.col(id_col).cast("string").alias("_key"),
+        F.col(text_col).alias("text"),
+    ).withColumn("_tid", F.sha2("text", 256))
     surfaces = keyed.withColumn("label", F.lit("doc"))
     sigs = linking.minhash_signatures(
         surfaces, "text", ("label",), num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    # swap the text identity for its sha before anything shuffles again
+    sigs = sigs.select(
+        "label", F.sha2("text", 256).alias("text"), "sig", "n_shingles"
     ).localCheckpoint()
     pairs = linking.lsh_candidate_pairs(
         sigs, "text", ("label",), bands=bands
     ).localCheckpoint()
     if exact_verify:
+        texts = keyed.select("_tid", "text").dropDuplicates(["_tid"])
+        with_text = (
+            pairs.withColumnRenamed("text_a", "_tid_a")
+            .withColumnRenamed("text_b", "_tid_b")
+            .join(
+                texts.select(
+                    F.col("_tid").alias("_tid_a"), F.col("text").alias("text_a")
+                ),
+                "_tid_a",
+            )
+            .join(
+                texts.select(
+                    F.col("_tid").alias("_tid_b"), F.col("text").alias("text_b")
+                ),
+                "_tid_b",
+            )
+        )
         edges = linking.verified_edges(
-            pairs, ("label",), shingle_n=shingle_n,
+            with_text, ("label",), shingle_n=shingle_n,
             jaccard_threshold=jaccard_threshold,
+        ).select(
+            "label",
+            F.sha2("text_a", 256).alias("text_a"),
+            F.sha2("text_b", 256).alias("text_b"),
+            "jaccard",
         )
     else:
         edges = linking.estimated_edges(
             pairs, sigs, "text", ("label",),
             jaccard_threshold=jaccard_threshold,
         )
-    # map surfaces back to ids (duplicate texts -> their representative
-    # id; exact dups were collapsed by dropDuplicates in the signature
-    # stage — run exact_duplicates() for the full duplicate groups)
+    # map text ids back to document ids (duplicate texts -> their
+    # representative id; exact dups were collapsed by dropDuplicates in
+    # the signature stage — run exact_duplicates() for the full groups)
     edges = edges.localCheckpoint()
-    ids = keyed.groupBy("text").agg(F.min("_key").alias("rep_id"))
+    ids = keyed.groupBy("_tid").agg(F.min("_key").alias("rep_id"))
     return (
-        edges.join(ids.withColumnRenamed("text", "text_a"), "text_a")
-        .withColumnRenamed("rep_id", "id_a")
+        edges.join(
+            ids.select(F.col("_tid").alias("text_a"), F.col("rep_id").alias("id_a")),
+            "text_a",
+        )
         .join(
-            ids.withColumnRenamed("text", "text_b").withColumnRenamed(
-                "rep_id", "id_b"
-            ),
+            ids.select(F.col("_tid").alias("text_b"), F.col("rep_id").alias("id_b")),
             "text_b",
         )
         .select("id_a", "id_b", "jaccard")

@@ -181,7 +181,10 @@ def test_minhash_exact_verify_matches_true_jaccard(spark):
                 sa, sb = shingles(texts[a]), shingles(texts[b])
                 true_j[(a, b)] = len(sa & sb) / len(sa | sb)
 
-    found = {(int(r["id_a"]), int(r["id_b"])): r["jaccard"] for r in got}
+    found = {
+        tuple(sorted((int(r["id_a"]), int(r["id_b"])))): r["jaccard"]
+        for r in got
+    }
     assert (0, 1) in found  # the known near-dup pair survives LSH + verify
     for pair, j in found.items():
         assert j == pytest.approx(true_j[pair], abs=1e-9)
