@@ -487,6 +487,29 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_sim_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity JOIN (pair mining, not single-query search): the 20
+    most-similar embedding pairs in a bounded audit slice via broadcast
+    self-join + TakeOrdered — the exact-verification counterpart of the
+    LSH-bucketed embedding_near_duplicates path (whose hyperplane
+    bucketing is xxhash64-based and therefore pytest-verified, not
+    SQL-verified). The slice bound keeps the exact path O(slice^2); the
+    full-corpus path is the bucketed one."""
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            similarity.cosine(F.col("_ea"), F.col("_eb")).alias("_cos"),
+        )
+        .orderBy(F.desc("_cos"), "id_a", "id_b")
+        .limit(20)
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cosine"))
+    )
+
+
 def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12-style semi-structured scan: typed JSON parse of the props
     column (never eval/regex — the reference's eval() round-trip is the
@@ -644,6 +667,44 @@ def q_scores_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build (training-tokenizer prep): global top-25
+    tokens by frequency with doc frequency. Two-level aggregate —
+    explode is followed by a groupBy whose map-side partial combine
+    collapses each partition's token counts before the shuffle, so
+    shuffle volume is O(vocab x partitions), not O(corpus tokens)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower("text")), r"\s+")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n"), "token")
+        .limit(25)
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-set downsampling):
+    keep ~20% of docs per lang via the same mod-first affine rule as
+    kfold_assign — reproducible across cluster sizes AND oracle-
+    checkable (hash-based sampleBy is not), overflow-safe at any id."""
+    docs = _read(spark, sf_dir, "documents")
+    bucket = F.pmod(F.pmod(F.col("doc_id"), 100) * F.lit(2654435761 % 100) + 17, 100)
+    sampled = docs.filter(bucket < 20)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
@@ -701,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_knn_join": q_sim_knn_join,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_pairs_topk": q_sim_pairs_topk,
         "fold_metrics": q_fold_metrics,
         "training_records": q_training_records,
         "scores_map_stats": q_scores_map_stats,
@@ -709,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_prior_view": q_asof_prior_view,
         "cube_counts": q_cube_counts,
         "rollup_revenue": q_rollup_revenue,
+        "vocab_topk": q_vocab_topk,
+        "sample_stratified": q_sample_stratified,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
@@ -1116,6 +1180,24 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
+        "vocab_topk": r"""
+            WITH toks AS (
+              SELECT doc_id, t.token
+              FROM documents,
+                   LATERAL unnest(
+                     string_split_regex(trim(lower(text)), '\s+')) t(token)
+              WHERE t.token != '')
+            SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+            FROM toks GROUP BY token
+            ORDER BY n DESC, token LIMIT 25
+        """,
+        "sample_stratified": """
+            SELECT lang, count(*) AS n_sampled,
+                   round(avg(length(text)), 4) AS avg_len
+            FROM documents
+            WHERE ((doc_id % 100) * (2654435761 % 100) + 17) % 100 < 20
+            GROUP BY lang
+        """,
         "text_langid": r"""
             WITH h AS (
               SELECT doc_id,
@@ -1173,6 +1255,23 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY e.vec_id)
             SELECT vec_id, round(dot / (sqrt(ne) * sqrt(nq)), 4) AS cosine
             FROM prod ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "sim_pairs_topk": """
+            WITH prod AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     sum(CAST(t.z[1] AS DOUBLE) * CAST(t.z[2] AS DOUBLE)) AS dot,
+                     sum(CAST(t.z[1] AS DOUBLE) * CAST(t.z[1] AS DOUBLE)) AS na,
+                     sum(CAST(t.z[2] AS DOUBLE) * CAST(t.z[2] AS DOUBLE)) AS nb
+              FROM embeddings a
+              JOIN embeddings b ON a.vec_id < b.vec_id,
+                   LATERAL unnest(list_zip(a.embedding, b.embedding)) t(z)
+              WHERE a.vec_id < 300 AND b.vec_id < 300
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
+            FROM prod
+            ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, id_a, id_b
+            LIMIT 20
         """,
         # score millis = 500 + (first 8 hex digits of sha256(surface
         # \x1f label) as int) % 500 — textlib.stable_score restated in SQL
