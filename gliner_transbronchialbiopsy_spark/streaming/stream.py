@@ -97,6 +97,35 @@ def run_incremental_pipeline(
     )
 
 
+def dedup_documents_stream(
+    doc_stream: DataFrame,
+    content_col: str = "content",
+    ts_col: str | None = None,
+    delay: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup across micro-batches — the streaming face
+    of the M3 dedup-before-expensive-work discipline: only the FIRST
+    arrival of each distinct content flows downstream (to detection /
+    the KG DAG); replays and re-uploads are dropped by Spark's stateful
+    dedup operator, checkpoint-backed across restarts.
+
+    With ts_col, state is bounded: dropDuplicatesWithinWatermark GC's a
+    content hash once the watermark passes `delay` behind it (a re-
+    upload later than `delay` is treated as new — the right trade at
+    10^12 docs, where unbounded dedup state cannot live in executors;
+    pair with the batch exact_duplicates() sweep for full-history
+    dedup). Without ts_col, state grows with distinct-content count —
+    only for bounded backfills."""
+    hashed = doc_stream.withColumn(
+        "content_sha256", F.sha2(F.col(content_col), 256)
+    )
+    if ts_col is None:
+        return hashed.dropDuplicates(["content_sha256"])
+    return hashed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        ["content_sha256"]
+    )
+
+
 def running_label_totals(mentions_stream: DataFrame):
     """Custom stateful operator (applyInPandasWithState): running
     per-label mention totals + distinct-surface high-water marks across

@@ -121,3 +121,43 @@ def test_stateful_running_label_totals(spark, tmpdir_path):
     ).collect()
     totals = {r["label"]: r["total"] for r in out}
     assert totals == {"Site": 3, "Grade A": 2, "DAD": 1}
+
+
+def test_streaming_cross_batch_dedup(spark, tmpdir_path):
+    """Duplicate contents arriving in DIFFERENT micro-batches are
+    dropped by the stateful dedup; only first arrivals flow."""
+    rows = pd.DataFrame(
+        {
+            "path": ["a", "b", "c", "d"],
+            "content": ["texte un", "texte deux", "texte un", "texte deux"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:01",
+                 "2024-01-01 10:02", "2024-01-01 10:03"]
+            ),
+        }
+    )
+    src = os.path.join(tmpdir_path, "ddsrc")
+    os.makedirs(src)
+    for i, sl in enumerate((slice(0, 2), slice(2, 4))):
+        rows.iloc[sl].to_parquet(
+            os.path.join(src, f"b{i}.parquet"), index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    dstream = (
+        spark.readStream.schema("path string, content string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = stream.dedup_documents_stream(dstream, ts_col="ts")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .option("checkpointLocation", os.path.join(tmpdir_path, "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT path, content FROM dd_out").collect()
+    assert sorted(r["path"] for r in got) == ["a", "b"]
+    assert {r["content"] for r in got} == {"texte un", "texte deux"}
