@@ -170,6 +170,27 @@ def detect_mentions_deduped(
     )
 
 
+def gliner_detector(
+    model_path: str | None = None,
+    labels: tuple[str, ...] | None = None,
+    threshold: float = 0.5,
+    batch_size: int = 32,
+):
+    """Factory for kg_pipeline's `detector=` hook: run_pipeline(...,
+    detector=gliner_detector("path/to/model")) swaps the pattern stage
+    for real GLiNER inference while keeping every pipeline optimization
+    (dedup-before-inference, sha-balanced partitioning, overlap merge —
+    which re-engages automatically for model detectors)."""
+
+    def det(docs: DataFrame, text_col: str, id_cols: tuple[str, ...]) -> DataFrame:
+        return detect_mentions_gliner(
+            docs, text_col=text_col, model_path=model_path, labels=labels,
+            threshold=threshold, id_cols=id_cols, batch_size=batch_size,
+        )
+
+    return det
+
+
 def detect_mentions_gliner(
     docs: DataFrame,
     text_col: str = "conclusion",

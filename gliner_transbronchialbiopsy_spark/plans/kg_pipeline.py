@@ -62,7 +62,8 @@ def detect(
     catalog: dict[str, str] | None = None,
     threshold: float = config.DEFAULT_CONFIDENCE_THRESHOLD,
     partitions: int | None = None,
-    detector_overlaps: bool = False,
+    detector=None,
+    detector_overlaps: bool | None = None,
 ) -> DataFrame:
     """Stage 2: dedup-by-content -> detect -> [overlap-merge] -> fan out.
 
@@ -91,7 +92,17 @@ def detect(
       default for any detector without this guarantee.
     - the fan-out join shuffles both sides (mapInPandas output carries
       no partitioning guarantee — verified; a bucketed/Iceberg-sorted
-      documents table would co-locate the doc side for free)."""
+      documents table would co-locate the doc side for free).
+
+    `detector` plugs a model-backed stage in place of the pattern
+    catalog: any callable (docs, text_col, id_cols) -> mention rows
+    with the ner.MENTION_FIELDS shape (e.g. a partial of
+    ner.detect_mentions_gliner). Model detectors CAN emit overlapping
+    same-label spans, so detector_overlaps defaults to True for them
+    (the reference applies merge_overlapping_entities to model output,
+    entity_processor.py:137-192) and False for the regex catalog."""
+    if detector_overlaps is None:
+        detector_overlaps = detector is not None
     hashed = sectionized.select(
         *DOC_COLS, "content_sha256", "conclusion"
     ).filter(
@@ -103,14 +114,17 @@ def detect(
     if partitions:
         distinct = distinct.repartition(partitions, "sha_key")
     distinct = distinct.dropDuplicates(["sha_key"])
-    found = ner.detect_mentions(
-        distinct,
-        text_col="conclusion",
-        catalog=catalog or pat.MEDICAL_PATTERNS,
-        threshold=threshold,
-        id_cols=("sha_key",),
-        partitions=None,  # the sha repartition above already balanced
-    )
+    if detector is not None:
+        found = detector(distinct, "conclusion", ("sha_key",))
+    else:
+        found = ner.detect_mentions(
+            distinct,
+            text_col="conclusion",
+            catalog=catalog or pat.MEDICAL_PATTERNS,
+            threshold=threshold,
+            id_cols=("sha_key",),
+            partitions=None,  # the sha repartition above already balanced
+        )
     merged = (
         merge.merge_overlaps(found, group_cols=("sha_key", "label"))
         if detector_overlaps
@@ -190,6 +204,7 @@ def run_pipeline(
     catalog: dict[str, str] | None = None,
     threshold: float = config.DEFAULT_CONFIDENCE_THRESHOLD,
     partitions: int | None = None,
+    detector=None,
     force: bool = False,
 ) -> DataFrame:
     """Full DAG with stage checkpoints; returns the triples DataFrame
@@ -204,7 +219,7 @@ def run_pipeline(
         spark,
         "mentions",
         lambda: detect(sectionized, catalog=catalog, threshold=threshold,
-                       partitions=partitions),
+                       partitions=partitions, detector=detector),
         force=force,
     )
     cmap = ckpt.get_or_compute(

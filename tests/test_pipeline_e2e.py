@@ -88,3 +88,54 @@ def test_resume_filter_left_anti(spark, tmp_path):
     ckpt.write("stage1", df.filter(F.col("k") < 4))
     remaining = ckpt.resume_filter(spark, "stage1", df, ("k",))
     assert sorted(r.k for r in remaining.collect()) == [4, 5, 6, 7, 8, 9]
+
+
+def test_pluggable_model_detector_gets_overlap_merge(spark):
+    """A model-backed detector (GLiNER stand-in) that emits overlapping
+    same-label spans plugs into kg_pipeline.detect via `detector=`, and
+    the overlap merge applies (higher score wins) before the fan-out —
+    the path a real GLiNER user runs."""
+    from pyspark.sql import functions as F
+
+    from gliner_transbronchialbiopsy_spark.plans import kg_pipeline
+
+    def fake_model_detector(docs, text_col, id_cols):
+        import pandas as pd
+
+        schema = (
+            ", ".join(f"{c} string" for c in id_cols)
+            + ", mention_id string, text string, label string, "
+            + "score double, start_idx int, end_idx int"
+        )
+
+        def run(batches):
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    key = getattr(row, id_cols[0])
+                    # two overlapping same-label spans (IoU 8/12 > 0.5)
+                    out.append((key, "m1", "grade a zero", "Grade A", 0.60, 10, 22))
+                    out.append((key, "m2", "a zero", "Grade A", 0.95, 14, 22))
+                    # plus a clean span of another label
+                    out.append((key, "m3", "LID", "Site", 0.80, 30, 33))
+                yield pd.DataFrame(
+                    out,
+                    columns=[*id_cols, "mention_id", "text", "label",
+                             "score", "start_idx", "end_idx"],
+                )
+
+        return docs.mapInPandas(run, schema=schema)
+
+    docs = spark.createDataFrame(
+        [("r", "p1", "c", "txt", "du texte medical assez long ici present")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    validated = kg_pipeline.validate_documents(docs)
+    sectionized = validated.select(
+        "repo", "path", "commit", "lang", "content_sha256",
+        F.col("content").alias("conclusion"),
+    )
+    mentions = kg_pipeline.detect(sectionized, detector=fake_model_detector)
+    got = {(r["label"], r["text"], r["score"]) for r in mentions.collect()}
+    # overlap merged: only the higher-score Grade A span survives
+    assert got == {("Grade A", "a zero", 0.95), ("Site", "LID", 0.80)}
