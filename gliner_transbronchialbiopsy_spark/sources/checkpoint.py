@@ -25,6 +25,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, buckets: int, sort: bool = True
+) -> None:
+    """Bucketed (and sorted) parquet table via saveAsTable — the
+    co-located-join layout: two tables bucketed on the same key with
+    the same bucket count join with NO exchange on either side (the
+    scan itself satisfies the join's clustering), which removes the
+    remaining shuffle of the detect stage's fan-out join when the
+    documents table is stored bucketed by content sha. Bucket metadata
+    lives in the session catalog here; Iceberg's `bucket(n, col)`
+    partition transform is the production analogue of this layout."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        buckets, bucket_col
+    )
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
 class CheckpointManager:
     def __init__(self, root: str | Path):
         self.root = Path(root)

@@ -189,3 +189,29 @@ def test_minhash_exact_verify_matches_true_jaccard(spark):
     for pair, j in found.items():
         assert j == pytest.approx(true_j[pair], abs=1e-9)
         assert j >= 0.6
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the same key with the same bucket count
+    join with ZERO Exchange operators — the co-located layout that
+    removes the fan-out join's shuffle when documents are stored
+    bucketed by content sha (Iceberg bucket(n, col) in production)."""
+    from gliner_transbronchialbiopsy_spark.sources import checkpoint as ckpt
+
+    docs = spark.createDataFrame(
+        [(f"sha{i:03d}", f"doc{i}") for i in range(100)],
+        "sha string, path string",
+    )
+    ments = spark.createDataFrame(
+        [(f"sha{i % 50:03d}", f"m{i}", "Site") for i in range(200)],
+        "sha string, text string, label string",
+    )
+    ckpt.write_bucketed(docs, "t_docs_b", "sha", 4)
+    ckpt.write_bucketed(ments, "t_ments_b", "sha", 4)
+    a = spark.table("t_docs_b")
+    b = spark.table("t_ments_b")
+    joined = a.hint("merge").join(b, "sha")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # both sides read pre-clustered
+    assert joined.count() == 200

@@ -33,6 +33,18 @@ AUDIT = {
     "kg_triples": ("InPandas",),  # python confined to detection+sweep
     "text_quality": ("!InPandas",),  # regex/count features stay JVM
     "sim_topk_cosine": ("TakeOrderedAndProject", "!InPandas"),  # no full sort
+    # two-level agg: partial combine before the shuffle, no Python
+    "vocab_topk": ("HashAggregate", "TakeOrderedAndProject", "!InPandas"),
+    # bounded-slice pair mining: broadcast non-equi join (documented),
+    # top-k via TakeOrdered, filter pushed to the scan
+    "sim_pairs_topk": (
+        "BroadcastNestedLoopJoin",
+        "TakeOrderedAndProject",
+        "PushedFilters: [IsNotNull(vec_id)",
+        "!InPandas",
+    ),
+    # deterministic sampling: the bucket predicate evaluates at the scan
+    "sample_stratified": ("HashAggregate", "!InPandas", "!SortMergeJoin"),
 }
 
 
