@@ -35,7 +35,19 @@ def write_bucketed(
     remaining shuffle of the detect stage's fan-out join when the
     documents table is stored bucketed by content sha. Bucket metadata
     lives in the session catalog here; Iceberg's `bucket(n, col)`
-    partition transform is the production analogue of this layout."""
+    partition transform is the production analogue of this layout.
+
+    Idempotent across sessions: the in-memory catalog forgets tables on
+    restart while their warehouse directories persist, so a stale
+    location is dropped before the write (LOCATION_ALREADY_EXISTS
+    otherwise)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(Path(warehouse) / table.lower(), ignore_errors=True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         buckets, bucket_col
     )
