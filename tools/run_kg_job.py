@@ -26,6 +26,12 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--catalog", choices=("medical", "keyword"), default="medical")
+    ap.add_argument(
+        "--gliner-model",
+        help="run real GLiNER inference from this model path instead of "
+        "the pattern catalog (requires the gliner package on workers; "
+        "raises a clear error at execution if absent)",
+    )
     ap.add_argument("--fresh", action="store_true", help="clear workdir first")
     ap.add_argument("--skip-sectionize", action="store_true",
                     help="treat content as already-sectionized text")
@@ -45,6 +51,11 @@ def main() -> None:
     catalog = (
         pat.MEDICAL_PATTERNS if args.catalog == "medical" else pat.KEYWORD_PATTERNS
     )
+    detector = None
+    if args.gliner_model:
+        from gliner_transbronchialbiopsy_spark.operators import ner
+
+        detector = ner.gliner_detector(args.gliner_model)
     spark = get_spark("kg_job", cpus=args.cpus, shuffle_partitions=args.cpus)
     docs = spark.read.parquet(args.input)
     # Fan the input out when the scan can't: a compressed single-file
@@ -78,7 +89,8 @@ def main() -> None:
         mentions = ckpt.get_or_compute(
             spark, "mentions",
             lambda: kg_pipeline.detect(sectionized, catalog=catalog,
-                                       partitions=args.cpus * 2),
+                                       partitions=args.cpus * 2,
+                                       detector=detector),
         )
         cmap = ckpt.get_or_compute(
             spark, "entities", lambda: kg_pipeline.canonicalize(mentions)
@@ -91,7 +103,7 @@ def main() -> None:
     else:
         triples = kg_pipeline.run_pipeline(
             spark, docs, args.workdir, catalog=catalog,
-            partitions=args.cpus * 2,
+            partitions=args.cpus * 2, detector=detector,
         )
     n = triples.count()
     wall = time.time() - t0
