@@ -114,6 +114,14 @@ def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo", "path", "commit", "label", "text", "score",
         "start_idx", "end_idx",
     )
+    # bounded cache: evict (unpersist) older entries so a long-lived
+    # process running many sessions/sf_dirs doesn't pin blocks forever
+    while len(_MENTIONS_CACHE) >= 2:
+        _, old = _MENTIONS_CACHE.popitem()
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # owning session may already be stopped
     _MENTIONS_CACHE[key] = pruned.persist()
     return _MENTIONS_CACHE[key]
 
@@ -1087,7 +1095,8 @@ def oracle_sql() -> dict[str, str]:
               WHERE e.vec_id != 0
               GROUP BY e.vec_id)
             SELECT vec_id, round(dot / (sqrt(ne) * sqrt(nq)), 4) AS cosine
-            FROM prod ORDER BY cosine DESC, vec_id LIMIT 10
+            FROM prod
+            ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, vec_id LIMIT 10
         """,
         "sim_knn_join": """
             WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
@@ -1254,7 +1263,8 @@ def oracle_sql() -> dict[str, str]:
               WHERE e.vec_id != 0
               GROUP BY e.vec_id)
             SELECT vec_id, round(dot / (sqrt(ne) * sqrt(nq)), 4) AS cosine
-            FROM prod ORDER BY cosine DESC, vec_id LIMIT 10
+            FROM prod
+            ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, vec_id LIMIT 10
         """,
         "sim_pairs_topk": """
             WITH prod AS (

@@ -130,15 +130,21 @@ def highlight_mentions(text_col: Column, surface_col: Column, label_col: Column)
     as group references (an unescaped '$1' in a surface would corrupt
     the rewritten text or throw)."""
     escaped = F.regexp_replace(surface_col, r"([\\.\[\]{}()*+?^$|])", r"\\$1")
-    repl_safe = F.regexp_replace(surface_col, r"([\\$])", r"\\$1")
+
+    def repl_safe(col: Column) -> Column:
+        return F.regexp_replace(col, r"([\\$])", r"\\$1")
+
+    # BOTH dynamic parts of the replacement need the $/\ escaping — a
+    # model-supplied label like "PRICE_$1" is a group reference to Java
+    # otherwise (labels are free-form once a pluggable detector is used)
     return F.regexp_replace(
         text_col,
         escaped,
         F.concat(
             F.lit('<span class="entity" data-label="'),
-            label_col,
+            repl_safe(label_col),
             F.lit('">'),
-            repl_safe,
+            repl_safe(surface_col),
             F.lit("</span>"),
         ),
     )

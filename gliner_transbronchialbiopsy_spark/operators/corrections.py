@@ -103,6 +103,9 @@ class CorrectionsLog:
         )
         joined = base.join(piv, doc_col, "left")
         idx = {lb: i for i, lb in enumerate(label_cols)}
+        # drop a pre-existing last_updated: the fresh one is appended
+        # below (re-applying latest_state to its own output must not
+        # produce a duplicate column)
         projected = [
             F.coalesce(
                 F.col(f"_corr_{idx[c]}")["corrected_value"], F.col(f"`{c}`")
@@ -110,6 +113,7 @@ class CorrectionsLog:
             if c in idx
             else F.col(f"`{c}`")
             for c in base.columns
+            if c != "last_updated"
         ]
         ts_cols = [
             F.col(f"_corr_{i}")["timestamp"] for i in range(len(label_cols))

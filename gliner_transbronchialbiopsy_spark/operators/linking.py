@@ -55,8 +55,13 @@ def minhash_signatures(
     base = surfaces.select(*key_cols, text_col).dropDuplicates(
         [*key_cols, text_col]
     )
+    # injective group id: to_json escapes field contents and represents
+    # NULLs structurally, so no (key, text) combination can collide the
+    # way a separator-joined concat can (concat_ws skips NULLs and a
+    # separator byte inside a value shifts field boundaries)
     keyed = base.withColumn(
-        "_gid", F.sha2(F.concat_ws("\x1f", *key_cols, text_col), 256)
+        "_gid",
+        F.sha2(F.to_json(F.struct(*key_cols, F.col(text_col))), 256),
     )
     exploded = keyed.select(
         "_gid",

@@ -188,6 +188,9 @@ def gliner_detector(
             threshold=threshold, id_cols=id_cols, batch_size=batch_size,
         )
 
+    # checkpoint-variant identity: a resume with a different model/label
+    # set must recompute the mentions snapshot, not reuse it
+    det.variant = f"gliner:{model_path}:{labels}:{threshold}"
     return det
 
 

@@ -125,10 +125,15 @@ def detect(
             id_cols=("sha_key",),
             partitions=None,  # the sha repartition above already balanced
         )
+    # materialization barrier: downstream consumers (canonicalize's edge
+    # + node subtrees, materialize_triples' probe side) reference this
+    # plan multiple times; without a cut the detection UDF re-executes
+    # per consumer (merge_overlaps' materialize=True used to provide
+    # this barrier — skipping the merge must not lose it)
     merged = (
         merge.merge_overlaps(found, group_cols=("sha_key", "label"))
         if detector_overlaps
-        else found
+        else found.localCheckpoint()
     )
     fanned = hashed.select(*DOC_COLS, "content_sha256").join(
         merged, hashed["content_sha256"] == merged["sha_key"], "inner"
@@ -208,8 +213,18 @@ def run_pipeline(
     force: bool = False,
 ) -> DataFrame:
     """Full DAG with stage checkpoints; returns the triples DataFrame
-    (read back from its parquet snapshot)."""
+    (read back from its parquet snapshot). Detection-dependent stages
+    carry a detector variant tag so a resume with a DIFFERENT detector
+    (or threshold) recomputes instead of serving a stale snapshot."""
     ckpt = CheckpointManager(workdir)
+    det_variant = (
+        "detector:"
+        + getattr(
+            detector, "variant", getattr(detector, "__qualname__", repr(detector))
+        )
+        if detector is not None
+        else f"catalog:{sorted(catalog) if catalog else 'medical'}"
+    ) + f"@t={threshold}"
 
     validated = validate_documents(documents)
     sectionized = ckpt.get_or_compute(
@@ -221,9 +236,11 @@ def run_pipeline(
         lambda: detect(sectionized, catalog=catalog, threshold=threshold,
                        partitions=partitions, detector=detector),
         force=force,
+        variant=det_variant,
     )
     cmap = ckpt.get_or_compute(
-        spark, "entities", lambda: canonicalize(mentions), force=force
+        spark, "entities", lambda: canonicalize(mentions), force=force,
+        variant=det_variant,
     )
     triples = ckpt.get_or_compute(
         spark,
@@ -232,5 +249,6 @@ def run_pipeline(
         partition_by=("pred",),
         lineage_key="pred",
         force=force,
+        variant=det_variant,
     )
     return triples

@@ -40,14 +40,21 @@ def write_bucketed(
     Idempotent across sessions: the in-memory catalog forgets tables on
     restart while their warehouse directories persist, so a stale
     location is dropped before the write (LOCATION_ALREADY_EXISTS
-    otherwise)."""
+    otherwise). Handles db-qualified names (db.table lives under
+    <warehouse>/<db>.db/<table>)."""
     import shutil
     from urllib.parse import urlparse
 
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(Path(warehouse) / table.lower(), ignore_errors=True)
+    parts = table.split(".")
+    quoted = ".".join(f"`{p}`" for p in parts)
+    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+    warehouse = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    if len(parts) == 2:
+        stale = warehouse / f"{parts[0].lower()}.db" / parts[1].lower()
+    else:
+        stale = warehouse / parts[-1].lower()
+    shutil.rmtree(stale, ignore_errors=True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         buckets, bucket_col
     )
@@ -72,6 +79,7 @@ class CheckpointManager:
         df: DataFrame,
         partition_by: tuple[str, ...] = (),
         lineage_key: str | None = None,
+        variant: str | None = None,
     ) -> None:
         """Materialize a stage snapshot + metrics (+ per-partition lineage
         when lineage_key given: rows and a sha-fold content fingerprint
@@ -98,6 +106,7 @@ class CheckpointManager:
             "rows": n_rows,
             "wall_seconds": round(wall, 3),
             "partition_by": list(partition_by),
+            "variant": variant,
         }
         if lineage_key:
             lineage = back.groupBy(lineage_key).agg(
@@ -135,12 +144,28 @@ class CheckpointManager:
         partition_by: tuple[str, ...] = (),
         lineage_key: str | None = None,
         force: bool = False,
+        variant: str | None = None,
     ) -> DataFrame:
         """The resume primitive: reuse the snapshot if complete, else
         compute, persist, and return the persisted copy (so downstream
-        stages read columnar parquet, not a live lineage chain)."""
+        stages read columnar parquet, not a live lineage chain).
+
+        `variant` identifies WHAT produced the snapshot (e.g. the
+        detector/catalog): a snapshot written under a different variant
+        is recomputed instead of silently served — resuming with
+        --gliner-model against a pattern-catalog workdir must not
+        return pattern mentions as model output. Pre-variant snapshots
+        (no field in metrics) only match a None variant."""
         if self.exists(stage) and not force:
-            return self.read(spark, stage)
+            try:
+                existing = self.metrics(stage).get("variant")
+            except FileNotFoundError:
+                existing = None
+            if existing == variant:
+                return self.read(spark, stage)
         df = compute()
-        self.write(stage, df, partition_by=partition_by, lineage_key=lineage_key)
+        self.write(
+            stage, df, partition_by=partition_by, lineage_key=lineage_key,
+            variant=variant,
+        )
         return self.read(spark, stage)

@@ -326,3 +326,104 @@ def test_label_config_validation():
 
     with _pytest.raises(ValueError, match="diverge"):
         cfg.validate_label_config(labels=("Site", "Ghost"), slugs={"Site": "site"})
+
+
+def test_latest_state_reapply_no_duplicate_column(spark):
+    """Re-applying latest_state to its own output (refresh pattern)
+    must not produce a duplicate last_updated column."""
+    import pandas as pd
+
+    from gliner_transbronchialbiopsy_spark.operators.corrections import (
+        CORRECTION_SCHEMA, CorrectionsLog,
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="corr_reapply_")
+    log = CorrectionsLog(spark, os.path.join(d, "log"))
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "document": ["d1"],
+                "entity_type": ["Site"],
+                "original_value": ["LID"],
+                "corrected_value": ["LM"],
+                "timestamp": pd.to_datetime(["2024-01-01 10:00"]),
+                "user": ["u"],
+                "notes": [None],
+                "correction_id": [1],
+            }
+        ),
+        CORRECTION_SCHEMA,
+    )
+    log.append(events)
+    base = spark.createDataFrame(
+        [("d1", "LID"), ("d2", "LSG")], "document string, Site string"
+    )
+    once = log.latest_state(base, label_cols=("Site",))
+    twice = log.latest_state(once, label_cols=("Site",))
+    assert twice.columns.count("last_updated") == 1
+    rows = {r["document"]: r["Site"] for r in twice.collect()}
+    assert rows == {"d1": "LM", "d2": "LSG"}
+
+
+def test_highlight_label_with_metachars(spark):
+    """Free-form model labels with $ or \\ must not corrupt the
+    replacement (same escaping as the surface side)."""
+    from gliner_transbronchialbiopsy_spark.functions import spark_fns
+
+    df = spark.createDataFrame(
+        [("prix total 100", "100", "PRICE_$1")],
+        "text string, surface string, label string",
+    )
+    out = df.select(
+        spark_fns.highlight_mentions(
+            F.col("text"), F.col("surface"), F.col("label")
+        ).alias("html")
+    ).head()["html"]
+    assert 'data-label="PRICE_$1">100</span>' in out
+
+
+def test_checkpoint_variant_mismatch_recomputes(spark, tmpdir_path):
+    """A stage snapshot written under one variant must be recomputed,
+    not served, when requested under another (e.g. resuming with
+    --gliner-model against a pattern-catalog workdir)."""
+    from gliner_transbronchialbiopsy_spark.sources.checkpoint import (
+        CheckpointManager,
+    )
+
+    ckpt = CheckpointManager(tmpdir_path)
+    calls = []
+
+    def make(tag):
+        def compute():
+            calls.append(tag)
+            return spark.createDataFrame([(tag,)], "which string")
+
+        return compute
+
+    a = ckpt.get_or_compute(spark, "st", make("catalog"), variant="catalog:a")
+    assert a.head()["which"] == "catalog"
+    # same variant -> served from snapshot, no recompute
+    a2 = ckpt.get_or_compute(spark, "st", make("catalog2"), variant="catalog:a")
+    assert a2.head()["which"] == "catalog" and calls == ["catalog"]
+    # different variant -> recomputed and replaced
+    b = ckpt.get_or_compute(spark, "st", make("gliner"), variant="gliner:m")
+    assert b.head()["which"] == "gliner" and calls == ["catalog", "gliner"]
+
+
+def test_minhash_gid_injective_on_separator_bytes(spark):
+    """(label='a', text='b\\x1fc') and (label='a\\x1fb', text='c') must
+    get DISTINCT signatures (the old separator-joined group id pooled
+    them into one)."""
+    from gliner_transbronchialbiopsy_spark.operators import linking
+
+    df = spark.createDataFrame(
+        [("a", "b\x1fc du texte assez long"), ("a\x1fb", "c du texte assez long")],
+        "label string, text string",
+    )
+    sigs = linking.minhash_signatures(df, "text", ("label",), num_hashes=8)
+    rows = sigs.collect()
+    assert len(rows) == 2
+    by_label = {r["label"]: (tuple(r["sig"]), r["n_shingles"]) for r in rows}
+    assert by_label["a"] != by_label["a\x1fb"]

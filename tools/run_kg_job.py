@@ -86,19 +86,26 @@ def main() -> None:
         )
 
         ckpt = CheckpointManager(args.workdir)
+        variant = (
+            f"gliner:{args.gliner_model}" if args.gliner_model
+            else f"catalog:{args.catalog}"
+        )
         mentions = ckpt.get_or_compute(
             spark, "mentions",
             lambda: kg_pipeline.detect(sectionized, catalog=catalog,
                                        partitions=args.cpus * 2,
                                        detector=detector),
+            variant=variant,
         )
         cmap = ckpt.get_or_compute(
-            spark, "entities", lambda: kg_pipeline.canonicalize(mentions)
+            spark, "entities", lambda: kg_pipeline.canonicalize(mentions),
+            variant=variant,
         )
         triples = ckpt.get_or_compute(
             spark, "triples",
             lambda: kg_pipeline.materialize_triples(mentions, cmap),
             partition_by=("pred",), lineage_key="pred",
+            variant=variant,
         )
     else:
         triples = kg_pipeline.run_pipeline(
