@@ -164,6 +164,48 @@ def running_label_totals(mentions_stream: DataFrame):
     )
 
 
+def corrections_latest_state(corrections_stream: DataFrame):
+    """Streaming last-writer-wins over the corrections event log: one
+    live row per (document, entity_type) carrying the current corrected
+    value — corrections_manager.latest_state (:85-97) as a continuously
+    maintained view instead of a batch fold. State per key is a single
+    (timestamp, corrected_value) pair (not the event history), so state
+    size is bounded by the number of DISTINCT corrected cells, and a
+    late or replayed event older than the stored timestamp is ignored
+    exactly like the batch window's ORDER BY ts DESC."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415
+
+        document, entity_type = key
+        best_ts, best_val = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            for ts, val in zip(pdf["timestamp"], pdf["corrected_value"]):
+                if best_ts is None or ts >= best_ts:
+                    best_ts, best_val = ts, val
+        state.update((best_ts, best_val))
+        yield pd.DataFrame(
+            {
+                "document": [document],
+                "entity_type": [entity_type],
+                "corrected_value": [best_val],
+                "last_updated": [best_ts],
+            }
+        )
+
+    return corrections_stream.groupBy("document", "entity_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "document string, entity_type string, "
+            "corrected_value string, last_updated timestamp"
+        ),
+        stateStructType="ts timestamp, val string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def corrections_running_counts(corrections_stream: DataFrame) -> DataFrame:
     """Streaming A9/A10 analogue: corrections per entity_type per day
     window with a late-data watermark."""

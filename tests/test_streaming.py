@@ -161,3 +161,63 @@ def test_streaming_cross_batch_dedup(spark, tmpdir_path):
     got = spark.sql("SELECT path, content FROM dd_out").collect()
     assert sorted(r["path"] for r in got) == ["a", "b"]
     assert {r["content"] for r in got} == {"texte un", "texte deux"}
+
+
+def test_corrections_latest_state_streaming_lww(spark, tmpdir_path):
+    """Across micro-batches, each (document, entity_type) converges to
+    the LATEST correction; an older replay in a later batch is ignored."""
+    b1 = pd.DataFrame(
+        {
+            "document": ["d1", "d2"],
+            "entity_type": ["Site", "Site"],
+            "original_value": ["LID", "LM"],
+            "corrected_value": ["LM", "LSD"],
+            "timestamp": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:05"]),
+            "user": ["u", "u"],
+            "notes": pd.array([None, None], dtype="string"),
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "document": ["d1", "d1"],
+            "entity_type": ["Site", "Site"],
+            "original_value": ["LID", "LID"],
+            "corrected_value": ["LSG", "STALE"],
+            # newer correction + an out-of-order replay OLDER than b1's
+            "timestamp": pd.to_datetime(["2024-01-01 11:00", "2024-01-01 09:00"]),
+            "user": ["u", "u"],
+            "notes": pd.array([None, None], dtype="string"),
+        }
+    )
+    src = os.path.join(tmpdir_path, "lwwsrc")
+    os.makedirs(src)
+    for name, pdf in (("b1", b1), ("b2", b2)):
+        pdf.to_parquet(
+            os.path.join(src, f"{name}.parquet"), index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    cstream = (
+        spark.readStream.schema(stream.CORRECTIONS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    live = stream.corrections_latest_state(cstream)
+    q = (
+        live.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("lww_live")
+        .option("checkpointLocation", os.path.join(tmpdir_path, "lww_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT document, corrected_value, last_updated FROM lww_live"
+    ).collect()
+    latest = {}
+    for r in rows:  # keep the final update per doc
+        cur = latest.get(r["document"])
+        if cur is None or r["last_updated"] >= cur[1]:
+            latest[r["document"]] = (r["corrected_value"], r["last_updated"])
+    assert latest["d1"][0] == "LSG"   # newest wins; STALE replay ignored
+    assert latest["d2"][0] == "LSD"
