@@ -56,8 +56,6 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full 4-stage KG DAG (detect → merge → link → triples)
     over sf0.001 documents with the keyword catalog; returns triple
     counts per predicate."""
-    import tempfile
-
     from gliner_transbronchialbiopsy_spark.plans import kg_pipeline
 
     docs = _docs_as_corpus(spark, "/root/testdata/sf0.001")
@@ -69,7 +67,6 @@ def entry(spark: SparkSession) -> DataFrame:
     mentions = kg_pipeline.detect(sectionized, catalog=pat.KEYWORD_PATTERNS)
     cmap = kg_pipeline.canonicalize(mentions)
     triples = kg_pipeline.materialize_triples(mentions, cmap)
-    _ = tempfile
     return triples.groupBy("pred").agg(
         F.count("*").alias("n_triples"),
         F.countDistinct("subj").alias("n_subjects"),
