@@ -89,7 +89,10 @@ _MENTIONS_CACHE: dict[tuple[int, str], DataFrame] = {}
 def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     cached = _MENTIONS_CACHE.get(key)
-    if cached is not None:
+    # identity check: the cached DataFrame pins its owning session (so
+    # its id() cannot be reused while cached), but guard anyway against
+    # a different live session resolving to a stale entry
+    if cached is not None and cached.sparkSession is spark:
         return cached
     from gliner_transbronchialbiopsy_spark.plans import kg_pipeline
 
@@ -111,10 +114,12 @@ def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo", "path", "commit", "label", "text", "score",
         "start_idx", "end_idx",
     )
-    # bounded cache: evict (unpersist) older entries so a long-lived
+    # bounded cache: evict (unpersist) the OLDEST entries — dicts are
+    # insertion-ordered, so the first key is FIFO — so a long-lived
     # process running many sessions/sf_dirs doesn't pin blocks forever
     while len(_MENTIONS_CACHE) >= 2:
-        _, old = _MENTIONS_CACHE.popitem()
+        oldest = next(iter(_MENTIONS_CACHE))
+        old = _MENTIONS_CACHE.pop(oldest)
         try:
             old.unpersist()
         except Exception:
@@ -702,7 +707,9 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     kfold_assign — reproducible across cluster sizes AND oracle-
     checkable (hash-based sampleBy is not), overflow-safe at any id."""
     docs = _read(spark, sf_dir, "documents")
-    bucket = F.pmod(F.pmod(F.col("doc_id"), 100) * F.lit(2654435761 % 100) + 17, 100)
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), 100) * F.lit(stats._KFOLD_MULT % 100) + 17, 100
+    )
     sampled = docs.filter(bucket < 20)
     return sampled.groupBy("lang").agg(
         F.count("*").alias("n_sampled"),

@@ -4,13 +4,17 @@ Alternating large-star/small-star iterative joins (Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SoCC'14 — public
 algorithm) with a driver-side convergence loop. Deterministic canonical
 ID election: every member adopts the component's minimum node id
-(SURVEY.md §2.5 J5); ids are stable string keys hashed to longs only
-for join efficiency, with the string id re-attached at the end.
+(SURVEY.md §2.5 J5); node ids are stable strings end to end (min is
+lexicographic), matching the driver union-find's election exactly.
 
-Scale notes: each iteration is two self-joins on node id (shuffle on a
-long key); lineage is broken every iteration with localCheckpoint so
-the plan doesn't grow unboundedly; convergence is detected by counting
-changed assignments (an AQE-coalesced count, not a collect)."""
+Scale notes: each round is a large-star then a small-star pass — plain
+groupBy(min) + equi-join shapes over string node ids (never a
+collect_list of a neighborhood, so a giant star costs one aggregate
+row); lineage is broken every round with localCheckpoint so the plan
+depth stays O(1); convergence is detected by an order-insensitive
+(count, bit_xor-of-hashes) fingerprint of the edge set reaching a
+fixed point, and the operator RAISES if the iteration budget runs out
+rather than returning a partial component map."""
 
 from __future__ import annotations
 

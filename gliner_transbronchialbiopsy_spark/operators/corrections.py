@@ -85,6 +85,13 @@ class CorrectionsLog:
         one join.)"""
         if not label_cols:
             return base
+        missing = [lb for lb in label_cols if lb not in base.columns]
+        if missing:
+            # fail loudly: silently ignoring a label would drop its
+            # corrections while still advancing last_updated
+            raise ValueError(
+                f"label_cols not present in base: {missing}"
+            )
         latest = self.latest_corrections().filter(
             F.col("entity_type").isin(list(label_cols))
         )
@@ -93,25 +100,25 @@ class CorrectionsLog:
             .pivot("entity_type", list(label_cols))
             .agg(F.first(F.struct("corrected_value", "timestamp")))
         )
-        # positional aliases: label strings may contain spaces/backticks
+        # positional access via df[name]: label strings may contain
+        # spaces or backticks, which F.col's quoted-identifier parsing
+        # cannot express (embedded backticks)
         piv = piv.select(
-            doc_col,
-            *[
-                F.col(f"`{lb}`").alias(f"_corr_{i}")
-                for i, lb in enumerate(label_cols)
-            ],
+            piv[doc_col],
+            *[piv[lb].alias(f"_corr_{i}") for i, lb in enumerate(label_cols)],
         )
         joined = base.join(piv, doc_col, "left")
         idx = {lb: i for i, lb in enumerate(label_cols)}
         # drop a pre-existing last_updated: the fresh one is appended
         # below (re-applying latest_state to its own output must not
-        # produce a duplicate column)
+        # produce a duplicate column). df[c] access, not F.col: base
+        # column names are caller-controlled and may contain backticks.
         projected = [
             F.coalesce(
-                F.col(f"_corr_{idx[c]}")["corrected_value"], F.col(f"`{c}`")
+                F.col(f"_corr_{idx[c]}")["corrected_value"], joined[c]
             ).alias(c)
             if c in idx
-            else F.col(f"`{c}`")
+            else joined[c]
             for c in base.columns
             if c != "last_updated"
         ]

@@ -178,13 +178,15 @@ def minhash_near_duplicates(
                 "_tid_b",
             )
         )
+        # the text ids travelled with the pair rows — select them back
+        # instead of re-hashing two full documents per surviving pair
         edges = linking.verified_edges(
             with_text, ("label",), shingle_n=shingle_n,
             jaccard_threshold=jaccard_threshold,
         ).select(
             "label",
-            F.sha2("text_a", 256).alias("text_a"),
-            F.sha2("text_b", 256).alias("text_b"),
+            F.col("_tid_a").alias("text_a"),
+            F.col("_tid_b").alias("text_b"),
             "jaccard",
         )
     else:

@@ -21,6 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import pandas as pd
@@ -88,8 +89,12 @@ def detect_mentions(
             for i in range(len(pdf)):
                 text = texts[i]
                 # mention_id covers the FULL document key — a path-only
-                # key collides across repos/commits sharing a path
-                key = "\x1f".join(str(x) for x in ids[i])
+                # key collides across repos/commits sharing a path; JSON
+                # serialization keeps NULL ids distinct from the string
+                # "None" and field boundaries unambiguous
+                key = json.dumps(
+                    [None if x is None else str(x) for x in ids[i]]
+                )
                 for label, rx in compiled.items():
                     for m in rx.finditer(text):
                         surface = m.group(0)
@@ -153,16 +158,17 @@ def detect_mentions_deduped(
     )
     # fan results back out; mention_id re-keyed per document over the
     # FULL id tuple (repo+path+commit) — a path-only key collides across
-    # repos/commits that share a path
+    # repos/commits that share a path. The key is serialized with
+    # to_json (structural NULLs + field boundaries; concat_ws skips
+    # nulls and would collide rows differing only in WHICH id is null).
     joined = hashed.select(*id_cols, "_sha").join(
         found, hashed["_sha"] == found["sha_key"], "inner"
     )
     return joined.select(
         *id_cols,
         F.sha2(
-            F.concat_ws(
-                "\x1f", *[F.col(c) for c in id_cols],
-                "start_idx", "end_idx", "label",
+            F.to_json(
+                F.struct(*id_cols, "start_idx", "end_idx", "label")
             ),
             256,
         ).alias("mention_id"),
@@ -242,7 +248,9 @@ def detect_mentions_gliner(
                     texts, list(labels), threshold=threshold
                 )
                 for (_, row), ents in zip(chunk.iterrows(), preds):
-                    key = "\x1f".join(str(row[c]) for c in id_cols)
+                    key = json.dumps(
+                        [None if row[c] is None else str(row[c]) for c in id_cols]
+                    )
                     for e in ents:
                         rows.append(
                             (*[row[c] for c in id_cols],

@@ -139,14 +139,15 @@ def detect(
         merged, hashed["content_sha256"] == merged["sha_key"], "inner"
     )
     # mention_id covers the full (repo, path, commit) key — a path-only
-    # key would collide across repos/commits sharing a path, conflating
-    # lineage rows and any downstream dedup-by-mention_id
+    # key would collide across repos/commits sharing a path — and the
+    # key is serialized with to_json, which represents NULLs and field
+    # boundaries structurally (concat_ws SKIPS null fields, so rows
+    # differing only in which id column is null would collide)
     return fanned.select(
         *DOC_COLS,
         F.sha2(
-            F.concat_ws(
-                "\x1f", *[F.col(c) for c in DOC_COLS],
-                "start_idx", "end_idx", "label",
+            F.to_json(
+                F.struct(*DOC_COLS, "start_idx", "end_idx", "label")
             ),
             256,
         ).alias("mention_id"),
@@ -202,6 +203,31 @@ def materialize_triples(mentions: DataFrame, cmap: DataFrame) -> DataFrame:
     )
 
 
+def detector_variant(
+    catalog: dict[str, str] | None,
+    threshold: float,
+    detector=None,
+) -> str:
+    """Checkpoint-variant tag for detection-dependent stages. For
+    catalogs it hashes the full CONTENTS (labels AND regex bodies): an
+    edited pattern must invalidate the snapshot, not just a renamed
+    label set; for detectors it uses their declared `variant` identity
+    (e.g. gliner model path + labels)."""
+    if detector is not None:
+        tag = "detector:" + getattr(
+            detector, "variant", getattr(detector, "__qualname__", repr(detector))
+        )
+    else:
+        import hashlib
+
+        cat = catalog or pat.MEDICAL_PATTERNS
+        digest = hashlib.sha256(
+            "\x1f".join(f"{k}={cat[k]}" for k in sorted(cat)).encode()
+        ).hexdigest()[:16]
+        tag = f"catalog:{digest}"
+    return tag + f"@t={threshold}"
+
+
 def run_pipeline(
     spark: SparkSession,
     documents: DataFrame,
@@ -217,14 +243,7 @@ def run_pipeline(
     carry a detector variant tag so a resume with a DIFFERENT detector
     (or threshold) recomputes instead of serving a stale snapshot."""
     ckpt = CheckpointManager(workdir)
-    det_variant = (
-        "detector:"
-        + getattr(
-            detector, "variant", getattr(detector, "__qualname__", repr(detector))
-        )
-        if detector is not None
-        else f"catalog:{sorted(catalog) if catalog else 'medical'}"
-    ) + f"@t={threshold}"
+    det_variant = detector_variant(catalog, threshold, detector)
 
     validated = validate_documents(documents)
     sectionized = ckpt.get_or_compute(

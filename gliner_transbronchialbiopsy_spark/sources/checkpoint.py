@@ -50,10 +50,14 @@ def write_bucketed(
     quoted = ".".join(f"`{p}`" for p in parts)
     spark.sql(f"DROP TABLE IF EXISTS {quoted}")
     warehouse = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
-    if len(parts) == 2:
-        stale = warehouse / f"{parts[0].lower()}.db" / parts[1].lower()
-    else:
-        stale = warehouse / parts[-1].lower()
+    # resolve the database the table will actually land in: explicit
+    # qualifier wins, else the session's CURRENT database (only the
+    # default db maps to the warehouse root)
+    db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
+    name = parts[-1].lower()
+    stale = (
+        warehouse / name if db == "default" else warehouse / f"{db.lower()}.db" / name
+    )
     shutil.rmtree(stale, ignore_errors=True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         buckets, bucket_col

@@ -116,8 +116,10 @@ def dedup_documents_stream(
     pair with the batch exact_duplicates() sweep for full-history
     dedup). Without ts_col, state grows with distinct-content count —
     only for bounded backfills."""
+    from ..functions import spark_fns
+
     hashed = doc_stream.withColumn(
-        "content_sha256", F.sha2(F.col(content_col), 256)
+        "content_sha256", spark_fns.content_sha256(F.col(content_col))
     )
     if ts_col is None:
         return hashed.dropDuplicates(["content_sha256"])
@@ -169,22 +171,35 @@ def corrections_latest_state(corrections_stream: DataFrame):
     live row per (document, entity_type) carrying the current corrected
     value — corrections_manager.latest_state (:85-97) as a continuously
     maintained view instead of a batch fold. State per key is a single
-    (timestamp, corrected_value) pair (not the event history), so state
-    size is bounded by the number of DISTINCT corrected cells, and a
-    late or replayed event older than the stored timestamp is ignored
-    exactly like the batch window's ORDER BY ts DESC."""
+    (timestamp, correction_id, corrected_value) triple (not the event
+    history), so state size is bounded by the number of DISTINCT
+    corrected cells, and a late or replayed event older than the stored
+    (timestamp, correction_id) is ignored — the same deterministic
+    tie-break as the batch fold's ORDER BY ts DESC, correction_id DESC
+    (stats.last_writer_wins). Streams without a correction_id column
+    fall back to -1 (equal-timestamp ties then resolve by arrival
+    order, which IS nondeterministic — give events an id)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
         import pandas as pd  # noqa: PLC0415
 
         document, entity_type = key
-        best_ts, best_val = state.get if state.exists else (None, None)
+        if state.exists:
+            best_ts, best_id, best_val = state.get
+        else:
+            best_ts, best_id, best_val = None, None, None
         for pdf in pdfs:
-            for ts, val in zip(pdf["timestamp"], pdf["corrected_value"]):
-                if best_ts is None or ts >= best_ts:
-                    best_ts, best_val = ts, val
-        state.update((best_ts, best_val))
+            ids = (
+                pdf["correction_id"]
+                if "correction_id" in pdf.columns
+                else [-1] * len(pdf)
+            )
+            for ts, cid, val in zip(pdf["timestamp"], ids, pdf["corrected_value"]):
+                cid = -1 if pd.isna(cid) else int(cid)
+                if best_ts is None or (ts, cid) >= (best_ts, best_id):
+                    best_ts, best_id, best_val = ts, cid, val
+        state.update((best_ts, best_id, best_val))
         yield pd.DataFrame(
             {
                 "document": [document],
@@ -200,7 +215,7 @@ def corrections_latest_state(corrections_stream: DataFrame):
             "document string, entity_type string, "
             "corrected_value string, last_updated timestamp"
         ),
-        stateStructType="ts timestamp, val string",
+        stateStructType="ts timestamp, cid long, val string",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

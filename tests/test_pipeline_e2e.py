@@ -139,3 +139,34 @@ def test_pluggable_model_detector_gets_overlap_merge(spark):
     got = {(r["label"], r["text"], r["score"]) for r in mentions.collect()}
     # overlap merged: only the higher-score Grade A span survives
     assert got == {("Grade A", "a zero", 0.95), ("Site", "LID", 0.80)}
+
+
+def test_detector_variant_tracks_pattern_bodies():
+    """Editing a regex body (not just the label set) must change the
+    checkpoint variant, or a resume would serve stale snapshots."""
+    from gliner_transbronchialbiopsy_spark.plans import kg_pipeline as kp
+
+    a = kp.detector_variant({"Site": r"\bLID\b"}, 0.5)
+    b = kp.detector_variant({"Site": r"\bLM\b"}, 0.5)
+    c = kp.detector_variant({"Site": r"\bLID\b"}, 0.7)
+    assert a != b and a != c
+    assert a == kp.detector_variant({"Site": r"\bLID\b"}, 0.5)
+
+
+def test_mention_id_null_id_columns_distinct(spark):
+    """Rows differing only in WHICH id column is NULL must get distinct
+    mention_ids (concat_ws would skip the null and collide them)."""
+    from pyspark.sql import functions as F
+
+    from gliner_transbronchialbiopsy_spark.operators import ner
+
+    docs = spark.createDataFrame(
+        [("r", "p", None, "mot commun ici"), ("r", None, "p", "mot commun ici")],
+        "repo string, path string, commit string, conclusion string",
+    )
+    out = ner.detect_mentions_deduped(
+        docs, text_col="conclusion",
+        catalog={"W": r"\bcommun\b"}, id_cols=("repo", "path", "commit"),
+    )
+    ids = [r["mention_id"] for r in out.collect()]
+    assert len(ids) == 2 and ids[0] != ids[1]

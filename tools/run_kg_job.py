@@ -86,9 +86,10 @@ def main() -> None:
         )
 
         ckpt = CheckpointManager(args.workdir)
-        variant = (
-            f"gliner:{args.gliner_model}" if args.gliner_model
-            else f"catalog:{args.catalog}"
+        from gliner_transbronchialbiopsy_spark import config as _cfg
+
+        variant = kg_pipeline.detector_variant(
+            catalog, _cfg.DEFAULT_CONFIDENCE_THRESHOLD, detector
         )
         mentions = ckpt.get_or_compute(
             spark, "mentions",
