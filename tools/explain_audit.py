@@ -30,7 +30,11 @@ AUDIT = {
     "broadcast_lookup": ("BroadcastHashJoin",),
     "filter_range": ("PushedFilters: [IsNotNull(value)", "!InPandas"),
     "last_writer_wins": ("Window", "!InPandas"),
-    "kg_triples": ("InPandas",),  # python confined to detection+sweep
+    # detection runs upstream behind a localCheckpoint barrier (the UDF
+    # executes once, not per consumer), so the visible plan is the
+    # fan-out join over the checkpointed mention RDD with NO Python in
+    # any downstream operator
+    "kg_triples": ("Scan ExistingRDD", "Join", "!InPandas"),
     "text_quality": ("!InPandas",),  # regex/count features stay JVM
     "sim_topk_cosine": ("TakeOrderedAndProject", "!InPandas"),  # no full sort
     # two-level agg: partial combine before the shuffle, no Python
