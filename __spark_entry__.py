@@ -17,8 +17,6 @@ from gliner_transbronchialbiopsy_spark.functions import patterns as pat
 from gliner_transbronchialbiopsy_spark.functions import spark_fns
 from gliner_transbronchialbiopsy_spark.operators import (
     dedup,
-    merge,
-    ner,
     pivot,
     similarity,
     stats,
