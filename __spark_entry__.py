@@ -504,14 +504,29 @@ def q_sim_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-verified). The slice bound keeps the exact path O(slice^2); the
     full-corpus path is the bucketed one."""
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    # precompute each vector's norm ONCE before the join: recomputing
+    # l2norm inside the pair expression costs two O(dim) folds per pair
+    # (~90k) instead of one per vector (~300)
+    normed = emb.select(
+        "vec_id", "embedding",
+        similarity.l2norm(F.col("embedding")).alias("_norm"),
+    )
+    a = normed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_ea"),
+        F.col("_norm").alias("_na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_eb"),
+        F.col("_norm").alias("_nb"),
+    )
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cos = similarity.dot(F.col("_ea"), F.col("_eb")) / (
+        F.col("_na") * F.col("_nb")
+    )
     return (
-        pairs.select(
-            "id_a", "id_b",
-            similarity.cosine(F.col("_ea"), F.col("_eb")).alias("_cos"),
-        )
+        pairs.select("id_a", "id_b", cos.alias("_cos"))
         .orderBy(F.desc("_cos"), "id_a", "id_b")
         .limit(20)
         .select("id_a", "id_b", F.round("_cos", 4).alias("cosine"))
@@ -682,10 +697,13 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses each partition's token counts before the shuffle, so
     shuffle volume is O(vocab x partitions), not O(corpus tokens)."""
     docs = _read(spark, sf_dir, "documents")
+    # explicit whitespace class, NOT \s: Java's \s includes vertical tab
+    # (\x0B) while DuckDB's RE2 \s does not — the oracle would diverge
+    # on pasted-from-PDF text
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.split(F.trim(F.lower("text")), r"\s+")
+            F.split(F.trim(F.lower("text")), "[ \\t\\n\\r\\f]+")
         ).alias("token"),
     ).filter(F.col("token") != "")
     return (
@@ -705,10 +723,11 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     kfold_assign — reproducible across cluster sizes AND oracle-
     checkable (hash-based sampleBy is not), overflow-safe at any id."""
     docs = _read(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.pmod(F.col("doc_id"), 100) * F.lit(stats._KFOLD_MULT % 100) + 17, 100
-    )
-    sampled = docs.filter(bucket < 20)
+    # the sample IS a kfold bucketing: 100 folds, keep folds 0-19 —
+    # reuse the one overflow-safe rule instead of re-inlining it
+    sampled = stats.kfold_assign(docs, "doc_id", k=100, seed=17).filter(
+        F.col("fold") < 20
+    ).drop("fold")
     return sampled.groupBy("lang").agg(
         F.count("*").alias("n_sampled"),
         F.round(F.avg(F.length("text")), 4).alias("avg_len"),
@@ -1196,7 +1215,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, t.token
               FROM documents,
                    LATERAL unnest(
-                     string_split_regex(trim(lower(text)), '\s+')) t(token)
+                     string_split_regex(trim(lower(text)),
+                                        '[ \t\n\r\f]+')) t(token)
               WHERE t.token != '')
             SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
             FROM toks GROUP BY token

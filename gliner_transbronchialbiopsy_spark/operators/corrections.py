@@ -76,13 +76,16 @@ class CorrectionsLog:
         label_cols: tuple[str, ...] = (),
     ) -> DataFrame:
         """Materialize the corrected wide rows: for each label column,
-        coalesce(latest correction, original). ONE pivot + ONE join
+        coalesce(latest correction, original). ONE aggregate + ONE join
         regardless of label count — the distributed restatement of
         corrections_manager.py:85-97. (A per-label join loop would cost
         len(label_cols) shuffles and a 14-deep plan on the reference's
-        14-label vocabulary; pivoting the latest corrections by
-        entity_type with FIXED pivot values keeps it to one shuffle plus
-        one join.)"""
+        14-label vocabulary.)
+
+        The per-doc corrections travel as a map<entity_type, struct>
+        rather than pivoted columns: map lookup by LITERAL key handles
+        any label string (spaces, dots, backticks), where column-name
+        round-trips through F.col / df[name] parsing cannot."""
         if not label_cols:
             return base
         missing = [lb for lb in label_cols if lb not in base.columns]
@@ -95,36 +98,38 @@ class CorrectionsLog:
         latest = self.latest_corrections().filter(
             F.col("entity_type").isin(list(label_cols))
         )
-        piv = (
-            latest.groupBy(F.col("document").alias(doc_col))
-            .pivot("entity_type", list(label_cols))
-            .agg(F.first(F.struct("corrected_value", "timestamp")))
+        corr_map = latest.groupBy(F.col("document").alias(doc_col)).agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        "entity_type",
+                        F.struct("corrected_value", "timestamp").alias("v"),
+                    )
+                )
+            ).alias("_corr_map")
         )
-        # positional access via df[name]: label strings may contain
-        # spaces or backticks, which F.col's quoted-identifier parsing
-        # cannot express (embedded backticks)
-        piv = piv.select(
-            piv[doc_col],
-            *[piv[lb].alias(f"_corr_{i}") for i, lb in enumerate(label_cols)],
-        )
-        joined = base.join(piv, doc_col, "left")
-        idx = {lb: i for i, lb in enumerate(label_cols)}
+        joined = base.join(corr_map, doc_col, "left")
+
+        def entry(lb: str):
+            return F.col("_corr_map")[F.lit(lb)]
+
+        def qcol(name: str):
+            # backtick-quoted with embedded backticks doubled: the only
+            # escaping F.col's identifier parser accepts for any name
+            return F.col("`" + name.replace("`", "``") + "`")
+
+        labels = set(label_cols)
         # drop a pre-existing last_updated: the fresh one is appended
         # below (re-applying latest_state to its own output must not
-        # produce a duplicate column). df[c] access, not F.col: base
-        # column names are caller-controlled and may contain backticks.
+        # produce a duplicate column)
         projected = [
-            F.coalesce(
-                F.col(f"_corr_{idx[c]}")["corrected_value"], joined[c]
-            ).alias(c)
-            if c in idx
-            else joined[c]
+            F.coalesce(entry(c)["corrected_value"], qcol(c)).alias(c)
+            if c in labels
+            else qcol(c)
             for c in base.columns
             if c != "last_updated"
         ]
-        ts_cols = [
-            F.col(f"_corr_{i}")["timestamp"] for i in range(len(label_cols))
-        ]
+        ts_cols = [entry(lb)["timestamp"] for lb in label_cols]
         last_updated = (
             F.greatest(*ts_cols) if len(ts_cols) > 1 else ts_cols[0]
         ).alias("last_updated")

@@ -188,6 +188,14 @@ def gliner_detector(
     (dedup-before-inference, sha-balanced partitioning, overlap merge —
     which re-engages automatically for model detectors)."""
 
+    from .. import config as cfg
+
+    # resolve the label set NOW: the checkpoint variant must describe
+    # what will actually run — a lazily-resolved config.LABELS edited
+    # between runs would otherwise serve stale snapshots under an
+    # unchanged "None" tag
+    labels = tuple(labels or cfg.LABELS)
+
     def det(docs: DataFrame, text_col: str, id_cols: tuple[str, ...]) -> DataFrame:
         return detect_mentions_gliner(
             docs, text_col=text_col, model_path=model_path, labels=labels,
@@ -195,7 +203,7 @@ def gliner_detector(
         )
 
     # checkpoint-variant identity: a resume with a different model/label
-    # set must recompute the mentions snapshot, not reuse it
+    # set/threshold must recompute the mentions snapshot, not reuse it
     det.variant = f"gliner:{model_path}:{labels}:{threshold}"
     return det
 

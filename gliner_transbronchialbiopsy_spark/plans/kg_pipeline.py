@@ -96,10 +96,13 @@ def detect(
 
     `detector` plugs a model-backed stage in place of the pattern
     catalog: any callable (docs, text_col, id_cols) -> mention rows
-    with the ner.MENTION_FIELDS shape (e.g. a partial of
-    ner.detect_mentions_gliner). Model detectors CAN emit overlapping
-    same-label spans, so detector_overlaps defaults to True for them
-    (the reference applies merge_overlapping_entities to model output,
+    with the ner.MENTION_FIELDS shape (use ner.gliner_detector(...)).
+    When a detector is passed, `catalog` and `threshold` are NOT
+    applied — the detector owns its configuration (gliner_detector
+    bakes its own threshold/labels and declares them in its checkpoint
+    variant). Model detectors CAN emit overlapping same-label spans, so
+    detector_overlaps defaults to True for them (the reference applies
+    merge_overlapping_entities to model output,
     entity_processor.py:137-192) and False for the regex catalog."""
     if detector_overlaps is None:
         detector_overlaps = detector is not None
@@ -209,23 +212,37 @@ def detector_variant(
     detector=None,
 ) -> str:
     """Checkpoint-variant tag for detection-dependent stages. For
-    catalogs it hashes the full CONTENTS (labels AND regex bodies): an
-    edited pattern must invalidate the snapshot, not just a renamed
-    label set; for detectors it uses their declared `variant` identity
-    (e.g. gliner model path + labels)."""
+    catalogs it hashes the full CONTENTS (labels AND regex bodies) plus
+    the applied threshold: an edited pattern must invalidate the
+    snapshot, not just a renamed label set. For detectors it uses their
+    declared `variant` identity (gliner_detector sets model path +
+    resolved labels + its own threshold); a detector WITHOUT a variant
+    attribute gets a per-process unique tag — every resume recomputes,
+    which wastes work but can never serve another detector's stale
+    snapshot (a __qualname__ fallback would collide every closure from
+    the same factory). The pipeline threshold is NOT appended for
+    custom detectors: they own their thresholding, so stamping an
+    unapplied value would corrupt the variant's meaning."""
     if detector is not None:
-        tag = "detector:" + getattr(
-            detector, "variant", getattr(detector, "__qualname__", repr(detector))
-        )
-    else:
-        import hashlib
+        declared = getattr(detector, "variant", None)
+        if declared is not None:
+            return f"detector:{declared}"
+        import warnings
 
-        cat = catalog or pat.MEDICAL_PATTERNS
-        digest = hashlib.sha256(
-            "\x1f".join(f"{k}={cat[k]}" for k in sorted(cat)).encode()
-        ).hexdigest()[:16]
-        tag = f"catalog:{digest}"
-    return tag + f"@t={threshold}"
+        warnings.warn(
+            "detector has no `variant` attribute; checkpoint snapshots "
+            "will never be reused across runs (set detector.variant to "
+            "a string identifying the model/config to enable resume)",
+            stacklevel=2,
+        )
+        return f"detector:unidentified:{id(detector)}"
+    import hashlib
+
+    cat = catalog or pat.MEDICAL_PATTERNS
+    digest = hashlib.sha256(
+        "\x1f".join(f"{k}={cat[k]}" for k in sorted(cat)).encode()
+    ).hexdigest()[:16]
+    return f"catalog:{digest}@t={threshold}"
 
 
 def run_pipeline(

@@ -43,21 +43,23 @@ def write_bucketed(
     otherwise). Handles db-qualified names (db.table lives under
     <warehouse>/<db>.db/<table>)."""
     import shutil
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     spark = df.sparkSession
     parts = table.split(".")
     quoted = ".".join(f"`{p}`" for p in parts)
     spark.sql(f"DROP TABLE IF EXISTS {quoted}")
-    warehouse = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    # unquote: warehouse.dir is a URI — %20 etc. must become real chars
+    warehouse = Path(
+        unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    )
     # resolve the database the table will actually land in: explicit
     # qualifier wins, else the session's CURRENT database (only the
-    # default db maps to the warehouse root)
-    db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
+    # default db maps to the warehouse root; comparison case-normalized
+    # like the catalog itself)
+    db = (parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()).lower()
     name = parts[-1].lower()
-    stale = (
-        warehouse / name if db == "default" else warehouse / f"{db.lower()}.db" / name
-    )
+    stale = warehouse / name if db == "default" else warehouse / f"{db}.db" / name
     shutil.rmtree(stale, ignore_errors=True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         buckets, bucket_col

@@ -427,3 +427,47 @@ def test_minhash_gid_injective_on_separator_bytes(spark):
     assert len(rows) == 2
     by_label = {r["label"]: (tuple(r["sig"]), r["n_shingles"]) for r in rows}
     assert by_label["a"] != by_label["a\x1fb"]
+
+
+def test_latest_state_hostile_label_names(spark):
+    """Labels containing dots and backticks must round-trip: the
+    corrections travel as a map keyed by the literal label string, so
+    no column-name parsing is involved."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from gliner_transbronchialbiopsy_spark.operators.corrections import (
+        CORRECTION_SCHEMA, CorrectionsLog,
+    )
+
+    d = tempfile.mkdtemp(prefix="corr_hostile_")
+    log = CorrectionsLog(spark, os.path.join(d, "log"))
+    hostile = ["v1.0", "Grade `A`"]
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "document": ["d1", "d1"],
+                "entity_type": hostile,
+                "original_value": ["x", "y"],
+                "corrected_value": ["X2", "Y2"],
+                "timestamp": pd.to_datetime(["2024-01-01 10:00"] * 2),
+                "user": ["u", "u"],
+                "notes": pd.array([None, None], dtype="string"),
+                "correction_id": [1, 2],
+            }
+        ),
+        CORRECTION_SCHEMA,
+    )
+    log.append(events)
+    base = spark.createDataFrame(
+        [("d1", "x", "y"), ("d2", "a", "b")],
+        ["document", *hostile],
+    )
+    out = {
+        r["document"]: (r[hostile[0]], r[hostile[1]])
+        for r in log.latest_state(base, label_cols=tuple(hostile)).collect()
+    }
+    assert out["d1"] == ("X2", "Y2")
+    assert out["d2"] == ("a", "b")
