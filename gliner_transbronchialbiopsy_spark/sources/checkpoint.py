@@ -104,6 +104,12 @@ class CheckpointManager:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(d / "data"))
         wall = time.time() - t0
+        # persist the schema: an EMPTY stage writes a parquet dir with
+        # no part files, and a schema-less read-back fails with
+        # UNABLE_TO_INFER_SCHEMA — an empty stage is legitimate (e.g.
+        # zero mentions at tiny scale) and must round-trip
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "_schema.json").write_text(df.schema.json())
 
         back = self.read(df.sparkSession, stage)
         n_rows = back.count()
@@ -126,7 +132,16 @@ class CheckpointManager:
         (d / "_metrics.json").write_text(json.dumps(metrics, indent=2))
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.read.parquet(str(self._stage_dir(stage) / "data"))
+        d = self._stage_dir(stage)
+        schema_file = d / "_schema.json"
+        reader = spark.read
+        if schema_file.exists():
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(
+                StructType.fromJson(json.loads(schema_file.read_text()))
+            )
+        return reader.parquet(str(d / "data"))
 
     def metrics(self, stage: str) -> dict:
         return json.loads((self._stage_dir(stage) / "_metrics.json").read_text())

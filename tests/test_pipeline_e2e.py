@@ -170,3 +170,20 @@ def test_mention_id_null_id_columns_distinct(spark):
     )
     ids = [r["mention_id"] for r in out.collect()]
     assert len(ids) == 2 and ids[0] != ids[1]
+
+
+def test_checkpoint_empty_stage_roundtrips(spark, tmpdir_path):
+    """An empty stage (e.g. zero mentions at tiny scale) must read back
+    with its schema instead of failing UNABLE_TO_INFER_SCHEMA."""
+    from gliner_transbronchialbiopsy_spark.sources.checkpoint import (
+        CheckpointManager,
+    )
+
+    ckpt = CheckpointManager(tmpdir_path)
+    empty = spark.createDataFrame([], "a string, b int")
+    out = ckpt.get_or_compute(spark, "empty_stage", lambda: empty)
+    assert out.count() == 0
+    assert out.columns == ["a", "b"]
+    # resume path: served from the snapshot, same schema
+    again = ckpt.get_or_compute(spark, "empty_stage", lambda: 1 / 0)
+    assert again.columns == ["a", "b"]

@@ -65,13 +65,30 @@ def main() -> None:
     # layout gives the scan this parallelism for free.
     if docs.rdd.getNumPartitions() < args.cpus:
         docs = docs.repartition(args.cpus * 2)
-    if "repo" not in docs.columns:  # driver-table shape adapter
+    input_cols = set(docs.columns)
+    if "repo" in input_cols:
+        need = {"repo", "path", "commit", "lang", "content"}
+        if not need <= input_cols:
+            ap.error(
+                f"--input is missing columns {sorted(need - input_cols)}; "
+                "expected the corpus shape (repo, path, commit, lang, "
+                "content) or the driver documents shape (source, doc_id, "
+                "lang, text)"
+            )
+    elif {"source", "doc_id", "lang", "text"} <= input_cols:
+        # driver-table shape adapter
         docs = docs.select(
             F.col("source").alias("repo"),
             F.col("doc_id").cast("string").alias("path"),
             F.lit("HEAD").alias("commit"),
             "lang",
             F.col("text").alias("content"),
+        )
+    else:
+        ap.error(
+            f"--input has columns {sorted(input_cols)}; expected either "
+            "(repo, path, commit, lang, content) or the driver documents "
+            "shape (source, doc_id, lang, text)"
         )
 
     t0 = time.time()
