@@ -446,17 +446,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """portable_hash=True: the sha256-derived shingle-hash family makes
+    the WHOLE LSH pipeline (signatures -> banding -> 64-row bucket cap
+    -> candidate self-join -> estimated Jaccard) restatable in DuckDB,
+    so this query carries a full value oracle instead of a rows-only
+    check. The xxhash64 family remains the production default."""
     docs = _read(spark, sf_dir, "documents")
     return dedup.minhash_near_duplicates(
-        docs, "text", "doc_id", jaccard_threshold=0.5
+        docs, "text", "doc_id", jaccard_threshold=0.5, portable_hash=True
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """portable_hash=True (see q_dedup_minhash): sha-derived 60-bit
+    shingle hashes give the simhash table a DuckDB restatement."""
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return dedup.simhash_buckets(docs, "text", "doc_id").filter(
-        F.col("hamming") <= 12
-    )
+    return dedup.simhash_buckets(
+        docs, "text", "doc_id", portable_hash=True
+    ).filter(F.col("hamming") <= 12)
 
 
 def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1353,8 +1360,128 @@ def oracle_sql() -> dict[str, str]:
                    s.n_spans
             FROM spans s JOIN documents d ON d.doc_id = s.doc_id
         """,
-        # dedup_minhash / dedup_simhash intentionally have no SQL oracle
-        # (the LSH banding is xxhash64-based); the driver records
-        # rows-only checks and pytest cross-checks minhash estimates
-        # against the exact-Jaccard oracle pairs.
+        # dedup_minhash / dedup_simhash run with portable_hash=True: the
+        # shingle-hash family is derived from sha256 (60 bits = 15 hex
+        # digits, inside int64 on both engines), so the ENTIRE LSH
+        # pipeline — signatures, banding, bucket caps, candidate join,
+        # estimate — is restated below. Production keeps xxhash64.
+        "dedup_minhash": """
+            WITH texts AS (
+              SELECT DISTINCT text FROM documents
+            ),
+            tid AS (
+              SELECT text, sha256(text) AS tid FROM texts
+            ),
+            -- distinct char-5-grams of lower(text); short texts (<5)
+            -- yield the whole string (substr(1,5)), like char_shingles
+            shingles AS (
+              SELECT t.tid, s.sh
+              FROM tid t, LATERAL (
+                SELECT DISTINCT substr(lower(t.text), CAST(u.i AS INT), 5) AS sh
+                FROM unnest(range(1, greatest(len(t.text) - 4, 1) + 1)) u(i)
+              ) s
+            ),
+            -- MinHash slot i = min over shingles of the 60-bit
+            -- sha256-derived hash of (shingle \\x1f i)
+            minh AS (
+              SELECT sh.tid, CAST(sl.slot AS INT) AS slot,
+                     min(CAST('0x' || substr(
+                           sha256(sh.sh || chr(31) || CAST(sl.slot AS VARCHAR)),
+                           1, 15) AS BIGINT)) AS h
+              FROM shingles sh, range(0, 32) sl(slot)
+              GROUP BY 1, 2
+            ),
+            -- 8 bands x 4 slots; band key = the slot values themselves
+            -- (Spark xxhash64's the same concat — equality semantics
+            -- are identical)
+            bandkeys AS (
+              SELECT tid, CAST(slot // 4 AS INT) AS band_id,
+                     string_agg(CAST(h AS VARCHAR), ',' ORDER BY slot)
+                       AS band_key
+              FROM minh GROUP BY tid, slot // 4
+            ),
+            -- the 64-row hot-bucket skew cap, applied BEFORE the join
+            okb AS (
+              SELECT band_id, band_key FROM bandkeys
+              GROUP BY 1, 2 HAVING count(*) <= 64
+            ),
+            capped AS (
+              SELECT b.* FROM bandkeys b JOIN okb USING (band_id, band_key)
+            ),
+            cand AS (
+              SELECT DISTINCT a.tid AS tid_a, b.tid AS tid_b
+              FROM capped a
+              JOIN capped b ON a.band_id = b.band_id
+                           AND a.band_key = b.band_key AND a.tid < b.tid
+            ),
+            -- estimated Jaccard = fraction of equal signature slots
+            est AS (
+              SELECT c.tid_a, c.tid_b,
+                     sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 32.0
+                       AS jaccard
+              FROM cand c
+              JOIN minh ha ON ha.tid = c.tid_a
+              JOIN minh hb ON hb.tid = c.tid_b AND hb.slot = ha.slot
+              GROUP BY 1, 2
+            ),
+            reps AS (
+              SELECT sha256(text) AS tid, min(CAST(doc_id AS VARCHAR)) AS rep_id
+              FROM documents GROUP BY 1
+            )
+            SELECT ra.rep_id AS id_a, rb.rep_id AS id_b,
+                   round(e.jaccard, 4) AS jaccard
+            FROM est e
+            JOIN reps ra ON ra.tid = e.tid_a
+            JOIN reps rb ON rb.tid = e.tid_b
+            WHERE e.jaccard >= 0.5
+        """,
+        "dedup_simhash": """
+            WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            sh AS (
+              SELECT d.doc_id, s.sh,
+                     CAST('0x' || substr(sha256(s.sh), 1, 15) AS BIGINT) AS h
+              FROM docs d, LATERAL (
+                SELECT DISTINCT substr(lower(d.text), CAST(u.i AS INT), 4) AS sh
+                FROM unnest(range(1, greatest(len(d.text) - 3, 1) + 1)) u(i)
+              ) s
+            ),
+            -- majority vote per bit (bits 60-63 of the 60-bit hash are
+            -- constantly 0 -> vote -1 -> simhash bit 0, on both engines)
+            votes AS (
+              SELECT doc_id, CAST(b.bit AS INT) AS bit,
+                     sum(CASE WHEN (h >> CAST(b.bit AS INT)) & 1 = 1
+                              THEN 1 ELSE -1 END) AS v
+              FROM sh, range(0, 64) b(bit)
+              GROUP BY 1, 2
+            ),
+            simh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                              ELSE CAST(0 AS BIGINT) END) AS simhash
+              FROM votes GROUP BY doc_id
+            ),
+            -- 4 bands of 16 bits + the 256-row hot-bucket cap
+            banded AS (
+              SELECT doc_id, simhash, CAST(r.i AS INT) AS band_id,
+                     (simhash >> CAST(r.i * 16 AS INT)) & 65535 AS band_val
+              FROM simh, range(0, 4) r(i)
+            ),
+            okb AS (
+              SELECT band_id, band_val FROM banded
+              GROUP BY 1, 2 HAVING count(*) <= 256
+            ),
+            capped AS (
+              SELECT b.* FROM banded b JOIN okb USING (band_id, band_val)
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                       AS hamming
+              FROM capped a
+              JOIN capped b ON a.band_id = b.band_id
+                           AND a.band_val = b.band_val
+                           AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 12
+        """,
     }

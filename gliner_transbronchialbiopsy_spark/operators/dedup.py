@@ -129,9 +129,16 @@ def minhash_near_duplicates(
     shingle_n: int = 5,
     jaccard_threshold: float = 0.6,
     exact_verify: bool = False,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs over char shingles. Returns
     (id_a, id_b, jaccard).
+
+    portable_hash=True derives the shingle-hash family from sha256
+    (linking.portable_hash60) instead of xxhash64, making the full
+    pipeline — signatures, banding, bucket cap, estimate — restatable
+    in DuckDB SQL for oracle verification. xxhash64 stays the
+    production default (JVM intrinsic, no sha round per shingle).
 
     Default verification is the MinHash ESTIMATE (equal-slot fraction,
     std err ~1/sqrt(num_hashes)) — no per-pair array work, which is
@@ -151,15 +158,22 @@ def minhash_near_duplicates(
     ).withColumn("_tid", F.sha2("text", 256))
     surfaces = keyed.withColumn("label", F.lit("doc"))
     sigs = linking.minhash_signatures(
-        surfaces, "text", ("label",), num_hashes=num_hashes, shingle_n=shingle_n
+        surfaces, "text", ("label",), num_hashes=num_hashes,
+        shingle_n=shingle_n, portable_hash=portable_hash,
     )
-    # swap the text identity for its sha before anything shuffles again
+    # swap the text identity for its sha before anything shuffles again.
+    # ONLY the signature table is materialized: it is referenced five
+    # times downstream (bucket census, both candidate-join sides, both
+    # estimate-join sides), so an uncut lineage recomputes the shingle
+    # explode + 32-agg shuffle five times. The candidate-pair and edge
+    # subtrees are each consumed once — checkpointing them paid nothing
+    # (measured interleaved at sf0.1: sigs-only 12.3/7.9s vs
+    # all-three-checkpoints 46.3/10.5s cold/warm, identical 6,861 rows;
+    # see BENCH/BASELINE.md)
     sigs = sigs.select(
         "label", F.sha2("text", 256).alias("text"), "sig", "n_shingles"
     ).localCheckpoint()
-    pairs = linking.lsh_candidate_pairs(
-        sigs, "text", ("label",), bands=bands
-    ).localCheckpoint()
+    pairs = linking.lsh_candidate_pairs(sigs, "text", ("label",), bands=bands)
     if exact_verify:
         texts = keyed.select("_tid", "text").dropDuplicates(["_tid"])
         with_text = (
@@ -197,7 +211,6 @@ def minhash_near_duplicates(
     # map text ids back to document ids (duplicate texts -> their
     # representative id; exact dups were collapsed by dropDuplicates in
     # the signature stage — run exact_duplicates() for the full groups)
-    edges = edges.localCheckpoint()
     ids = keyed.groupBy("_tid").agg(F.min("_key").alias("rep_id"))
     return (
         edges.join(
@@ -217,17 +230,28 @@ def simhash_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 4,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """(id, simhash) — 64-bit SimHash: majority vote per bit over the
     xxhash64 of each char shingle. Plan: explode shingles -> one
     groupBy(id) with 64 sum aggregates (map-side partials make this one
-    cheap shuffle) -> bit reassembly in a single project."""
+    cheap shuffle) -> bit reassembly in a single project.
+
+    portable_hash=True uses the sha256-derived 60-bit family
+    (linking.portable_hash60) so DuckDB can restate the table; bits
+    60-63 are then constantly 0 (votes all -1), which both engines
+    agree on — 60 effective simhash bits instead of 64."""
+    h = (
+        linking.portable_hash60(F.col("shingle"))
+        if portable_hash
+        else F.xxhash64("shingle")
+    )
     shingled = df.select(
         F.col(id_col),
         F.explode(linking.char_shingles(F.col(text_col), shingle_n)).alias(
             "shingle"
         ),
-    ).withColumn("_h", F.xxhash64("shingle"))
+    ).withColumn("_h", h)
     votes = [
         F.sum(
             F.when(
@@ -253,11 +277,14 @@ def simhash_buckets(
     id_col: str = "doc_id",
     shingle_n: int = 4,
     band_bits: int = 16,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """SimHash near-dup candidates: docs sharing any 16-bit band of
     their 64-bit simhash (standard Hamming-LSH blocking).
     Returns (id_a, id_b, hamming)."""
-    hashed = simhash_table(df, text_col, id_col, shingle_n)
+    hashed = simhash_table(
+        df, text_col, id_col, shingle_n, portable_hash=portable_hash
+    )
     n_bands = 64 // band_bits
     bands_arr = F.array(
         *[

@@ -32,18 +32,38 @@ def char_shingles(col, n: int = 3):
     )
 
 
+def portable_hash60(col, seed: int | None = None):
+    """60-bit hash derived from sha256 — reproducible on ANY engine with
+    a sha256 builtin (DuckDB: CAST('0x'||substr(sha256(s),1,15) AS
+    BIGINT)), unlike xxhash64 whose exact 64-bit values only Spark
+    emits. 15 hex digits = 60 bits keeps the value safely inside int64
+    on both engines (16 digits can exceed signed-long range). The seed
+    is appended behind a \\x1f separator so seeded families stay
+    independent. Used by the portable_hash=True modes of the MinHash /
+    SimHash operators so their outputs gain SQL oracles; xxhash64
+    remains the production default (single JVM intrinsic vs a full
+    sha256 round per shingle)."""
+    s = col if seed is None else F.concat_ws("\x1f", col, F.lit(str(seed)))
+    return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     surfaces: DataFrame,
     text_col: str = "text",
     key_cols: tuple[str, ...] = ("label",),
     num_hashes: int = 16,
     shingle_n: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """One row per distinct (key_cols, text) with `sig: array<bigint>`.
 
     MinHash h_i(S) = min over shingles s of xxhash64(s, i) — computed by
     exploding shingles once and taking num_hashes mins in a single
-    aggregation (one shuffle).
+    aggregation (one shuffle). portable_hash=True swaps the shingle
+    hash family for portable_hash60 (sha256-derived) so the whole
+    signature — and everything downstream of it: banding, candidate
+    pairs, estimated Jaccard — is restatable in ANSI SQL for oracle
+    verification; same plan shape, more CPU per shingle.
 
     The aggregation groups on a compact sha256 group id, NOT on the
     text itself: grouping by the raw text makes every exploded shingle
@@ -67,10 +87,15 @@ def minhash_signatures(
         "_gid",
         F.explode(char_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ] + [F.count("*").alias("n_shingles")]
+    if portable_hash:
+        def _h(i):
+            return portable_hash60(F.col("shingle"), seed=i)
+    else:
+        def _h(i):
+            return F.xxhash64("shingle", F.lit(i))
+    aggs = [F.min(_h(i)).alias(f"h{i}") for i in range(num_hashes)] + [
+        F.count("*").alias("n_shingles")
+    ]
     sig = exploded.groupBy("_gid").agg(*aggs)
     return keyed.join(sig, "_gid").select(
         *key_cols,
