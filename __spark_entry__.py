@@ -114,7 +114,16 @@ def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded cache: evict (unpersist) the OLDEST entries — dicts are
     # insertion-ordered, so the first key is FIFO — so a long-lived
-    # process running many sessions/sf_dirs doesn't pin blocks forever
+    # process running many sessions/sf_dirs doesn't pin blocks forever.
+    # A stale SAME-key entry (identity guard rejected it above) is
+    # evicted first: the FIFO loop might pop the other key instead and
+    # the overwrite below would then leak the stale entry's blocks.
+    stale = _MENTIONS_CACHE.pop(key, None)
+    if stale is not None:
+        try:
+            stale.unpersist()
+        except Exception:
+            pass  # owning session may already be stopped
     while len(_MENTIONS_CACHE) >= 2:
         oldest = next(iter(_MENTIONS_CACHE))
         old = _MENTIONS_CACHE.pop(oldest)
@@ -466,6 +475,39 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("hamming") <= 12)
 
 
+def q_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule per-partition lineage as a CONTRACT surface: run the
+    triples stage through CheckpointManager (partition_by=pred,
+    lineage_key=pred) into a fresh workdir, then read back the stage's
+    _lineage table and expose (pred, n_rows). The oracle restates the
+    per-pred counts directly from the documents table, so the lineage
+    rows the checkpoint machinery WROTE are value-checked against an
+    independent derivation — the lineage invariant itself has an
+    oracle, not just the data it describes. (The companion
+    content_fingerprint column is a crc32 fold DuckDB cannot restate;
+    it stays pytest-verified in test_pipeline_e2e.)"""
+    import tempfile
+
+    from gliner_transbronchialbiopsy_spark.plans import kg_pipeline
+    from gliner_transbronchialbiopsy_spark.sources.checkpoint import (
+        CheckpointManager,
+    )
+
+    docs = _docs_as_corpus(spark, sf_dir)
+    validated = kg_pipeline.validate_documents(docs)
+    sectionized = validated.select(
+        "repo", "path", "commit", "content_sha256",
+        F.col("content").alias("conclusion"),
+    )
+    mentions = kg_pipeline.detect(sectionized, catalog=pat.KEYWORD_PATTERNS)
+    cmap = kg_pipeline.canonicalize(mentions)
+    triples = kg_pipeline.materialize_triples(mentions, cmap)
+    ckpt = CheckpointManager(tempfile.mkdtemp(prefix="kg_lineage_"))
+    ckpt.write("triples", triples, partition_by=("pred",), lineage_key="pred")
+    lineage = ckpt.lineage(spark, "triples")
+    return lineage.select("pred", F.col("rows").alias("n_rows"))
+
+
 def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
@@ -776,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_chain": q_string_chain,
         "grade_normalize": q_grade_normalize,
         "sha256_lineage": q_sha256,
+        "lineage_counts": q_lineage_counts,
         "token_counts": q_token_counts,
         "label_stats": q_label_stats,
         "count_histogram": q_count_histogram,
@@ -1359,6 +1402,16 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS n_tokens,
                    s.n_spans
             FROM spans s JOIN documents d ON d.doc_id = s.doc_id
+        """,
+        # the lineage table's per-pred counts, derived independently
+        # from the raw documents (KEYWORD labels are not in LABEL_SLUGS,
+        # so pred == label in the triples stage)
+        "lineage_counts": f"""
+            SELECT l.label AS pred, CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents d
+            JOIN (VALUES {kw_values}) l(label, rx) ON TRUE,
+            LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            GROUP BY 1
         """,
         # dedup_minhash / dedup_simhash run with portable_hash=True: the
         # shingle-hash family is derived from sha256 (60 bits = 15 hex

@@ -103,11 +103,23 @@ def _edge_signature(sym: DataFrame) -> tuple[int, int, int]:
     return (row["n"], row["h0"], row["h1"])
 
 
+def iteration_budget_for(n_edges: int) -> int:
+    """Star rounds converge in ~log2(n) iterations in practice (the
+    SoCC'14 bound is O(log^2 n) worst case); budget 2*log2(n)+4 with a
+    floor of 20 so a 100 TB near-dup graph doesn't hit an arbitrary
+    constant ceiling: 2M edges -> 46 rounds allowed, 10^12 -> 84. The
+    raise-on-non-convergence contract is unchanged — the budget only
+    scales with the input instead of being a constant."""
+    import math
+
+    return max(20, 2 * math.ceil(math.log2(n_edges + 2)) + 4)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iterations: int = 20,
+    max_iterations: int | None = None,
     driver_cutoff: int = 1_000_000,
 ) -> DataFrame:
     """edges(src, dst) [string ids] -> (node, component) where component
@@ -121,9 +133,12 @@ def connected_components(
     propagation, whose O(diameter) rounds silently truncate on long
     chains. Both paths elect the same canonical minimum.
 
-    Raises RuntimeError if max_iterations is exhausted before the edge
-    set reaches its star-forest fixed point (never returns a silently
-    wrong partial answer)."""
+    max_iterations=None (the default) derives the budget from the
+    symmetric edge count (iteration_budget_for — ~2*log2(n)+4, floor
+    20), so the ceiling scales with the graph instead of being a
+    constant. Raises RuntimeError if the budget is exhausted before the
+    edge set reaches its star-forest fixed point (never returns a
+    silently wrong partial answer)."""
     if driver_cutoff and edges.limit(driver_cutoff + 1).count() <= driver_cutoff:
         return connected_components_driver(edges, src, dst)
     sym = (
@@ -137,6 +152,10 @@ def connected_components(
 
     cur = sym
     sig = _edge_signature(cur)
+    if max_iterations is None:
+        # sig[0] is the symmetric distinct edge count — already computed
+        # for the convergence fingerprint, so the sizing is free
+        max_iterations = iteration_budget_for(sig[0])
     converged = False
     for _ in range(max_iterations):
         # each round: large-star then small-star, re-symmetrized between
@@ -179,7 +198,7 @@ def canonical_map(
     node_col: str = "node",
     src: str = "src",
     dst: str = "dst",
-    max_iterations: int = 20,
+    max_iterations: int | None = None,
 ) -> DataFrame:
     """(node, canonical) over ALL nodes: isolated nodes canonicalize to
     themselves; connected ones to their component minimum."""

@@ -327,16 +327,45 @@ def simhash_buckets(
     )
 
 
+def embedding_planes_for(n_rows: int, max_bucket_size: int) -> int:
+    """Autoscale the hyperplane count so the EXPECTED bucket size stays
+    a small fraction of the cap: 2^p buckets should hold ~cap/4 rows
+    each on average, i.e. p = ceil(log2(n / (cap/4))). Clamped to
+    [4, 24] (16 buckets minimum so tiny corpora still split; 16M
+    buckets maximum — beyond that the bucket key itself dominates)."""
+    import math
+
+    target = max(max_bucket_size // 4, 1)
+    raw = math.ceil(math.log2(max(n_rows, 2) / target + 1))
+    return max(4, min(24, raw))
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-dups via random-hyperplane LSH bucketing
     (deterministic planes from xxhash64 of (dim, plane)) + exact cosine
-    verify inside buckets. Returns (id_a, id_b, cosine)."""
+    verify inside buckets. Returns (id_a, id_b, cosine).
+
+    Scale guards (north_rule skew discipline, same pattern as the
+    MinHash band cap and the SimHash 256-row cap):
+    - buckets larger than max_bucket_size are dropped BEFORE the
+      self-join (left-semi against the bucket census) — a degenerate
+      corpus where every embedding collapses into one bucket costs one
+      aggregate, never b^2/2 pairs;
+    - n_planes=None autoscales the bucket count to the corpus size
+      (embedding_planes_for), so a 100x bigger corpus gets ~log2(100)
+      more planes instead of 100x fuller buckets. Pass an explicit
+      n_planes to skip the sizing count() pass.
+    - per-vector norms are computed ONCE before the join (one O(dim)
+      fold per vector, not two per candidate pair)."""
+    if n_planes is None:
+        n_planes = embedding_planes_for(df.count(), max_bucket_size)
     dim = F.size(vec_col)
     # deterministic pseudo-random plane component for (i, p):
     # sign of xxhash64(i, p)
@@ -354,24 +383,28 @@ def embedding_near_duplicates(
         ).cast("int")
 
     sig = F.concat_ws("", *[plane_bit(p).cast("string") for p in range(n_planes)])
-    bucketed = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+        )
+    )
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), sig.alias("bucket"), norm.alias("_norm")
+    )
+    ok = (
+        bucketed.groupBy("bucket")
+        .count()
+        .filter(F.col("count") <= max_bucket_size)
+        .drop("count")
+    )
+    bucketed = bucketed.join(ok, "bucket", "left_semi")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
                    lambda x, y: x.cast("double") * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-
-    def norm(side):
-        return F.sqrt(
-            F.aggregate(
-                F.col(f"{side}.{vec_col}"),
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x,
-            )
-        )
-
-    cosine = dot / (norm("a") * norm("b"))
+    cosine = dot / (F.col("a._norm") * F.col("b._norm"))
     return (
         a.join(
             b,

@@ -64,6 +64,7 @@ def detect(
     partitions: int | None = None,
     detector=None,
     detector_overlaps: bool | None = None,
+    docs_clustered: bool = False,
 ) -> DataFrame:
     """Stage 2: dedup-by-content -> detect -> [overlap-merge] -> fan out.
 
@@ -75,13 +76,23 @@ def detect(
 
     Shuffle inventory (the 4->16 scaling bottleneck is shuffles of the
     mention/doc tables, so each one is deliberate):
-    - ONE repartition(partitions, sha) that is simultaneously the dedup
-      clustering and the length balancer: dropDuplicates on the same key
-      reuses the exchange (Catalyst sees the child partitioning already
-      satisfies the aggregate's clustering), and hash-on-sha scatters
-      document lengths uniformly, which is exactly what the separate
-      length-bucket repartition bought — so that second full-text
-      shuffle is gone.
+    - ONE clustering exchange on content sha, materialized, serves
+      THREE purposes at once: (a) the dedup clustering — dropDuplicates
+      adds no exchange because the child partitioning already satisfies
+      its grouping (alias-aware), (b) the length balancer — hash-on-sha
+      scatters document lengths uniformly, which is what a separate
+      length-bucket repartition would buy, and (c) the fan-out join's
+      DOC side — the probe reads the same materialized clustering, so
+      only the mention side shuffles for the join (mapInPandas output
+      carries no partitioning guarantee). Column pruning would
+      otherwise specialize the exchange per consumer (killing reuse),
+      hence the materialization barrier rather than a bare repartition.
+    - docs_clustered=True skips that exchange entirely: the caller
+      attests the input is already clustered by content_sha256 — e.g.
+      a bucketed stage table (sources.checkpoint.write_bucketed) or an
+      Iceberg bucket(n, content_sha256) layout — so the SCAN provides
+      the clustering and the doc table never shuffles at all (the
+      run_kg_job --bucketed-docs path).
     - the overlap-merge window shuffle runs ONLY when the detector can
       actually emit per-label overlaps (detector_overlaps=True, the
       GLiNER path). A single compiled regex's finditer output is
@@ -90,9 +101,6 @@ def detect(
       catalogs the per-(sha,label) sweep is a provable no-op and its
       full-mention-table shuffle is skipped. merge_overlaps stays the
       default for any detector without this guarantee.
-    - the fan-out join shuffles both sides (mapInPandas output carries
-      no partitioning guarantee — verified; a bucketed/Iceberg-sorted
-      documents table would co-locate the doc side for free).
 
     `detector` plugs a model-backed stage in place of the pattern
     catalog: any callable (docs, text_col, id_cols) -> mention rows
@@ -101,9 +109,15 @@ def detect(
     applied — the detector owns its configuration (gliner_detector
     bakes its own threshold/labels and declares them in its checkpoint
     variant). Model detectors CAN emit overlapping same-label spans, so
-    detector_overlaps defaults to True for them (the reference applies
-    merge_overlapping_entities to model output,
-    entity_processor.py:137-192) and False for the regex catalog."""
+    detector_overlaps defaults to True for them and False for the regex
+    catalog. (The reference DEFINES merge_overlapping_entities,
+    entity_processor.py:137-192, but never calls it — the merge here is
+    a generalization, not call-site parity. Note also a scope
+    difference: this default merges per-(sha_key, label), while the
+    reference's function merges across labels — overlapping
+    different-label spans both survive here. For cross-label semantics
+    call merge.merge_overlaps with group_cols omitting 'label', which
+    it already supports; see test_merge_across_labels_doc_level.)"""
     if detector_overlaps is None:
         detector_overlaps = detector is not None
     hashed = sectionized.select(
@@ -111,12 +125,22 @@ def detect(
     ).filter(
         F.col("conclusion").isNotNull() & (F.trim(F.col("conclusion")) != "")
     )
+    if not docs_clustered:
+        # the single doc-table exchange (see docstring): cluster once,
+        # persist, and let both consumers (dedup + fan-out probe)
+        # inherit the partitioning instead of shuffling separately.
+        # persist (not localCheckpoint): InMemoryTableScan PRESERVES the
+        # child's outputPartitioning — alias-aware, so the dedup's
+        # sha_key grouping and the join's content_sha256 clustering are
+        # both satisfied with zero further exchanges — while a
+        # checkpoint's Scan ExistingRDD reports unknown partitioning and
+        # re-shuffles (verified on this Spark build). The cache block is
+        # released by the ContextCleaner once the plan is unreferenced.
+        n = (partitions,) if partitions else ()
+        hashed = hashed.repartition(*n, "content_sha256").persist()
     distinct = hashed.select(
         F.col("content_sha256").alias("sha_key"), "conclusion"
-    )
-    if partitions:
-        distinct = distinct.repartition(partitions, "sha_key")
-    distinct = distinct.dropDuplicates(["sha_key"])
+    ).dropDuplicates(["sha_key"])
     if detector is not None:
         found = detector(distinct, "conclusion", ("sha_key",))
     else:
@@ -158,30 +182,52 @@ def detect(
     )
 
 
+_NODE_SCHEMA = "label string, text string"
+
+
+def _node_id(label_col, text_col) -> F.Column:
+    """Injective string node id for the CC stage: to_json(struct(...))
+    escapes field contents and represents NULLs structurally, so NO
+    surface can collide or corrupt the id — unlike a separator join,
+    where a surface containing the separator byte shifts field
+    boundaries (the repo-wide injective-key rule, same as mention_id)."""
+    return F.to_json(
+        F.struct(F.col(label_col).alias("label"), F.col(text_col).alias("text"))
+    )
+
+
 def canonicalize(mentions: DataFrame) -> DataFrame:
     """Stage 3: similarity edges between (label, surface) pairs ->
-    connected components -> (label, text, canonical) map."""
+    connected components -> (label, text, canonical) map.
+
+    Node ids are to_json(struct(label, text)) and the output (label,
+    text) is recovered with from_json — a lossless round-trip for ANY
+    surface bytes. Canonical election stays the component's minimum
+    node id; within a component every node shares the same label (edges
+    never cross labels), so for ordinary surfaces the elected text is
+    the lexicographic-minimum surface, as before."""
     edges = linking.link_surfaces(
         mentions, text_col="text", key_cols=("label",)
     ).localCheckpoint()
-    sep = "\x1f"  # node id = label \x1f surface: components never cross labels
-    nodes = mentions.select(
-        F.concat_ws(sep, "label", "text").alias("node")
-    ).distinct()
+    nodes = mentions.select(_node_id("label", "text").alias("node")).distinct()
     if edges.isEmpty():
         # common fast path (no near-duplicate surfaces): identity map,
         # skip the CC driver loop entirely
         cmap = nodes.select("node", F.col("node").alias("canonical"))
     else:
         e = edges.select(
-            F.concat_ws(sep, "label", "text_a").alias("src"),
-            F.concat_ws(sep, "label", "text_b").alias("dst"),
+            _node_id("label", "text_a").alias("src"),
+            _node_id("label", "text_b").alias("dst"),
         )
         cmap = components.canonical_map(e, nodes)
-    return cmap.select(
-        F.substring_index("node", sep, 1).alias("label"),
-        F.substring_index("node", sep, -1).alias("text"),
-        F.substring_index("canonical", sep, -1).alias("canonical_text"),
+    parsed = cmap.select(
+        F.from_json("node", _NODE_SCHEMA).alias("n"),
+        F.from_json("canonical", _NODE_SCHEMA).alias("c"),
+    )
+    return parsed.select(
+        F.col("n.label").alias("label"),
+        F.col("n.text").alias("text"),
+        F.col("c.text").alias("canonical_text"),
     )
 
 

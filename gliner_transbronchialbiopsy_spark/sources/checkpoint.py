@@ -49,18 +49,28 @@ def write_bucketed(
     parts = table.split(".")
     quoted = ".".join(f"`{p}`" for p in parts)
     spark.sql(f"DROP TABLE IF EXISTS {quoted}")
-    # unquote: warehouse.dir is a URI — %20 etc. must become real chars
-    warehouse = Path(
-        unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
-    )
-    # resolve the database the table will actually land in: explicit
-    # qualifier wins, else the session's CURRENT database (only the
-    # default db maps to the warehouse root; comparison case-normalized
-    # like the catalog itself)
-    db = (parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()).lower()
-    name = parts[-1].lower()
-    stale = warehouse / name if db == "default" else warehouse / f"{db}.db" / name
-    shutil.rmtree(stale, ignore_errors=True)
+    # stale-location cleanup is only meaningful (and only SAFE) for a
+    # local-filesystem warehouse: for hdfs:// or s3a:// the parsed
+    # .path would name an unrelated LOCAL directory, so rmtree there
+    # would either delete an innocent path or silently do nothing while
+    # LOCATION_ALREADY_EXISTS persists — on those schemes skip and let
+    # the catalog/FS own the location (Iceberg handles this natively)
+    warehouse_uri = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if warehouse_uri.scheme in ("", "file"):
+        # unquote: the dir is a URI — %20 etc. must become real chars
+        warehouse = Path(unquote(warehouse_uri.path))
+        # resolve the database the table will actually land in: explicit
+        # qualifier wins, else the session's CURRENT database (only the
+        # default db maps to the warehouse root; comparison
+        # case-normalized like the catalog itself)
+        db = (
+            parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
+        ).lower()
+        name = parts[-1].lower()
+        stale = (
+            warehouse / name if db == "default" else warehouse / f"{db}.db" / name
+        )
+        shutil.rmtree(stale, ignore_errors=True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         buckets, bucket_col
     )
@@ -145,6 +155,12 @@ class CheckpointManager:
 
     def metrics(self, stage: str) -> dict:
         return json.loads((self._stage_dir(stage) / "_metrics.json").read_text())
+
+    def lineage(self, spark: SparkSession, stage: str) -> DataFrame:
+        """The stage's per-partition lineage table (written when the
+        stage was persisted with lineage_key): one row per partition
+        value with its row count and content fingerprint."""
+        return spark.read.parquet(str(self._stage_dir(stage) / "_lineage"))
 
     def resume_filter(
         self, spark: SparkSession, stage: str, incoming: DataFrame,

@@ -43,26 +43,63 @@ def file_type_of(path_col):
     )
 
 
+# magic-byte dispatch table over the first payload bytes — the formats
+# the reference's libmagic call (file_handler.py:45-90) would
+# distinguish for this ingest surface. UTF BOMs identify TEXT (they are
+# what a legitimate .txt exported from Windows tooling starts with);
+# zip covers docx/xlsx/odt containers, gzip covers .gz-wrapped dumps.
+_MAGIC_TABLE: tuple[tuple[bytes, str], ...] = (
+    (b"%PDF-", "pdf"),
+    (b"PK\x03\x04", "zip"),
+    (b"\x1f\x8b", "gzip"),
+    (b"\xef\xbb\xbf", "txt"),  # UTF-8 BOM
+    (b"\xff\xfe", "txt"),  # UTF-16 LE BOM
+    (b"\xfe\xff", "txt"),  # UTF-16 BE BOM
+)
+
+
+def sniff_content_type(payload_col) -> F.Column:
+    """First-match magic-byte sniff over the payload prefix: one column
+    expression (whole-stage codegen), NULL when no signature matches
+    (plain text has no magic — NULL means 'no evidence against txt')."""
+    expr = F.lit(None).cast("string")
+    for magic, name in reversed(_MAGIC_TABLE):
+        expr = F.when(
+            F.substring(payload_col, 1, len(magic)) == F.lit(magic),
+            F.lit(name),
+        ).otherwise(expr)
+    return expr
+
+
 def split_valid_quarantine(
     raw: DataFrame, max_size: int = config.MAX_FILE_SIZE
 ) -> tuple[DataFrame, DataFrame]:
     """S4 validation as a filter split: (valid, quarantined-with-reason).
     Size cap (config.py:19) + allowed type (config.py:18) + magic-byte
     content sniff (the reference validates content with libmagic,
-    file_handler.py:45-90; here a dependency-free '%PDF-' prefix check
-    on the payload column catches both mislabel directions: a '.txt'
-    carrying PDF bytes would otherwise flow into the decode chain, and
-    a '.pdf' without the PDF magic would crash the extractor). Rejects
-    are kept with a reason column instead of silently dropped."""
+    file_handler.py:45-90; here the dependency-free _MAGIC_TABLE prefix
+    dispatch catches both mislabel directions: a '.txt' carrying
+    PDF/zip/gzip bytes would otherwise flow into the decode chain, and
+    a '.pdf' without the PDF magic would crash the extractor). The
+    quarantine reason names the detected type
+    (content_type_mismatch:<sniffed>) so rejects are diagnosable per
+    format, not just flagged."""
     typed = raw.withColumn("lang", file_type_of(F.col("path")))
-    # magic-byte sniff: compare the first 5 payload bytes to b"%PDF-"
-    is_pdf_magic = F.substring(F.col("payload"), 1, 5) == F.lit(b"%PDF-")
+    sniffed = sniff_content_type(F.col("payload"))
     reason = (
         F.when(F.col("payload").isNull(), "empty_payload")
         .when(F.length("payload") > max_size, "too_large")
         .when(F.col("lang").isNull(), "unsupported_type")
-        .when((F.col("lang") == "txt") & is_pdf_magic, "content_type_mismatch")
-        .when((F.col("lang") == "pdf") & ~is_pdf_magic, "content_type_mismatch")
+        .when(
+            (F.col("lang") == "txt") & sniffed.isNotNull() & (sniffed != "txt"),
+            F.concat(F.lit("content_type_mismatch:"), sniffed),
+        )
+        .when(
+            (F.col("lang") == "pdf") & (sniffed.isNull() | (sniffed != "pdf")),
+            F.concat(
+                F.lit("content_type_mismatch:"), F.coalesce(sniffed, F.lit("unknown"))
+            ),
+        )
     )
     flagged = typed.withColumn("reject_reason", reason)
     valid = flagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")

@@ -64,9 +64,32 @@ def run_incremental_pipeline(
     partition directory with overwrite: a replayed epoch replaces its
     own output instead of appending duplicate mention rows — end-to-end
     effectively-once. Readers `spark.read.parquet(output_dir)` and get
-    an extra `epoch` partition column. Returns the StreamingQuery."""
+    an extra `epoch` partition column. Returns the StreamingQuery.
+
+    Fails fast if output_dir holds a pre-epoch layout (root-level part
+    files from the old flat-append sink): mixing root files with
+    epoch=<id> subdirectories breaks parquet partition discovery
+    (conflicting directory structures), so a resumed stream needs a
+    fresh output_dir rather than a confusing read-side error later."""
+    import os
+
     from ..operators import ner
     from ..plans import kg_pipeline
+
+    if os.path.isdir(output_dir):
+        legacy = [
+            f for f in os.listdir(output_dir)
+            if f.endswith(".parquet") and not f.startswith(("epoch=", "_", "."))
+        ]
+        if legacy:
+            raise ValueError(
+                f"output_dir {output_dir!r} contains {len(legacy)} root-level "
+                "parquet files from a pre-epoch (flat-append) run; the "
+                "epoch-partitioned sink cannot coexist with them (parquet "
+                "partition discovery fails on the mixed layout). Point the "
+                "stream at a fresh output_dir, or move the legacy files "
+                "into an epoch=<n> subdirectory first."
+            )
 
     stream = stream_documents(spark, input_dir)
 

@@ -70,7 +70,7 @@ def test_ingest_feeds_pipeline(spark):
 def test_magic_byte_sniff_quarantines_mismatches(spark):
     """S4 content sniff (reference file_handler.py:45-90 uses libmagic):
     a '.txt' carrying PDF bytes and a '.pdf' without the PDF magic both
-    land in quarantine with reason content_type_mismatch."""
+    land in quarantine, with the reason naming the detected type."""
     rows = [
         ("r", "lying.txt", "c", bytearray(b"%PDF-1.7 not text at all")),
         ("r", "lying.pdf", "c", bytearray(b"just plain words")),
@@ -82,6 +82,29 @@ def test_magic_byte_sniff_quarantines_mismatches(spark):
     q = {r["path"]: r["reject_reason"] for r in quarantine.collect()}
     assert v == {"honest.txt", "honest.pdf"}
     assert q == {
-        "lying.txt": "content_type_mismatch",
-        "lying.pdf": "content_type_mismatch",
+        "lying.txt": "content_type_mismatch:pdf",
+        "lying.pdf": "content_type_mismatch:unknown",
+    }
+
+
+def test_magic_byte_dispatch_table(spark):
+    """The widened dispatch: zip (docx container) and gzip payloads in
+    a '.txt' quarantine with their detected type; UTF-BOM payloads are
+    recognized as text and flow through; a '.pdf' holding a zip is a
+    mismatch naming zip."""
+    rows = [
+        ("r", "docx_as.txt", "c", bytearray(b"PK\x03\x04rest-of-zip")),
+        ("r", "dump_as.txt", "c", bytearray(b"\x1f\x8b\x08gzip-body")),
+        ("r", "bom_utf8.txt", "c", bytearray(b"\xef\xbb\xbfdu texte")),
+        ("r", "bom_utf16.txt", "c", bytearray(b"\xff\xfed\x00u\x00")),
+        ("r", "zip_as.pdf", "c", bytearray(b"PK\x03\x04rest-of-zip")),
+    ]
+    valid, quarantine = ingest.split_valid_quarantine(_raw(spark, rows))
+    v = {r["path"] for r in valid.collect()}
+    q = {r["path"]: r["reject_reason"] for r in quarantine.collect()}
+    assert v == {"bom_utf8.txt", "bom_utf16.txt"}
+    assert q == {
+        "docx_as.txt": "content_type_mismatch:zip",
+        "dump_as.txt": "content_type_mismatch:gzip",
+        "zip_as.pdf": "content_type_mismatch:zip",
     }

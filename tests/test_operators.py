@@ -471,3 +471,11 @@ def test_latest_state_hostile_label_names(spark):
     }
     assert out["d1"] == ("X2", "Y2")
     assert out["d2"] == ("a", "b")
+
+
+def test_cc_iteration_budget_autoscales():
+    from gliner_transbronchialbiopsy_spark.operators import components
+
+    assert components.iteration_budget_for(10) == 20  # floor
+    assert components.iteration_budget_for(2_000_000) == 46
+    assert components.iteration_budget_for(10**12) == 84

@@ -187,3 +187,29 @@ def test_checkpoint_empty_stage_roundtrips(spark, tmpdir_path):
     # resume path: served from the snapshot, same schema
     again = ckpt.get_or_compute(spark, "empty_stage", lambda: 1 / 0)
     assert again.columns == ["a", "b"]
+
+
+def test_canonicalize_hostile_surface_bytes(spark):
+    """Node ids are to_json-encoded: a surface containing \\x1f (the old
+    separator byte), quotes, or backslashes must round-trip through the
+    CC stage byte-exact and link to its near-duplicate."""
+    from gliner_transbronchialbiopsy_spark.plans import kg_pipeline
+
+    hostile_a = 'abc\x1fdef "quoted" \\back\\slash du texte partage xyz'
+    hostile_b = 'abc\x1fdef "quoted" \\back\\slash du texte partage xyw'
+    plain = "surface totalement differente sans rapport aucun"
+    mentions = spark.createDataFrame(
+        [("L", hostile_a), ("L", hostile_b), ("L", plain)],
+        "label string, text string",
+    )
+    cmap = kg_pipeline.canonicalize(mentions)
+    rows = {r["text"]: r for r in cmap.collect()}
+    # byte-exact round-trip of every surface, label intact
+    assert set(rows) == {hostile_a, hostile_b, plain}
+    assert all(r["label"] == "L" for r in rows.values())
+    # the two near-duplicates share one canonical: the lexicographic min
+    expected = min(hostile_a, hostile_b)
+    assert rows[hostile_a]["canonical_text"] == expected
+    assert rows[hostile_b]["canonical_text"] == expected
+    # the unrelated surface canonicalizes to itself
+    assert rows[plain]["canonical_text"] == plain

@@ -215,3 +215,106 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan  # both sides read pre-clustered
     assert joined.count() == 200
+
+
+def test_embedding_near_dup_bucket_cap_bounds_join(spark):
+    """Degenerate corpus: 40 identical embeddings all land in ONE
+    hyperplane bucket. With the cap the bucket is dropped before the
+    self-join (0 pairs, bounded work); without it the join is C(40,2)
+    quadratic."""
+    from gliner_transbronchialbiopsy_spark.operators import dedup
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = dedup.embedding_near_duplicates(
+        df, n_planes=4, max_bucket_size=10
+    )
+    assert capped.count() == 0
+    uncapped = dedup.embedding_near_duplicates(
+        df, n_planes=4, max_bucket_size=10_000
+    )
+    assert uncapped.count() == 40 * 39 // 2
+
+
+def test_embedding_near_dup_finds_true_pairs(spark):
+    """Recall on a real corpus slice: plant two near-identical vectors
+    and verify the pair surfaces with cosine ~1; unrelated random pairs
+    stay below the threshold or outside shared buckets."""
+    from gliner_transbronchialbiopsy_spark.operators import dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.limit(60)
+    twin = base.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 1.0001).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = base.select("vec_id", "embedding").union(twin)
+    out = dedup.embedding_near_duplicates(corpus, threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 100_000) in pairs
+
+
+def test_embedding_planes_autoscale():
+    from gliner_transbronchialbiopsy_spark.operators import dedup
+
+    small = dedup.embedding_planes_for(1_000, 256)
+    big = dedup.embedding_planes_for(1_000_000, 256)
+    huge = dedup.embedding_planes_for(10**12, 256)
+    assert 4 <= small < big <= huge <= 24
+    # expected bucket occupancy stays ~cap/4 at a million rows
+    assert 1_000_000 / 2**big <= 256
+
+
+def test_detect_doc_side_never_shuffles(spark):
+    """The detect stage's doc-table discipline: (a) default path — ONE
+    clustering exchange (inside the persisted cache build) serves both
+    the dedup and the fan-out probe, so the visible plan's only shuffle
+    is the mention side of the join; (b) bucketed path — the scan
+    itself provides the clustering and the doc side has zero exchanges.
+    Both produce identical mentions."""
+    from gliner_transbronchialbiopsy_spark.sources.checkpoint import (
+        write_bucketed,
+    )
+
+    rows = [
+        ("r", f"p{i}", "c",
+         f"CONCLUSION : I - Biopsies transbronchiques (LID) : {2 + i % 5} "
+         f"fragments. A{i % 3} B{i % 2}. cas {i % 7}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string"
+    )
+    sect = kg_pipeline.validate_documents(docs).select(
+        "repo", "path", "commit", "content_sha256",
+        F.col("content").alias("conclusion"),
+    )
+
+    def visible_shuffles(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # exchanges above the cache build / in the final join subtree
+        visible = plan.split("InMemoryRelation")[0]
+        return sum(
+            1 for line in visible.splitlines()
+            if "Exchange hashpartitioning" in line
+        )
+
+    m_default = kg_pipeline.detect(sect)
+    assert visible_shuffles(m_default) <= 1  # mention side only
+
+    write_bucketed(sect, "t_detect_bucketed", "content_sha256", 4)
+    m_bucketed = kg_pipeline.detect(
+        spark.table("t_detect_bucketed"), docs_clustered=True
+    )
+    plan_b = m_bucketed._jdf.queryExecution().executedPlan().toString()
+    assert sum(
+        1 for line in plan_b.splitlines()
+        if "Exchange hashpartitioning" in line
+    ) <= 1  # mention side only; doc scan is pre-bucketed
+
+    key = ("path", "label", "text", "start_idx")
+    a = {tuple(r) for r in m_default.select(*key).collect()}
+    b = {tuple(r) for r in m_bucketed.select(*key).collect()}
+    assert a == b and len(a) > 0

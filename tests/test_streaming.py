@@ -10,7 +10,10 @@ from gliner_transbronchialbiopsy_spark.sources import corpus
 from gliner_transbronchialbiopsy_spark.streaming import stream
 
 
-@pytest.mark.timeout(300)
+# hang protection is the bounded awaitTermination(timeout) on every
+# query below (asserted to have actually terminated) — NOT a
+# pytest.mark.timeout, which is inert here (pytest-timeout isn't
+# installed; pytest would report it as an unknown mark)
 def test_incremental_pipeline_availableNow(spark, tmpdir_path):
     docs_pd, _ = corpus.generate_corpus(n_docs=60, seed=42)
     in_dir = os.path.join(tmpdir_path, "in")
@@ -26,7 +29,7 @@ def test_incremental_pipeline_availableNow(spark, tmpdir_path):
     q = stream.run_incremental_pipeline(
         spark, in_dir, out_dir, ckpt, catalog=pat.MEDICAL_PATTERNS
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not terminate in 240s"
 
     got = spark.read.parquet(out_dir)
     assert got.count() > 0
@@ -37,8 +40,17 @@ def test_incremental_pipeline_availableNow(spark, tmpdir_path):
     q2 = stream.run_incremental_pipeline(
         spark, in_dir, out_dir, ckpt, catalog=pat.MEDICAL_PATTERNS
     )
-    q2.awaitTermination(240)
+    assert q2.awaitTermination(240), "restarted stream did not terminate"
     assert spark.read.parquet(out_dir).count() == n
+
+    # the legacy-layout guard: a root-level part file in output_dir
+    # (pre-epoch flat-append sink) must fail fast with a clear message
+    open(os.path.join(out_dir, "part-00000-legacy.parquet"), "wb").close()
+    with pytest.raises(ValueError, match="pre-epoch"):
+        stream.run_incremental_pipeline(
+            spark, in_dir, out_dir, os.path.join(tmpdir_path, "ckpt2"),
+            catalog=pat.MEDICAL_PATTERNS,
+        )
 
 
 def test_corrections_streaming_window(spark, tmpdir_path):

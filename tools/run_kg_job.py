@@ -35,6 +35,18 @@ def main() -> None:
     ap.add_argument("--fresh", action="store_true", help="clear workdir first")
     ap.add_argument("--skip-sectionize", action="store_true",
                     help="treat content as already-sectionized text")
+    ap.add_argument(
+        "--bucketed-docs", type=int, default=0, metavar="N",
+        help="lay the sectionized documents out as an N-bucket table "
+        "bucketed by content_sha256 before detection (requires "
+        "--skip-sectionize). The scan then provides the clustering the "
+        "detect stage needs, so the document table never shuffles: not "
+        "for the dedup, not for the fan-out join (only the mention side "
+        "moves). This is the local analogue of an Iceberg "
+        "bucket(N, content_sha256) partition transform on the corpus "
+        "table — at 100 TB the layout is written once and every "
+        "detection run after that is shuffle-free on the doc side.",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -91,6 +103,9 @@ def main() -> None:
             "shape (source, doc_id, lang, text)"
         )
 
+    if args.bucketed_docs and not args.skip_sectionize:
+        ap.error("--bucketed-docs requires --skip-sectionize")
+
     t0 = time.time()
     if args.skip_sectionize:
         validated = kg_pipeline.validate_documents(docs)
@@ -100,7 +115,17 @@ def main() -> None:
         )
         from gliner_transbronchialbiopsy_spark.sources.checkpoint import (
             CheckpointManager,
+            write_bucketed,
         )
+
+        docs_clustered = False
+        if args.bucketed_docs:
+            write_bucketed(
+                sectionized, "kg_docs_bucketed", "content_sha256",
+                args.bucketed_docs,
+            )
+            sectionized = spark.table("kg_docs_bucketed")
+            docs_clustered = True
 
         ckpt = CheckpointManager(args.workdir)
         from gliner_transbronchialbiopsy_spark import config as _cfg
@@ -110,9 +135,11 @@ def main() -> None:
         )
         mentions = ckpt.get_or_compute(
             spark, "mentions",
-            lambda: kg_pipeline.detect(sectionized, catalog=catalog,
-                                       partitions=args.cpus * 2,
-                                       detector=detector),
+            lambda: kg_pipeline.detect(
+                sectionized, catalog=catalog,
+                partitions=None if docs_clustered else args.cpus * 2,
+                detector=detector, docs_clustered=docs_clustered,
+            ),
             variant=variant,
         )
         cmap = ckpt.get_or_compute(
