@@ -508,6 +508,31 @@ def q_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineage.select("pred", F.col("rows").alias("n_rows"))
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding dedup with a FULL value oracle: the
+    portable (sha256-parity) plane signs make the bucketing restatable
+    in DuckDB, and every floating-point reduction on both engines is an
+    ordered left fold over doubles (Spark F.aggregate / DuckDB
+    list_reduce), so plane dots, bucket strings, and in-bucket cosines
+    agree bit-for-bit. Twins (scaled copies of the first 25 vectors —
+    same direction, same bucket, cosine 1) are planted because random
+    synthetic embeddings contain no true near-duplicates; the random
+    vectors double as negatives the threshold must reject."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = emb.union(twins)
+    out = dedup.embedding_near_duplicates(
+        corpus, threshold=0.95, n_planes=8, max_bucket_size=256,
+        portable_hash=True,
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
@@ -838,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_knn_join": q_sim_knn_join,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -1487,6 +1513,73 @@ def oracle_sql() -> dict[str, str]:
             JOIN reps ra ON ra.tid = e.tid_a
             JOIN reps rb ON rb.tid = e.tid_b
             WHERE e.jaccard >= 0.5
+        """,
+        # hyperplane-LSH embedding dedup (portable sha256-parity plane
+        # signs). Every float reduction is an ordered left fold over
+        # doubles on BOTH engines (Spark F.aggregate <-> DuckDB
+        # list_reduce), so dots/buckets/cosines agree bit-for-bit.
+        "embedding_near_dup": """
+            WITH emb AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+              FROM embeddings
+            ),
+            corpus AS (
+              SELECT vec_id, embedding FROM emb
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(embedding, x -> x * 1.5) AS embedding
+              FROM emb WHERE vec_id < 25
+            ),
+            -- plane p's component signs: sha256 parity of (i \\x1f p)
+            signs AS (
+              SELECT CAST(p.p AS INT) AS p,
+                     list(CASE WHEN CAST('0x' || substr(sha256(
+                             CAST(i.i AS VARCHAR) || chr(31)
+                             || CAST(p.p AS VARCHAR)), 1, 15) AS BIGINT)
+                               % 2 = 0
+                          THEN CAST(1.0 AS DOUBLE)
+                          ELSE CAST(-1.0 AS DOUBLE) END
+                          ORDER BY i.i) AS sv
+              FROM range(0, 64) i(i), range(0, 8) p(p)
+              GROUP BY p.p
+            ),
+            plane_dots AS (
+              SELECT c.vec_id, s.p,
+                     list_reduce(
+                       list_transform(list_zip(c.embedding, s.sv),
+                                      z -> CAST(z[1] AS DOUBLE) * z[2]),
+                       (a, b) -> a + b) AS dot
+              FROM corpus c, signs s
+            ),
+            bucketed AS (
+              SELECT c.vec_id, c.embedding, b.bucket,
+                     sqrt(list_reduce(
+                       list_transform(c.embedding, x -> x * x),
+                       (a, b) -> a + b)) AS nrm
+              FROM corpus c
+              JOIN (SELECT vec_id,
+                           string_agg(CASE WHEN dot > 0 THEN '1'
+                                           ELSE '0' END, '' ORDER BY p)
+                             AS bucket
+                    FROM plane_dots GROUP BY vec_id) b USING (vec_id)
+            ),
+            okb AS (
+              SELECT bucket FROM bucketed
+              GROUP BY bucket HAVING count(*) <= 256
+            ),
+            capped AS (SELECT b.* FROM bucketed b JOIN okb USING (bucket)),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_reduce(
+                       list_transform(list_zip(a.embedding, b.embedding),
+                                      z -> CAST(z[1] AS DOUBLE)
+                                           * CAST(z[2] AS DOUBLE)),
+                       (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+              FROM capped a
+              JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cosine, 4) AS cosine
+            FROM pairs WHERE cosine >= 0.95
         """,
         "dedup_simhash": """
             WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),

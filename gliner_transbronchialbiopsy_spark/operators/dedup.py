@@ -347,10 +347,18 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_planes: int | None = None,
     max_bucket_size: int = 256,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dups via random-hyperplane LSH bucketing
     (deterministic planes from xxhash64 of (dim, plane)) + exact cosine
     verify inside buckets. Returns (id_a, id_b, cosine).
+
+    portable_hash=True derives each plane's component signs from sha256
+    parity (linking.portable_hash60) instead of xxhash64, so the whole
+    operator — plane signs, ordered-fold plane dots, bucket strings,
+    bucket cap, in-bucket cosine — is restatable in DuckDB (list_reduce
+    reproduces Spark's F.aggregate left fold bit-exactly on doubles).
+    xxhash64 stays the production default.
 
     Scale guards (north_rule skew discipline, same pattern as the
     MinHash band cap and the SimHash 256-row cap):
@@ -368,15 +376,20 @@ def embedding_near_duplicates(
         n_planes = embedding_planes_for(df.count(), max_bucket_size)
     dim = F.size(vec_col)
     # deterministic pseudo-random plane component for (i, p):
-    # sign of xxhash64(i, p)
+    # sign of xxhash64(i, p) (or sha256 parity in portable mode)
+    def _sign(i, p):
+        h = (
+            linking.portable_hash60(i.cast("string"), seed=p)
+            if portable_hash
+            else F.xxhash64(i, F.lit(p))
+        )
+        return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
     def plane_bit(p):
         prods = F.zip_with(
             F.col(vec_col),
             F.sequence(F.lit(0), dim - 1),
-            lambda v, i: v
-            * F.when(F.xxhash64(i, F.lit(p)) % 2 == 0, F.lit(1.0)).otherwise(
-                F.lit(-1.0)
-            ),
+            lambda v, i: v * _sign(i, p),
         )
         return (
             F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x) > 0

@@ -80,10 +80,13 @@ def main() -> None:
     print(json.dumps(result, indent=2))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # BENCH/BASELINE.md is hand-curated (it aggregates interleaved
+    # pairs, honesty notes and per-round deltas) — this tool writes its
+    # single-shot result next to it instead of clobbering it
+    md = os.path.join(REPO, "BENCH", "SCALING_LAST.md")
     with open(md, "w") as f:
         f.write(
-            f"""# BENCH/BASELINE — measured engine numbers
+            f"""# BENCH/SCALING_LAST — single-shot scaling run (see BASELINE.md for curated pairs)
 
 ## Scaling evidence (north_rule: N -> 4N executors; sandbox stand-in:
 ## local[{args.low}] -> local[{args.high}] threads, same input)
