@@ -132,6 +132,12 @@ def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass  # owning session may already be stopped
     _MENTIONS_CACHE[key] = pruned.persist()
+    # materialize the pruned cache NOW so detect()'s internal clustered
+    # doc cache (full conclusion text) can be released immediately —
+    # otherwise the mentions cache transitively pins a whole corpus
+    # copy in block storage for the entry's lifetime
+    _MENTIONS_CACHE[key].count()
+    kg_pipeline.release_doc_cache(mentions)
     return _MENTIONS_CACHE[key]
 
 
@@ -454,16 +460,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def dedup_minhash_query(
+    spark: SparkSession, sf_dir: str, portable_hash: bool
+) -> DataFrame:
+    """Shared body for the dedup_minhash contract query and bench.py's
+    production-path override — ONE definition of the operator call and
+    projection so the two cannot drift; only the hash family differs."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(
+        docs, "text", "doc_id", jaccard_threshold=0.5,
+        portable_hash=portable_hash,
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """portable_hash=True: the sha256-derived shingle-hash family makes
     the WHOLE LSH pipeline (signatures -> banding -> 64-row bucket cap
     -> candidate self-join -> estimated Jaccard) restatable in DuckDB,
     so this query carries a full value oracle instead of a rows-only
-    check. The xxhash64 family remains the production default."""
-    docs = _read(spark, sf_dir, "documents")
-    return dedup.minhash_near_duplicates(
-        docs, "text", "doc_id", jaccard_threshold=0.5, portable_hash=True
-    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    check. The xxhash64 family remains the production default (bench.py
+    times it through the same dedup_minhash_query body)."""
+    return dedup_minhash_query(spark, sf_dir, portable_hash=True)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,7 +519,17 @@ def q_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mentions = kg_pipeline.detect(sectionized, catalog=pat.KEYWORD_PATTERNS)
     cmap = kg_pipeline.canonicalize(mentions)
     triples = kg_pipeline.materialize_triples(mentions, cmap)
-    ckpt = CheckpointManager(tempfile.mkdtemp(prefix="kg_lineage_"))
+    # fixed per-sf_dir workdir, overwritten each call: a mkdtemp here
+    # would leak one full triples snapshot per invocation (the returned
+    # DataFrame lazily reads the written parquet, so the dir must
+    # outlive the call — bounding it to one live snapshot per sf_dir is
+    # the leak-free alternative)
+    import hashlib
+    import os
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    workdir = os.path.join(tempfile.gettempdir(), f"kg_lineage_{tag}")
+    ckpt = CheckpointManager(workdir)
     ckpt.write("triples", triples, partition_by=("pred",), lineage_key="pred")
     lineage = ckpt.lineage(spark, "triples")
     return lineage.select("pred", F.col("rows").alias("n_rows"))
@@ -1457,7 +1484,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT t.tid, s.sh
               FROM tid t, LATERAL (
                 SELECT DISTINCT substr(lower(t.text), CAST(u.i AS INT), 5) AS sh
-                FROM unnest(range(1, greatest(len(t.text) - 4, 1) + 1)) u(i)
+                FROM unnest(range(1, greatest(len(lower(t.text)) - 4, 1) + 1)) u(i)
               ) s
             ),
             -- MinHash slot i = min over shingles of the 60-bit
@@ -1588,7 +1615,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST('0x' || substr(sha256(s.sh), 1, 15) AS BIGINT) AS h
               FROM docs d, LATERAL (
                 SELECT DISTINCT substr(lower(d.text), CAST(u.i AS INT), 4) AS sh
-                FROM unnest(range(1, greatest(len(d.text) - 3, 1) + 1)) u(i)
+                FROM unnest(range(1, greatest(len(lower(d.text)) - 3, 1) + 1)) u(i)
               ) s
             ),
             -- majority vote per bit (bits 60-63 of the 60-bit hash are

@@ -41,25 +41,17 @@ HEADLINE = (
 
 
 def _dedup_minhash_production(spark, sf_dir: str):
-    """Production-path dedup_minhash: identical operator and parameters
-    to the contract query, but the default xxhash64 shingle-hash family
-    instead of portable_hash=True. The portable (sha256-derived) family
-    exists ONLY so DuckDB can restate the query for the correctness
-    oracle — it pays ~32 sha256 rounds per shingle, which is oracle
-    plumbing, not the operator's production cost. The two families'
-    outputs are independently verified: portable against the SQL oracle
+    """Production-path dedup_minhash: the SAME query body as the
+    contract entry (entrymod.dedup_minhash_query — one definition, no
+    drift) with the default xxhash64 shingle-hash family instead of
+    portable_hash=True. The portable (sha256-derived) family exists
+    ONLY so DuckDB can restate the query for the correctness oracle —
+    it pays ~32 sha256 rounds per shingle, which is oracle plumbing,
+    not the operator's production cost. The two families' outputs are
+    independently verified: portable against the SQL oracle
     (CORRECTNESS dedup_minhash), xxhash64 against exact-Jaccard pairs
     in pytest."""
-    import os
-
-    from pyspark.sql import functions as F
-
-    from gliner_transbronchialbiopsy_spark.operators import dedup
-
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return dedup.minhash_near_duplicates(
-        docs, "text", "doc_id", jaccard_threshold=0.5
-    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    return entrymod.dedup_minhash_query(spark, sf_dir, portable_hash=False)
 
 
 # bench-only substitutions: same semantics, production hash family

@@ -401,9 +401,15 @@ def embedding_near_duplicates(
             F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
         )
     )
+    # materialization barrier: the signature+norm projection is
+    # referenced three times below (bucket census + both self-join
+    # sides) — without a cut each reference recomputes n_planes x dim
+    # sign hashes and the norm fold per vector (the same
+    # census+two-sides shape link_surfaces measured at >8x wall when
+    # left uncut)
     bucketed = df.select(
         F.col(id_col), F.col(vec_col), sig.alias("bucket"), norm.alias("_norm")
-    )
+    ).localCheckpoint()
     ok = (
         bucketed.groupBy("bucket")
         .count()

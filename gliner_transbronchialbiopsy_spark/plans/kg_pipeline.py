@@ -120,11 +120,21 @@ def detect(
     it already supports; see test_merge_across_labels_doc_level.)"""
     if detector_overlaps is None:
         detector_overlaps = detector is not None
+    if docs_clustered and partitions:
+        raise ValueError(
+            "detect(): `partitions` and `docs_clustered=True` are "
+            "mutually exclusive — docs_clustered means the input scan "
+            "already provides the content_sha256 clustering, so a "
+            "repartition would silently be skipped rather than applied; "
+            "pick the input layout's parallelism (bucket count) or drop "
+            "docs_clustered"
+        )
     hashed = sectionized.select(
         *DOC_COLS, "content_sha256", "conclusion"
     ).filter(
         F.col("conclusion").isNotNull() & (F.trim(F.col("conclusion")) != "")
     )
+    doc_cache = None
     if not docs_clustered:
         # the single doc-table exchange (see docstring): cluster once,
         # persist, and let both consumers (dedup + fan-out probe)
@@ -137,7 +147,7 @@ def detect(
         # re-shuffles (verified on this Spark build). The cache block is
         # released by the ContextCleaner once the plan is unreferenced.
         n = (partitions,) if partitions else ()
-        hashed = hashed.repartition(*n, "content_sha256").persist()
+        hashed = doc_cache = hashed.repartition(*n, "content_sha256").persist()
     distinct = hashed.select(
         F.col("content_sha256").alias("sha_key"), "conclusion"
     ).dropDuplicates(["sha_key"])
@@ -170,7 +180,7 @@ def detect(
     # key is serialized with to_json, which represents NULLs and field
     # boundaries structurally (concat_ws SKIPS null fields, so rows
     # differing only in which id column is null would collide)
-    return fanned.select(
+    out = fanned.select(
         *DOC_COLS,
         F.sha2(
             F.to_json(
@@ -180,6 +190,25 @@ def detect(
         ).alias("mention_id"),
         "text", "label", "score", "start_idx", "end_idx", "content_sha256",
     )
+    # hand the internal doc cache to the caller for release: once the
+    # caller has MATERIALIZED this result (stage snapshot / its own
+    # persist+count), the clustered doc table is dead weight in block
+    # storage — release_doc_cache(out) frees it (recompute-safe: an
+    # unpersisted cache just recomputes if the plan ever re-executes)
+    out._kg_doc_cache = doc_cache
+    return out
+
+
+def release_doc_cache(mentions: DataFrame) -> None:
+    """Unpersist the clustered document cache detect() attached to its
+    result. Call AFTER materializing the mentions (checkpoint write or
+    persist+action) — before that, releasing just forces a recompute."""
+    cache = getattr(mentions, "_kg_doc_cache", None)
+    if cache is not None:
+        try:
+            cache.unpersist()
+        except Exception:
+            pass  # owning session may already be stopped
 
 
 _NODE_SCHEMA = "label string, text string"
@@ -312,14 +341,22 @@ def run_pipeline(
     sectionized = ckpt.get_or_compute(
         spark, "sectionized", lambda: sectionize(validated), force=force
     )
+    detect_out: list[DataFrame] = []
+
+    def _compute_mentions() -> DataFrame:
+        df = detect(sectionized, catalog=catalog, threshold=threshold,
+                    partitions=partitions, detector=detector)
+        detect_out.append(df)
+        return df
+
     mentions = ckpt.get_or_compute(
-        spark,
-        "mentions",
-        lambda: detect(sectionized, catalog=catalog, threshold=threshold,
-                       partitions=partitions, detector=detector),
-        force=force,
-        variant=det_variant,
+        spark, "mentions", _compute_mentions, force=force, variant=det_variant,
     )
+    # the mentions snapshot is written; the detect-internal clustered
+    # doc cache would otherwise stay pinned in block storage for the
+    # rest of the job (downstream stages read the parquet snapshot)
+    for df in detect_out:
+        release_doc_cache(df)
     cmap = ckpt.get_or_compute(
         spark, "entities", lambda: canonicalize(mentions), force=force,
         variant=det_variant,

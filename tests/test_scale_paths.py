@@ -318,3 +318,36 @@ def test_detect_doc_side_never_shuffles(spark):
     a = {tuple(r) for r in m_default.select(*key).collect()}
     b = {tuple(r) for r in m_bucketed.select(*key).collect()}
     assert a == b and len(a) > 0
+
+
+def test_minhash_hash_families_agree_on_planted_dups(spark):
+    """The portable (sha256-derived) and production (xxhash64) MinHash
+    families are different estimators but must agree on ground truth: a
+    planted NEAR-duplicate (one word changed — exact duplicates are
+    collapsed by the signature stage's dropDuplicates and belong to
+    exact_duplicates()) pairs under BOTH families, and texts with
+    disjoint vocabulary pair under NEITHER."""
+    import random
+
+    from gliner_transbronchialbiopsy_spark.operators import dedup
+
+    base = ("le meme long texte presque duplique pour le test de parite "
+            "des familles de hachage sur des shingles de caracteres")
+    rng = random.Random(7)
+    rows = [(0, base), (1, base.replace("parite", "egalite"))] + [
+        (i, " ".join(
+            "".join(rng.choice("zyxwvq") for _ in range(6))
+            for _ in range(12)
+        ))
+        for i in range(2, 12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for portable in (False, True):
+        got = {
+            # pair order follows the internal text-sha ids, so normalize
+            tuple(sorted((r["id_a"], r["id_b"])))
+            for r in dedup.minhash_near_duplicates(
+                df, jaccard_threshold=0.6, portable_hash=portable
+            ).collect()
+        }
+        assert got == {("0", "1")}, f"portable={portable}: {got}"

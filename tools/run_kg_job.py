@@ -118,8 +118,26 @@ def main() -> None:
             write_bucketed,
         )
 
+        ckpt = CheckpointManager(args.workdir)
+        from gliner_transbronchialbiopsy_spark import config as _cfg
+
+        variant = kg_pipeline.detector_variant(
+            catalog, _cfg.DEFAULT_CONFIDENCE_THRESHOLD, detector
+        )
+
+        def _mentions_snapshot_reusable() -> bool:
+            if not ckpt.exists("mentions"):
+                return False
+            try:
+                return ckpt.metrics("mentions").get("variant") == variant
+            except FileNotFoundError:
+                return False
+
         docs_clustered = False
-        if args.bucketed_docs:
+        # the bucketed layout exists only to feed detection — on a
+        # resume whose mentions snapshot is already complete, skip the
+        # (full-corpus) bucket write instead of paying it per run
+        if args.bucketed_docs and not _mentions_snapshot_reusable():
             write_bucketed(
                 sectionized, "kg_docs_bucketed", "content_sha256",
                 args.bucketed_docs,
@@ -127,21 +145,22 @@ def main() -> None:
             sectionized = spark.table("kg_docs_bucketed")
             docs_clustered = True
 
-        ckpt = CheckpointManager(args.workdir)
-        from gliner_transbronchialbiopsy_spark import config as _cfg
+        detect_out = []
 
-        variant = kg_pipeline.detector_variant(
-            catalog, _cfg.DEFAULT_CONFIDENCE_THRESHOLD, detector
-        )
-        mentions = ckpt.get_or_compute(
-            spark, "mentions",
-            lambda: kg_pipeline.detect(
+        def _compute_mentions():
+            df = kg_pipeline.detect(
                 sectionized, catalog=catalog,
                 partitions=None if docs_clustered else args.cpus * 2,
                 detector=detector, docs_clustered=docs_clustered,
-            ),
-            variant=variant,
+            )
+            detect_out.append(df)
+            return df
+
+        mentions = ckpt.get_or_compute(
+            spark, "mentions", _compute_mentions, variant=variant,
         )
+        for df in detect_out:
+            kg_pipeline.release_doc_cache(df)
         cmap = ckpt.get_or_compute(
             spark, "entities", lambda: kg_pipeline.canonicalize(mentions),
             variant=variant,
