@@ -596,6 +596,23 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-centroid IVF (Lloyd's k-means as an iterative DataFrame
+    loop) at full probe: provably equal to exact top-k, so it shares
+    the exact-cosine oracle. Partial-probe recall with trained
+    centroids is pytest-covered (test_ivf_kmeans_recall...), where it
+    must match or beat the hash-pseudo-centroid variant."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cents = similarity.ivf_train_kmeans(corpus, n_buckets=8, iterations=3)
+    assigned = similarity.ivf_assign_centroids(corpus, cents)
+    out = similarity.ivf_topk_kmeans(
+        assigned, cents, list(qvec), k=10, n_probe=len(cents)
+    )
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_sim_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity JOIN (pair mining, not single-query search): the 20
     most-similar embedding pairs in a bounded audit slice via broadcast
@@ -894,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_knn_join": q_sim_knn_join,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "sim_pairs_topk": q_sim_pairs_topk,
         "fold_metrics": q_fold_metrics,
         "training_records": q_training_records,
@@ -1376,6 +1394,24 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF == exact top-k (every bucket probed), so the
         # brute-force SQL is its oracle; the pruning path itself is
         # pytest-checked (recall >= 0.5 at n_probe=4, == exact at 8/8)
+        # trained-centroid IVF at FULL probe == exact top-k (same
+        # derivation as sim_ivf_topk; training only changes WHICH
+        # buckets exist, not the full-probe result)
+        "sim_ivf_kmeans": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            prod AS (
+              SELECT e.vec_id,
+                     sum(CAST(t.z[1] AS DOUBLE) * CAST(t.z[2] AS DOUBLE)) AS dot,
+                     sum(CAST(t.z[1] AS DOUBLE) * CAST(t.z[1] AS DOUBLE)) AS ne,
+                     sum(CAST(t.z[2] AS DOUBLE) * CAST(t.z[2] AS DOUBLE)) AS nq
+              FROM embeddings e, q,
+                   LATERAL unnest(list_zip(e.embedding, q.qv)) t(z)
+              WHERE e.vec_id != 0
+              GROUP BY e.vec_id)
+            SELECT vec_id, round(dot / (sqrt(ne) * sqrt(nq)), 4) AS cosine
+            FROM prod
+            ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, vec_id LIMIT 10
+        """,
         "sim_ivf_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             prod AS (

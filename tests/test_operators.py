@@ -479,3 +479,47 @@ def test_cc_iteration_budget_autoscales():
     assert components.iteration_budget_for(10) == 20  # floor
     assert components.iteration_budget_for(2_000_000) == 46
     assert components.iteration_budget_for(10**12) == 84
+
+
+def test_ivf_kmeans_recall_meets_hash_centroids(spark):
+    """Trained centroids (Lloyd's k-means as a DataFrame loop) at
+    partial probe: full probe equals brute force exactly, and
+    half-probe recall@10 must MATCH OR BEAT the hash-pseudo-centroid
+    variant on the same corpus (real centroids track the data)."""
+    from gliner_transbronchialbiopsy_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [
+        r["vec_id"]
+        for r in similarity.brute_force_topk(corpus, qvec, k=10).collect()
+    ]
+
+    cents = similarity.ivf_train_kmeans(corpus, n_buckets=8, iterations=3)
+    assigned = similarity.ivf_assign_centroids(corpus, cents)
+    full = [
+        r["vec_id"]
+        for r in similarity.ivf_topk_kmeans(
+            assigned, cents, qvec, k=10, n_probe=8
+        ).collect()
+    ]
+    assert full == exact
+
+    km_half = {
+        r["vec_id"]
+        for r in similarity.ivf_topk_kmeans(
+            assigned, cents, qvec, k=10, n_probe=4
+        ).collect()
+    }
+    hash_assigned = similarity.ivf_assign(corpus, n_buckets=8)
+    hash_half = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            hash_assigned, qvec, k=10, n_probe=4, n_buckets=8
+        ).collect()
+    }
+    km_recall = len(km_half & set(exact)) / 10
+    hash_recall = len(hash_half & set(exact)) / 10
+    assert km_recall >= hash_recall
+    assert km_recall >= 0.5
