@@ -49,6 +49,13 @@ AUDIT = {
     ),
     # deterministic sampling: the bucket predicate evaluates at the scan
     "sample_stratified": ("HashAggregate", "!InPandas", "!SortMergeJoin"),
+    # hyperplane-bucketed embedding dedup: the signature projection is
+    # checkpointed (census + both join sides read the cut, not the
+    # sign-hash subtree), the bucket cap is a left-semi join, all JVM
+    "embedding_near_dup": ("Scan ExistingRDD", "LeftSemi", "!InPandas"),
+    # trained-centroid IVF at full probe: bucket filter + exact cosine,
+    # top-k via TakeOrdered, zero Python, no full sort
+    "sim_ivf_kmeans": ("TakeOrderedAndProject", "!InPandas", "!Sort "),
 }
 
 
