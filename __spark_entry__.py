@@ -19,6 +19,7 @@ from gliner_transbronchialbiopsy_spark.operators import (
     dedup,
     pivot,
     similarity,
+    skew,
     stats,
     textstats,
 )
@@ -873,6 +874,45 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("fingerprint64")
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the hot event_type keys
+    (operators/skew.salted_agg): the wide shuffle spreads each key over
+    32 salts, then merges n_keys*32 partial rows. Result is provably
+    identical to the plain GROUP BY the oracle runs."""
+    ev = _read(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "value"),
+            "total": ("sum", "value"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+            "vavg": ("avg", "value"),
+        },
+        salt_on="event_id",
+        n_salts=32,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+        F.round("vavg", 4).alias("vavg"),
+    )
+
+
+def q_skew_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof countDistinct (operators/skew.salted_distinct_agg):
+    the distinct shuffle hashes on the value column too, so a hot key
+    spreads; NULL semantics match countDistinct exactly."""
+    ev = _read(spark, sf_dir, "events")
+    return skew.salted_distinct_agg(
+        ev, ["event_type"], "user_id", out="n_users"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
@@ -923,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "vocab_topk": q_vocab_topk,
         "sample_stratified": q_sample_stratified,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_distinct_agg": q_skew_distinct_agg,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
@@ -1349,6 +1391,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE ((doc_id % 100) * (2654435761 % 100) + 17) % 100 < 20
             GROUP BY lang
+        """,
+        "skew_salted_agg": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total,
+                   round(min(value), 4) AS vmin,
+                   round(max(value), 4) AS vmax,
+                   round(avg(value), 4) AS vavg
+            FROM events GROUP BY event_type
+        """,
+        "skew_distinct_agg": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "text_langid": r"""
             WITH h AS (

@@ -1,0 +1,127 @@
+"""Explicit hot-key skew handling (north_rule: "AQE and salted
+shuffles handling the hot-key skew from boilerplate/duplicated files").
+
+The engine already kills skew implicitly in several places — the
+(length-bucket, salt) repartition before detection (ner.py:45-49), the
+document-frequency caps before every LSH self-join (dedup.py,
+linking.py), AQE skew-join splitting (session.py). This module adds
+the EXPLICIT, reusable form for aggregations, where AQE cannot help:
+AQE splits skewed *join* partitions, but a groupBy over a hot key
+still funnels every row of that key through one reduce task.
+
+- salted_agg: two-phase aggregation. Phase 1 groups on
+  (keys..., salt) so a hot key's rows spread over `n_salts` reduce
+  tasks and combine map-side; phase 2 merges the per-salt partials on
+  the true keys — a shuffle of at most |groups| * n_salts tiny rows.
+  Provably equal to the plain groupBy for algebraic aggregates
+  (count/sum/min/max, avg = merged sum / merged count).
+
+- salted_distinct_agg: countDistinct under skew. distinct on
+  (keys..., value) first — the distinct shuffle is salted by the value
+  column itself, so a hot key spreads — then a plain count per key on
+  the (much smaller) distinct set.
+
+At 100 TB the difference is the job completing: a boilerplate license
+header duplicated across 10^9 files is ONE groupBy key; unsalted, its
+reduce task gets 10^9 rows while 999 executors idle.
+
+Why phase 1 bounds the skew: the salt is pmod(xxhash64(salt_on), n)
+where `salt_on` must be a per-row-distinct expression (an id column,
+or the row's full content). Rows of the hot key land uniformly across
+n_salts groups, so no reduce task sees more than ~|hot|/n_salts rows.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: op name -> (phase1 partial over raw rows, phase2 merge over partials)
+_ALGEBRAIC = {
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    metrics: Mapping[str, tuple[str, str]],
+    salt_on: Column | str,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Two-phase salted groupBy.
+
+    metrics maps output column name -> (op, input column) with op in
+    {count, sum, min, max, avg}; for count the input column is ignored.
+    `salt_on` is a per-row-distinct column/expression used to derive
+    the salt (NOT random: deterministic across task retries, which
+    rand() is not under Spark's recompute-on-failure model).
+
+    Equivalent to
+        df.groupBy(*keys).agg(...)
+    but the first (wide) shuffle is on (keys..., salt), so a hot key
+    fans out over n_salts reduce tasks; the second shuffle moves only
+    n_groups * n_salts pre-aggregated rows.
+    """
+    if not metrics:
+        raise ValueError("salted_agg: metrics must be non-empty")
+    salt_col = F.pmod(F.xxhash64(salt_on), F.lit(n_salts)).alias("_salt")
+
+    partials, merges = [], []
+    for out, (op, col) in metrics.items():
+        if op == "avg":
+            # algebraic decomposition: avg = sum of sums / sum of counts
+            partials.append(F.sum(col).alias(f"_s_{out}"))
+            partials.append(F.count(col).alias(f"_c_{out}"))
+            merges.append(
+                (F.sum(f"_s_{out}") / F.sum(f"_c_{out}")).alias(out)
+            )
+        elif op in _ALGEBRAIC:
+            p1, p2 = _ALGEBRAIC[op]
+            partials.append(p1(col).alias(f"_p_{out}"))
+            merges.append(p2(f"_p_{out}").alias(out))
+        else:
+            raise ValueError(
+                f"salted_agg: unsupported op {op!r} for {out!r} "
+                "(supported: count, sum, min, max, avg; for distinct "
+                "counts use salted_distinct_agg)"
+            )
+
+    phase1 = df.withColumn("_salt", salt_col).groupBy(*keys, "_salt").agg(*partials)
+    return phase1.groupBy(*keys).agg(*merges)
+
+
+def salted_distinct_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    out: str = "n_distinct",
+) -> DataFrame:
+    """countDistinct(value_col) per key, skew-proof.
+
+    A plain groupBy(keys).agg(countDistinct(value)) shuffles every raw
+    row of a hot key to one task. Instead: distinct over
+    (keys..., value) — that shuffle hashes on the VALUE too, so a hot
+    key's rows spread across the cluster — then count per key over the
+    deduplicated (bounded) set. NULL values are dropped first so each
+    group's count equals countDistinct (which skips NULLs); groups
+    whose values are all NULL are restored with a join against the key
+    universe (itself skew-safe: a keys-only distinct partial-aggregates
+    map-side, so the shuffle moves ~n_partitions * n_keys rows).
+    """
+    counted = (
+        df.select(*keys, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+    universe = df.select(*keys).distinct()
+    return universe.join(counted, list(keys), "left").select(
+        *keys, F.coalesce(out, F.lit(0)).alias(out)
+    )

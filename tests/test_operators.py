@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from gliner_transbronchialbiopsy_spark.operators import (
+    skew,
     components,
     dedup,
     linking,
@@ -523,3 +524,97 @@ def test_ivf_kmeans_recall_meets_hash_centroids(spark):
     hash_recall = len(hash_half & set(exact)) / 10
     assert km_recall >= hash_recall
     assert km_recall >= 0.5
+
+
+# --- explicit skew handling: salted two-phase aggregation -------------------
+def _skewed_events(spark):
+    # one hot key (90% of rows) + two cold keys, with nulls in `value`
+    rows = [(i, "hot", float(i % 7)) for i in range(1800)]
+    rows += [(10_000 + i, "cold_a", float(i)) for i in range(150)]
+    rows += [(20_000 + i, "cold_b", None) for i in range(50)]
+    return spark.createDataFrame(rows, "event_id long, event_type string, value double")
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    ev = _skewed_events(spark)
+    metrics = {
+        "n": ("count", "value"),
+        "total": ("sum", "value"),
+        "vmin": ("min", "value"),
+        "vmax": ("max", "value"),
+        "vavg": ("avg", "value"),
+    }
+    got = {
+        r["event_type"]: r
+        for r in skew.salted_agg(
+            ev, ["event_type"], metrics, salt_on="event_id", n_salts=16
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.avg("value").alias("vavg"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n"] == want[k]["n"]
+        for c in ("total", "vmin", "vmax", "vavg"):
+            if want[k][c] is None:
+                assert got[k][c] is None  # all-null group (cold_b)
+            else:
+                assert got[k][c] == pytest.approx(want[k][c], rel=1e-12)
+
+
+def test_salted_agg_plan_spreads_hot_key(spark):
+    # phase 1 must shuffle on (key, _salt) -- the hot key fans out --
+    # and phase 2 on the bare key; _salt must not leak into the output
+    ev = _skewed_events(spark)
+    out = skew.salted_agg(
+        ev, ["event_type"], {"n": ("count", "value")},
+        salt_on="event_id", n_salts=16,
+    )
+    assert out.columns == ["event_type", "n"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # first exchange keys include the salt
+    phase1 = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(16))
+    ).groupBy("event_type", "_salt").count()
+    # the hot key really spreads: >1 phase-1 partial per hot key
+    hot_partials = phase1.filter(F.col("event_type") == "hot").count()
+    assert hot_partials > 1
+
+
+def test_salted_agg_rejects_unknown_op(spark):
+    ev = _skewed_events(spark)
+    with pytest.raises(ValueError, match="unsupported op"):
+        skew.salted_agg(
+            ev, ["event_type"], {"d": ("countDistinct", "value")},
+            salt_on="event_id",
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        skew.salted_agg(ev, ["event_type"], {}, salt_on="event_id")
+
+
+def test_salted_distinct_agg_matches_count_distinct(spark):
+    ev = _skewed_events(spark)
+    got = {
+        r["event_type"]: r["n_distinct"]
+        for r in skew.salted_distinct_agg(ev, ["event_type"], "value").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("value").alias("n"))
+        .collect()
+    }
+    # exact parity incl. NULL handling: the all-NULL group (cold_b)
+    # must appear with 0, matching countDistinct's skip-NULL semantics
+    assert got == want
+    assert got["cold_b"] == 0
