@@ -100,6 +100,8 @@ class CheckpointManager:
         """Materialize a stage snapshot + metrics (+ per-partition lineage
         when lineage_key given: rows and a sha-fold content fingerprint
         per partition value — the north rule's per-partition lineage)."""
+        from pyspark.sql import Observation
+
         d = self._stage_dir(stage)
         t0 = time.time()
         if partition_by:
@@ -109,6 +111,13 @@ class CheckpointManager:
             # (448 -> ~8 per value for the triples stage)
             salt = F.pmod(F.spark_partition_id(), F.lit(8))
             df = df.repartition(*[F.col(c) for c in partition_by], salt)
+        # count the rows DURING the write (Observation rides the write
+        # job) instead of re-scanning the snapshot afterwards — the
+        # re-scan was pure serial driver time charged to every stage
+        # (~2-5s each at the 1.12M-doc corpus)
+        schema_json = df.schema.json()
+        obs = Observation(f"ckpt_rows_{stage}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -119,10 +128,9 @@ class CheckpointManager:
         # UNABLE_TO_INFER_SCHEMA — an empty stage is legitimate (e.g.
         # zero mentions at tiny scale) and must round-trip
         d.mkdir(parents=True, exist_ok=True)
-        (d / "_schema.json").write_text(df.schema.json())
+        (d / "_schema.json").write_text(schema_json)
 
-        back = self.read(df.sparkSession, stage)
-        n_rows = back.count()
+        n_rows = obs.get["rows"]
         metrics = {
             "stage": stage,
             "rows": n_rows,
@@ -131,6 +139,7 @@ class CheckpointManager:
             "variant": variant,
         }
         if lineage_key:
+            back = self.read(df.sparkSession, stage)
             lineage = back.groupBy(lineage_key).agg(
                 F.count("*").alias("rows"),
                 F.sum(

@@ -176,7 +176,18 @@ def main() -> None:
             spark, docs, args.workdir, catalog=catalog,
             partitions=args.cpus * 2, detector=detector,
         )
-    n = triples.count()
+    # the snapshot write already counted the rows for _metrics.json —
+    # a triples.count() here would re-scan the 7M-row parquet snapshot
+    # as pure serial driver time (measured ~5-15s at the 1.12M-doc
+    # corpus, charged to every parallelism level equally)
+    try:
+        from gliner_transbronchialbiopsy_spark.sources.checkpoint import (
+            CheckpointManager as _CM,
+        )
+
+        n = _CM(args.workdir).metrics("triples")["rows"]
+    except (FileNotFoundError, KeyError):
+        n = triples.count()
     wall = time.time() - t0
     n_docs = docs.count()
     print(

@@ -23,8 +23,13 @@ sys.path.insert(0, REPO)
 
 def run_level(input_path: str, cpus: int, runs: int = 1) -> dict:
     best = None
+    # checkpoint workdirs on tmpfs: the distributed-storage stand-in
+    # (BENCH/BASELINE.md) — on the single-disk sandbox a /tmp workdir
+    # makes every stage write disk-bound, which caps the high-
+    # parallelism side and fabricates a poor scaling ratio
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     for i in range(runs):
-        workdir = f"/tmp/kg_scale_{cpus}_{i}"
+        workdir = f"{base}/kg_scale_{cpus}_{i}"
         if os.path.exists(workdir):
             shutil.rmtree(workdir)
         out = subprocess.run(
