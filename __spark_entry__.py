@@ -874,6 +874,27 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("fingerprint64")
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation keep-list (plans/corpus_curation.curate):
+    language filter -> quality filter -> exact-dedup keep-first, scalar
+    filters before the one dedup shuffle."""
+    from gliner_transbronchialbiopsy_spark.plans import corpus_curation
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_curation.curate(
+        docs, langs=("en",), min_quality=0.45
+    ).select("doc_id", "lang_pred", "quality_score")
+
+
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage curation rejection audit (corpus_curation.report):
+    every dropped doc charged to the first stage that rejected it."""
+    from gliner_transbronchialbiopsy_spark.plans import corpus_curation
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_curation.report(docs, langs=("en",), min_quality=0.45)
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the hot event_type keys
     (operators/skew.salted_agg): the wide shuffle spreads each key over
@@ -963,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "vocab_topk": q_vocab_topk,
         "sample_stratified": q_sample_stratified,
+        "corpus_curation": q_corpus_curation,
+        "curation_report": q_curation_report,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_distinct_agg": q_skew_distinct_agg,
         "text_langid": q_text_langid,
@@ -1391,6 +1414,93 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE ((doc_id % 100) * (2654435761 % 100) + 17) % 100 < 20
             GROUP BY lang
+        """,
+        "corpus_curation": r"""
+            WITH h AS (
+              SELECT doc_id, text,
+                len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist)\b')) AS de,
+                len(regexp_extract_all(lower(text), '\b(?:the|and|of|is|with)\b')) AS en,
+                len(regexp_extract_all(lower(text), '\b(?:el|los|las|que|es)\b')) AS es,
+                len(regexp_extract_all(lower(text), '\b(?:le|la|les|de|et|est)\b')) AS fr
+              FROM documents),
+            l AS (
+              SELECT doc_id, text,
+                     CASE WHEN de = 0 AND en = 0 AND es = 0 AND fr = 0 THEN 'und'
+                          WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                          WHEN en >= es AND en >= fr THEN 'en'
+                          WHEN es >= fr THEN 'es'
+                          ELSE 'fr' END AS lang_pred
+              FROM h),
+            f AS (
+              SELECT doc_id, lang_pred, text,
+                     length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(lower(text),
+                         '\b(?:the|and|of|is|le|la|de|et|der|und|el|que)\b')) AS n_stop
+              FROM l),
+            s AS (
+              SELECT doc_id, lang_pred, text,
+                     round(
+                       least(n_tokens / 100.0, 1.0) * 0.4
+                       + (1 - least(round(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE), 4) * 5, 1.0)) * 0.3
+                       + least(round(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) * 4, 1.0) * 0.3,
+                     4) AS quality_score
+              FROM f),
+            k AS (
+              SELECT doc_id, lang_pred, quality_score,
+                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM s WHERE lang_pred = 'en' AND quality_score >= 0.45)
+            SELECT doc_id, lang_pred, quality_score FROM k WHERE rn = 1
+        """,
+        "curation_report": r"""
+            WITH h AS (
+              SELECT doc_id, text,
+                len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist)\b')) AS de,
+                len(regexp_extract_all(lower(text), '\b(?:the|and|of|is|with)\b')) AS en,
+                len(regexp_extract_all(lower(text), '\b(?:el|los|las|que|es)\b')) AS es,
+                len(regexp_extract_all(lower(text), '\b(?:le|la|les|de|et|est)\b')) AS fr
+              FROM documents),
+            l AS (
+              SELECT doc_id, text,
+                     CASE WHEN de = 0 AND en = 0 AND es = 0 AND fr = 0 THEN 'und'
+                          WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                          WHEN en >= es AND en >= fr THEN 'en'
+                          WHEN es >= fr THEN 'es'
+                          ELSE 'fr' END AS lang_pred
+              FROM h),
+            f AS (
+              SELECT doc_id, lang_pred, text,
+                     length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(lower(text),
+                         '\b(?:the|and|of|is|le|la|de|et|der|und|el|que)\b')) AS n_stop
+              FROM l),
+            s AS (
+              SELECT doc_id, lang_pred, text,
+                     round(
+                       least(n_tokens / 100.0, 1.0) * 0.4
+                       + (1 - least(round(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE), 4) * 5, 1.0)) * 0.3
+                       + least(round(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) * 4, 1.0) * 0.3,
+                     4) AS quality_score
+              FROM f),
+            r AS (
+              SELECT doc_id, lang_pred, quality_score,
+                     (lang_pred = 'en') AS lang_ok,
+                     (quality_score >= 0.45) AS q_ok,
+                     row_number() OVER (
+                       PARTITION BY text ORDER BY doc_id
+                     ) AS rn
+              FROM s)
+            SELECT count(*) AS n_input,
+                   count(CASE WHEN NOT lang_ok THEN 1 END) AS n_lang,
+                   count(CASE WHEN lang_ok AND NOT q_ok THEN 1 END) AS n_quality,
+                   count(CASE WHEN lang_ok AND q_ok AND rn > 1 THEN 1 END) AS n_duplicate,
+                   count(CASE WHEN lang_ok AND q_ok AND rn = 1 THEN 1 END) AS n_kept
+            FROM r
         """,
         "skew_salted_agg": """
             SELECT event_type,

@@ -4,6 +4,7 @@ connected components, corrections, dedup."""
 import pytest
 from pyspark.sql import functions as F
 
+from gliner_transbronchialbiopsy_spark.plans import corpus_curation
 from gliner_transbronchialbiopsy_spark.operators import (
     skew,
     components,
@@ -618,3 +619,57 @@ def test_salted_distinct_agg_matches_count_distinct(spark):
     # must appear with 0, matching countDistinct's skip-NULL semantics
     assert got == want
     assert got["cold_b"] == 0
+
+
+# --- corpus curation plan: lang -> quality -> dedup keep-first --------------
+def _curation_docs(spark):
+    good = "the cat and the dog is with the man of the house and the tree"
+    junk = "the !!!!!!!!!!!!!!!!!!!!!!!!!!!!!!"  # en, punct-swamped
+    rows = [
+        (3, good),          # duplicate pair: lowest id must win
+        (10, good),
+        (5, good + " extra words here"),  # unique good english
+        (7, "le chat est la les de et la le"),  # french -> lang reject
+        (9, junk),          # english but low quality
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curation_flag_charges_first_failing_stage(spark):
+    docs = _curation_docs(spark)
+    fate = {
+        r["doc_id"]: r["reject_stage"]
+        for r in corpus_curation.flag(
+            docs, langs=("en",), min_quality=0.4
+        ).collect()
+    }
+    assert fate == {
+        3: None,
+        10: "duplicate",
+        5: None,
+        7: "lang",
+        9: "quality",
+    }
+
+
+def test_curation_curate_matches_flag_survivors(spark):
+    docs = _curation_docs(spark)
+    kept = corpus_curation.curate(docs, langs=("en",), min_quality=0.4)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 5]
+    # kept rows retain the sampling columns and drop the audit ones
+    assert {"doc_id", "text", "lang_pred", "quality_score"} <= set(kept.columns)
+    assert "reject_stage" not in kept.columns and "_rank" not in kept.columns
+
+
+def test_curation_report_partitions_the_input(spark):
+    docs = _curation_docs(spark)
+    row = corpus_curation.report(docs, langs=("en",), min_quality=0.4).collect()[0]
+    assert row["n_input"] == 5
+    assert row["n_lang"] == 1
+    assert row["n_quality"] == 1
+    assert row["n_duplicate"] == 1
+    assert row["n_kept"] == 2
+    assert (
+        row["n_lang"] + row["n_quality"] + row["n_duplicate"] + row["n_kept"]
+        == row["n_input"]
+    )
