@@ -56,6 +56,9 @@ AUDIT = {
     # trained-centroid IVF at full probe: bucket filter + exact cosine,
     # top-k via TakeOrdered, zero Python, no full sort
     "sim_ivf_kmeans": ("TakeOrderedAndProject", "!InPandas", "!Sort "),
+    # salted two-phase agg: the first exchange hashes on (key, _salt)
+    # so a hot key spreads; two HashAggregate pairs, all JVM
+    "skew_salted_agg": ("_salt", "HashAggregate", "!InPandas"),
 }
 
 
