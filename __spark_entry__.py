@@ -66,11 +66,17 @@ def entry(spark: SparkSession) -> DataFrame:
     mentions = kg_pipeline.detect(sectionized, catalog=pat.KEYWORD_PATTERNS)
     cmap = kg_pipeline.canonicalize(mentions)
     triples = kg_pipeline.materialize_triples(mentions, cmap)
-    return triples.groupBy("pred").agg(
+    out = triples.groupBy("pred").agg(
         F.count("*").alias("n_triples"),
         F.countDistinct("subj").alias("n_subjects"),
         F.countDistinct("obj").alias("n_objects"),
     )
+    # materialize the (tiny) per-pred aggregate so the clustered doc
+    # cache detect() pinned can be released before returning — without
+    # the barrier the cache must survive until the caller's collect
+    out = out.localCheckpoint()
+    kg_pipeline.release_doc_cache(mentions)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -532,6 +538,9 @@ def q_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = os.path.join(tempfile.gettempdir(), f"kg_lineage_{tag}")
     ckpt = CheckpointManager(workdir)
     ckpt.write("triples", triples, partition_by=("pred",), lineage_key="pred")
+    # the snapshot is on disk: the clustered doc cache detect() pinned
+    # is dead weight for the rest of the contract session — release it
+    kg_pipeline.release_doc_cache(mentions)
     lineage = ckpt.lineage(spark, "triples")
     return lineage.select("pred", F.col("rows").alias("n_rows"))
 
@@ -999,6 +1008,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+# shared DuckDB CTE chain restating textstats.lang_id + quality_score
+# over the documents table — interpolated into BOTH curation oracles so
+# the two restatements of the same operators cannot drift
+_CURATION_CTE_SQL = r"""
+            WITH h AS (
+              SELECT doc_id, text,
+                len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist)\b')) AS de,
+                len(regexp_extract_all(lower(text), '\b(?:the|and|of|is|with)\b')) AS en,
+                len(regexp_extract_all(lower(text), '\b(?:el|los|las|que|es)\b')) AS es,
+                len(regexp_extract_all(lower(text), '\b(?:le|la|les|de|et|est)\b')) AS fr
+              FROM documents),
+            l AS (
+              SELECT doc_id, text,
+                     CASE WHEN de = 0 AND en = 0 AND es = 0 AND fr = 0 THEN 'und'
+                          WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                          WHEN en >= es AND en >= fr THEN 'en'
+                          WHEN es >= fr THEN 'es'
+                          ELSE 'fr' END AS lang_pred
+              FROM h),
+            f AS (
+              SELECT doc_id, lang_pred, text,
+                     length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(lower(text),
+                         '\b(?:the|and|of|is|le|la|de|et|der|und|el|que)\b')) AS n_stop
+              FROM l),
+            s AS (
+              SELECT doc_id, lang_pred, text,
+                     round(
+                       least(n_tokens / 100.0, 1.0) * 0.4
+                       + (1 - least(round(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE), 4) * 5, 1.0)) * 0.3
+                       + least(round(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) * 4, 1.0) * 0.3,
+                     4) AS quality_score
+              FROM f)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     kw_values = _KW_VALUES_SQL
     return {
@@ -1415,79 +1463,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id % 100) * (2654435761 % 100) + 17) % 100 < 20
             GROUP BY lang
         """,
-        "corpus_curation": r"""
-            WITH h AS (
-              SELECT doc_id, text,
-                len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist)\b')) AS de,
-                len(regexp_extract_all(lower(text), '\b(?:the|and|of|is|with)\b')) AS en,
-                len(regexp_extract_all(lower(text), '\b(?:el|los|las|que|es)\b')) AS es,
-                len(regexp_extract_all(lower(text), '\b(?:le|la|les|de|et|est)\b')) AS fr
-              FROM documents),
-            l AS (
-              SELECT doc_id, text,
-                     CASE WHEN de = 0 AND en = 0 AND es = 0 AND fr = 0 THEN 'und'
-                          WHEN de >= en AND de >= es AND de >= fr THEN 'de'
-                          WHEN en >= es AND en >= fr THEN 'en'
-                          WHEN es >= fr THEN 'es'
-                          ELSE 'fr' END AS lang_pred
-              FROM h),
-            f AS (
-              SELECT doc_id, lang_pred, text,
-                     length(text) AS n_chars,
-                     CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
-                     len(regexp_extract_all(lower(text),
-                         '\b(?:the|and|of|is|le|la|de|et|der|und|el|que)\b')) AS n_stop
-              FROM l),
-            s AS (
-              SELECT doc_id, lang_pred, text,
-                     round(
-                       least(n_tokens / 100.0, 1.0) * 0.4
-                       + (1 - least(round(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE), 4) * 5, 1.0)) * 0.3
-                       + least(round(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) * 4, 1.0) * 0.3,
-                     4) AS quality_score
-              FROM f),
-            k AS (
+        "corpus_curation": _CURATION_CTE_SQL + """
+            , k AS (
               SELECT doc_id, lang_pred, quality_score,
                      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
               FROM s WHERE lang_pred = 'en' AND quality_score >= 0.45)
             SELECT doc_id, lang_pred, quality_score FROM k WHERE rn = 1
         """,
-        "curation_report": r"""
-            WITH h AS (
-              SELECT doc_id, text,
-                len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist)\b')) AS de,
-                len(regexp_extract_all(lower(text), '\b(?:the|and|of|is|with)\b')) AS en,
-                len(regexp_extract_all(lower(text), '\b(?:el|los|las|que|es)\b')) AS es,
-                len(regexp_extract_all(lower(text), '\b(?:le|la|les|de|et|est)\b')) AS fr
-              FROM documents),
-            l AS (
-              SELECT doc_id, text,
-                     CASE WHEN de = 0 AND en = 0 AND es = 0 AND fr = 0 THEN 'und'
-                          WHEN de >= en AND de >= es AND de >= fr THEN 'de'
-                          WHEN en >= es AND en >= fr THEN 'en'
-                          WHEN es >= fr THEN 'es'
-                          ELSE 'fr' END AS lang_pred
-              FROM h),
-            f AS (
-              SELECT doc_id, lang_pred, text,
-                     length(text) AS n_chars,
-                     CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
-                     len(regexp_extract_all(lower(text),
-                         '\b(?:the|and|of|is|le|la|de|et|der|und|el|que)\b')) AS n_stop
-              FROM l),
-            s AS (
-              SELECT doc_id, lang_pred, text,
-                     round(
-                       least(n_tokens / 100.0, 1.0) * 0.4
-                       + (1 - least(round(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE), 4) * 5, 1.0)) * 0.3
-                       + least(round(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) * 4, 1.0) * 0.3,
-                     4) AS quality_score
-              FROM f),
-            r AS (
+        "curation_report": _CURATION_CTE_SQL + """
+            , r AS (
               SELECT doc_id, lang_pred, quality_score,
                      (lang_pred = 'en') AS lang_ok,
                      (quality_score >= 0.45) AS q_ok,

@@ -70,6 +70,15 @@ def salted_agg(
     """
     if not metrics:
         raise ValueError("salted_agg: metrics must be non-empty")
+    reserved = {"_salt"} | {
+        f"_{p}_{out}" for out in metrics for p in ("p", "s", "c")
+    }
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"salted_agg: input columns {sorted(clash)} collide with "
+            "internal names (_salt, _p_*/_s_*/_c_*) — rename them first"
+        )
     salt_col = F.pmod(F.xxhash64(salt_on), F.lit(n_salts)).alias("_salt")
 
     partials, merges = [], []
@@ -122,6 +131,15 @@ def salted_distinct_agg(
         .agg(F.count(F.lit(1)).alias(out))
     )
     universe = df.select(*keys).distinct()
-    return universe.join(counted, list(keys), "left").select(
-        *keys, F.coalesce(out, F.lit(0)).alias(out)
+    # null-safe equality on every key: groupBy treats NULL as a group,
+    # so the restoring join must too — a plain equi-join would never
+    # match a NULL key and silently zero that group's count
+    cond = None
+    c = counted.alias("_c")
+    u = universe.alias("_u")
+    for k in keys:
+        clause = u[k].eqNullSafe(c[k])
+        cond = clause if cond is None else cond & clause
+    return u.join(c, cond, "left").select(
+        *[u[k] for k in keys], F.coalesce(c[out], F.lit(0)).alias(out)
     )

@@ -320,6 +320,39 @@ def detector_variant(
     return f"catalog:{digest}@t={threshold}"
 
 
+def detect_checkpointed(
+    ckpt: "CheckpointManager",
+    spark: SparkSession,
+    sectionized: DataFrame,
+    *,
+    stage: str = "mentions",
+    variant: str | None = None,
+    force: bool = False,
+    **detect_kwargs,
+) -> DataFrame:
+    """get_or_compute the detection stage AND release detect()'s
+    internal clustered doc cache once the snapshot is materialized (or
+    reused). This is the one sanctioned way to checkpoint detection:
+    the release discipline lives here instead of being re-implemented
+    (or forgotten — a forgotten release pins a corpus-sized cache in
+    block storage) at every call site."""
+    captured: list[DataFrame] = []
+
+    def _compute() -> DataFrame:
+        df = detect(sectionized, **detect_kwargs)
+        captured.append(df)
+        return df
+
+    mentions = ckpt.get_or_compute(
+        spark, stage, _compute, force=force, variant=variant
+    )
+    # snapshot written (or reused): the clustered doc cache is dead
+    # weight in block storage from here on
+    for df in captured:
+        release_doc_cache(df)
+    return mentions
+
+
 def run_pipeline(
     spark: SparkSession,
     documents: DataFrame,
@@ -341,22 +374,11 @@ def run_pipeline(
     sectionized = ckpt.get_or_compute(
         spark, "sectionized", lambda: sectionize(validated), force=force
     )
-    detect_out: list[DataFrame] = []
-
-    def _compute_mentions() -> DataFrame:
-        df = detect(sectionized, catalog=catalog, threshold=threshold,
-                    partitions=partitions, detector=detector)
-        detect_out.append(df)
-        return df
-
-    mentions = ckpt.get_or_compute(
-        spark, "mentions", _compute_mentions, force=force, variant=det_variant,
+    mentions = detect_checkpointed(
+        ckpt, spark, sectionized, variant=det_variant, force=force,
+        catalog=catalog, threshold=threshold, partitions=partitions,
+        detector=detector,
     )
-    # the mentions snapshot is written; the detect-internal clustered
-    # doc cache would otherwise stay pinned in block storage for the
-    # rest of the job (downstream stages read the parquet snapshot)
-    for df in detect_out:
-        release_doc_cache(df)
     cmap = ckpt.get_or_compute(
         spark, "entities", lambda: canonicalize(mentions), force=force,
         variant=det_variant,

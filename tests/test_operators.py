@@ -673,3 +673,27 @@ def test_curation_report_partitions_the_input(spark):
         row["n_lang"] + row["n_quality"] + row["n_duplicate"] + row["n_kept"]
         == row["n_input"]
     )
+
+
+def test_salted_distinct_agg_null_keys(spark):
+    # groupBy treats a NULL key as a group; the restoring join must be
+    # null-safe or the NULL group's count silently becomes 0
+    df = spark.createDataFrame(
+        [(None, "u1"), (None, "u2"), ("a", "u1")],
+        "k string, v string",
+    )
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in skew.salted_distinct_agg(df, ["k"], "v").collect()
+    }
+    want = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == want == {None: 2, "a": 1}
+
+
+def test_salted_agg_rejects_reserved_column_collision(spark):
+    df = spark.createDataFrame([(1, "a", 0.5)], "_salt long, k string, v double")
+    with pytest.raises(ValueError, match="collide with"):
+        skew.salted_agg(df, ["k"], {"n": ("count", "v")}, salt_on="v")

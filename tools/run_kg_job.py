@@ -138,29 +138,28 @@ def main() -> None:
         # resume whose mentions snapshot is already complete, skip the
         # (full-corpus) bucket write instead of paying it per run
         if args.bucketed_docs and not _mentions_snapshot_reusable():
-            write_bucketed(
-                sectionized, "kg_docs_bucketed", "content_sha256",
-                args.bucketed_docs,
+            import hashlib
+
+            # run-scoped table name: a fixed global name would let two
+            # concurrent jobs sharing a warehouse overwrite each
+            # other's input mid-run (DROP + overwrite under a lazy
+            # reader of the same table)
+            tbl = (
+                "kg_docs_bucketed_"
+                + hashlib.sha256(args.workdir.encode()).hexdigest()[:12]
             )
-            sectionized = spark.table("kg_docs_bucketed")
+            write_bucketed(
+                sectionized, tbl, "content_sha256", args.bucketed_docs,
+            )
+            sectionized = spark.table(tbl)
             docs_clustered = True
 
-        detect_out = []
-
-        def _compute_mentions():
-            df = kg_pipeline.detect(
-                sectionized, catalog=catalog,
-                partitions=None if docs_clustered else args.cpus * 2,
-                detector=detector, docs_clustered=docs_clustered,
-            )
-            detect_out.append(df)
-            return df
-
-        mentions = ckpt.get_or_compute(
-            spark, "mentions", _compute_mentions, variant=variant,
+        mentions = kg_pipeline.detect_checkpointed(
+            ckpt, spark, sectionized, variant=variant,
+            catalog=catalog,
+            partitions=None if docs_clustered else args.cpus * 2,
+            detector=detector, docs_clustered=docs_clustered,
         )
-        for df in detect_out:
-            kg_pipeline.release_doc_cache(df)
         cmap = ckpt.get_or_compute(
             spark, "entities", lambda: kg_pipeline.canonicalize(mentions),
             variant=variant,
