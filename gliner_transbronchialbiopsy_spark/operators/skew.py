@@ -70,6 +70,18 @@ def salted_agg(
     """
     if not metrics:
         raise ValueError("salted_agg: metrics must be non-empty")
+    if n_salts < 1:
+        # pmod(x, 0) yields NULL — every row would land in one NULL
+        # salt group, silently defeating the fan-out
+        raise ValueError(f"salted_agg: n_salts must be >= 1, got {n_salts}")
+    out_clash = set(metrics) & set(keys)
+    if out_clash:
+        # a metric named like a key column would emit two columns with
+        # the same name in the phase-2 result (ambiguous downstream)
+        raise ValueError(
+            f"salted_agg: metric output names {sorted(out_clash)} collide "
+            "with key columns — pick different output names"
+        )
     reserved = {"_salt"} | {
         f"_{p}_{out}" for out in metrics for p in ("p", "s", "c")
     }

@@ -79,6 +79,34 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def drop_bucketed(spark: SparkSession, table: str) -> None:
+    """Drop a table written by write_bucketed AND remove its warehouse
+    directory. Run-scoped bucketed staging tables (e.g. run_kg_job's
+    kg_docs_bucketed_<sha12>) must not leak a full-corpus copy into the
+    shared warehouse per distinct workdir — call this once the consumer
+    stage's snapshot is materialized. Same local-filesystem-only guard
+    as write_bucketed's stale-location cleanup: on hdfs/s3a the catalog
+    DROP is all we can safely do (the parsed .path would name an
+    unrelated local directory)."""
+    import shutil
+    from urllib.parse import unquote, urlparse
+
+    parts = table.split(".")
+    quoted = ".".join(f"`{p}`" for p in parts)
+    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+    warehouse_uri = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if warehouse_uri.scheme in ("", "file"):
+        warehouse = Path(unquote(warehouse_uri.path))
+        db = (
+            parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
+        ).lower()
+        name = parts[-1].lower()
+        loc = (
+            warehouse / name if db == "default" else warehouse / f"{db}.db" / name
+        )
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 class CheckpointManager:
     def __init__(self, root: str | Path):
         self.root = Path(root)
@@ -116,6 +144,11 @@ class CheckpointManager:
         # re-scan was pure serial driver time charged to every stage
         # (~2-5s each at the 1.12M-doc corpus)
         schema_json = df.schema.json()
+        # known minor leak: if the write below raises, this Observation's
+        # listener stays registered on the session (PySpark exposes no
+        # unregister). Harmless for correctness — a later same-name
+        # Observation unregisters it on first match — and bounded by the
+        # retry count within one session, so not worth a workaround.
         obs = Observation(f"ckpt_rows_{stage}")
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.mode("overwrite")

@@ -160,6 +160,16 @@ def main() -> None:
             partitions=None if docs_clustered else args.cpus * 2,
             detector=detector, docs_clustered=docs_clustered,
         )
+        if docs_clustered:
+            # the bucketed layout existed only to feed detection; the
+            # mentions snapshot is written, so drop the staging table —
+            # otherwise every distinct workdir leaks a full-corpus copy
+            # into the shared warehouse
+            from gliner_transbronchialbiopsy_spark.sources.checkpoint import (
+                drop_bucketed,
+            )
+
+            drop_bucketed(spark, tbl)
         cmap = ckpt.get_or_compute(
             spark, "entities", lambda: kg_pipeline.canonicalize(mentions),
             variant=variant,
@@ -185,7 +195,10 @@ def main() -> None:
         )
 
         n = _CM(args.workdir).metrics("triples")["rows"]
-    except (FileNotFoundError, KeyError):
+    except (FileNotFoundError, KeyError, ValueError):
+        # ValueError covers json.JSONDecodeError: a truncated
+        # _metrics.json left by a killed prior run must not crash the
+        # job after all compute is done — fall back to counting
         n = triples.count()
     wall = time.time() - t0
     n_docs = docs.count()
