@@ -1672,14 +1672,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM unnest(range(1, greatest(len(lower(t.text)) - 4, 1) + 1)) u(i)
               ) s
             ),
-            -- MinHash slot i = min over shingles of the 60-bit
-            -- sha256-derived hash of (shingle \\x1f i)
+            -- MinHash slot i = min over shingles of lane i%4 of the
+            -- sha256 digest of (shingle \\x1f i//4): one digest feeds
+            -- four 60-bit lanes (15 hex digits each), so 32 slots cost
+            -- 8 sha rounds per shingle, mirroring Spark's
+            -- linking.portable_digest/portable_lane60
+            digests AS (
+              SELECT sh.tid, CAST(bl.b AS INT) AS b,
+                     sha256(sh.sh || chr(31) || CAST(bl.b AS VARCHAR)) AS dg
+              FROM shingles sh, range(0, 8) bl(b)
+            ),
             minh AS (
-              SELECT sh.tid, CAST(sl.slot AS INT) AS slot,
+              SELECT d.tid, CAST(d.b * 4 + ln.l AS INT) AS slot,
                      min(CAST('0x' || substr(
-                           sha256(sh.sh || chr(31) || CAST(sl.slot AS VARCHAR)),
-                           1, 15) AS BIGINT)) AS h
-              FROM shingles sh, range(0, 32) sl(slot)
+                           d.dg, CAST(ln.l * 15 + 1 AS INT), 15)
+                         AS BIGINT)) AS h
+              FROM digests d, range(0, 4) ln(l)
               GROUP BY 1, 2
             ),
             -- 8 bands x 4 slots; band key = the slot values themselves

@@ -39,12 +39,39 @@ def portable_hash60(col, seed: int | None = None):
     emits. 15 hex digits = 60 bits keeps the value safely inside int64
     on both engines (16 digits can exceed signed-long range). The seed
     is appended behind a \\x1f separator so seeded families stay
-    independent. Used by the portable_hash=True modes of the MinHash /
-    SimHash operators so their outputs gain SQL oracles; xxhash64
-    remains the production default (single JVM intrinsic vs a full
-    sha256 round per shingle)."""
+    independent. Used by the portable_hash=True modes of the SimHash /
+    embedding operators (one hash per call site) so their outputs gain
+    SQL oracles; xxhash64 remains the production default (single JVM
+    intrinsic vs a full sha256 round per shingle). The many-seed MinHash
+    path uses the cheaper lane-sliced family below instead."""
     s = col if seed is None else F.concat_ws("\x1f", col, F.lit(str(seed)))
     return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long")
+
+
+PORTABLE_LANES_PER_DIGEST = 4
+
+
+def portable_digest(col, block: int):
+    """sha256 hex digest of (col \\x1f block) — one digest feeds
+    PORTABLE_LANES_PER_DIGEST independent 60-bit lanes via
+    portable_lane60, so a num_hashes-wide MinHash family costs
+    ceil(num_hashes/4) sha rounds per shingle instead of num_hashes
+    (4x less CPU on the oracle path; DuckDB restates it identically:
+    sha256(s || chr(31) || block))."""
+    return F.sha2(F.concat_ws("\x1f", col, F.lit(str(block))), 256)
+
+
+def portable_lane60(digest_col, lane: int):
+    """Lane `lane` (0..3) of a portable_digest: hex chars
+    [15*lane+1 .. 15*lane+15] as a 60-bit bigint — the same
+    inside-int64 guarantee as portable_hash60, reproducible in DuckDB
+    as CAST('0x' || substr(digest, 15*lane+1, 15) AS BIGINT). The four
+    lanes of one sha256 digest are disjoint bit ranges, so they are
+    independent hash values for MinHash purposes (standard
+    slice-one-long-hash construction)."""
+    return F.conv(
+        F.substring(digest_col, 15 * lane + 1, 15), 16, 10
+    ).cast("long")
 
 
 def minhash_signatures(
@@ -88,8 +115,20 @@ def minhash_signatures(
         F.explode(char_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
     if portable_hash:
+        # one sha256 digest per block of 4 seeds, sliced into 60-bit
+        # lanes (VERDICT r3 #2: the per-seed digest cost num_hashes sha
+        # rounds per shingle; this costs ceil(num_hashes/4)). Digests
+        # are materialized as columns so codegen runs each sha round
+        # once, not once per min-aggregate that references it.
+        lanes = PORTABLE_LANES_PER_DIGEST
+        n_digests = (num_hashes + lanes - 1) // lanes
+        for d in range(n_digests):
+            exploded = exploded.withColumn(
+                f"_dg{d}", portable_digest(F.col("shingle"), d)
+            )
+
         def _h(i):
-            return portable_hash60(F.col("shingle"), seed=i)
+            return portable_lane60(F.col(f"_dg{i // lanes}"), i % lanes)
     else:
         def _h(i):
             return F.xxhash64("shingle", F.lit(i))
