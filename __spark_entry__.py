@@ -897,11 +897,30 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage curation rejection audit (corpus_curation.report):
-    every dropped doc charged to the first stage that rejected it."""
+    every dropped doc charged to the first stage that rejected it,
+    including the MinHash near-dup cluster losers (portable hash family
+    so the whole four-stage chain is DuckDB-restatable)."""
     from gliner_transbronchialbiopsy_spark.plans import corpus_curation
 
     docs = _read(spark, sf_dir, "documents")
-    return corpus_curation.report(docs, langs=("en",), min_quality=0.45)
+    return corpus_curation.report(
+        docs, langs=("en",), min_quality=0.45, portable_hash=True
+    )
+
+
+def q_curation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship four-stage curation keep list
+    (corpus_curation.curate_near_dup): lang -> quality -> exact dedup ->
+    MinHash near-dup cluster election (lowest string id per cluster
+    survives). portable hash family: signatures, banding, bucket cap,
+    candidate join, estimate AND the connected-component election are
+    all restated in the DuckDB oracle (recursive min-label CTE)."""
+    from gliner_transbronchialbiopsy_spark.plans import corpus_curation
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_curation.curate_near_dup(
+        docs, langs=("en",), min_quality=0.45, portable_hash=True
+    ).select("doc_id", "lang_pred", "quality_score")
 
 
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -995,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "corpus_curation": q_corpus_curation,
         "curation_report": q_curation_report,
+        "curation_near_dup": q_curation_near_dup,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_distinct_agg": q_skew_distinct_agg,
         "text_langid": q_text_langid,
@@ -1012,7 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # over the documents table — interpolated into BOTH curation oracles so
 # the two restatements of the same operators cannot drift
 _CURATION_CTE_SQL = r"""
-            WITH h AS (
+            WITH RECURSIVE h AS (
               SELECT doc_id, text,
                 len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist)\b')) AS de,
                 len(regexp_extract_all(lower(text), '\b(?:the|and|of|is|with)\b')) AS en,
@@ -1044,6 +1064,98 @@ _CURATION_CTE_SQL = r"""
                        + least(round(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) * 4, 1.0) * 0.3,
                      4) AS quality_score
               FROM f)
+"""
+
+# the four-stage chain: _CURATION_CTE_SQL's scalar stages + exact-dedup
+# survivors (k) + the MinHash near-dup stage restated end-to-end —
+# char-5-gram shingles, lane-sliced sha256 signature family (8 digests
+# x 4 lanes = 32 slots, mirroring linking.portable_digest/
+# portable_lane60), 8 bands x 4 slots, the 64-row hot-bucket cap,
+# banded candidate self-join, slot-match Jaccard estimate >= 0.5, then
+# connected components as a recursive min-label propagation (labels
+# flow along edges while label < destination; the cluster minimum
+# reaches every member because it is smaller than every node on the
+# path) and cluster losers = nodes whose component min is not
+# themselves. Node ids are VARCHAR doc_ids — STRING order, matching
+# the Spark LSH stage's string rep ids.
+_CURATION_ND_CTE_SQL = _CURATION_CTE_SQL + r"""
+            , k AS (
+              SELECT doc_id, lang_pred, quality_score, text,
+                     row_number() OVER (
+                       PARTITION BY text ORDER BY doc_id
+                     ) AS rn
+              FROM s WHERE lang_pred = 'en' AND quality_score >= 0.45),
+            -- MATERIALIZED: the recursive nd_cc below references these;
+            -- without the hint DuckDB inlines them and re-evaluates the
+            -- whole MinHash chain on every recursion iteration
+            -- (measured: 5.9s of a 6.1s query in the REC_CTE node)
+            nd_nodes AS MATERIALIZED (
+              SELECT CAST(doc_id AS VARCHAR) AS node, text
+              FROM k WHERE rn = 1),
+            nd_shingles AS (
+              SELECT t.node, sh.sh
+              FROM nd_nodes t, LATERAL (
+                SELECT DISTINCT
+                       substr(lower(t.text), CAST(u.i AS INT), 5) AS sh
+                FROM unnest(range(1, greatest(len(lower(t.text)) - 4, 1) + 1))
+                     u(i)
+              ) sh),
+            -- hash DISTINCT shingle values once, then join back: the
+            -- digest depends only on the shingle string, and shingles
+            -- repeat heavily across documents
+            nd_shvals AS (SELECT DISTINCT sh FROM nd_shingles),
+            nd_shdg AS (
+              SELECT v.sh, CAST(b.b AS INT) AS b,
+                     sha256(v.sh || chr(31) || CAST(b.b AS VARCHAR)) AS dg
+              FROM nd_shvals v, range(0, 8) b(b)),
+            nd_shhash AS (
+              SELECT d.sh, CAST(d.b * 4 + l.l AS INT) AS slot,
+                     CAST('0x' || substr(
+                           d.dg, CAST(l.l * 15 + 1 AS INT), 15)
+                         AS BIGINT) AS h
+              FROM nd_shdg d, range(0, 4) l(l)),
+            nd_minh AS (
+              SELECT s.node, h.slot, min(h.h) AS h
+              FROM nd_shingles s JOIN nd_shhash h USING (sh)
+              GROUP BY 1, 2),
+            nd_bands AS (
+              SELECT node, CAST(slot // 4 AS INT) AS band_id,
+                     string_agg(CAST(h AS VARCHAR), ',' ORDER BY slot)
+                       AS band_key
+              FROM nd_minh GROUP BY node, slot // 4),
+            nd_okb AS (
+              SELECT band_id, band_key FROM nd_bands
+              GROUP BY 1, 2 HAVING count(*) <= 64),
+            nd_capped AS (
+              SELECT b.* FROM nd_bands b
+              JOIN nd_okb USING (band_id, band_key)),
+            nd_cand AS (
+              SELECT DISTINCT a.node AS na, b.node AS nb
+              FROM nd_capped a
+              JOIN nd_capped b ON a.band_id = b.band_id
+                              AND a.band_key = b.band_key
+                              AND a.node < b.node),
+            nd_edges AS (
+              SELECT c.na, c.nb
+              FROM nd_cand c
+              JOIN nd_minh ha ON ha.node = c.na
+              JOIN nd_minh hb ON hb.node = c.nb AND hb.slot = ha.slot
+              GROUP BY 1, 2
+              HAVING sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 32.0
+                     >= 0.5),
+            nd_sym AS MATERIALIZED (
+              SELECT na AS src, nb AS dst FROM nd_edges
+              UNION ALL
+              SELECT nb, na FROM nd_edges),
+            nd_cc AS (
+              SELECT node, node AS label FROM nd_nodes
+              UNION
+              SELECT e.dst, c.label
+              FROM nd_cc c JOIN nd_sym e ON e.src = c.node
+              WHERE c.label < e.dst),
+            nd_losers AS (
+              SELECT node FROM nd_cc
+              GROUP BY node HAVING min(label) <> node)
 """
 
 
@@ -1470,21 +1582,29 @@ def oracle_sql() -> dict[str, str]:
               FROM s WHERE lang_pred = 'en' AND quality_score >= 0.45)
             SELECT doc_id, lang_pred, quality_score FROM k WHERE rn = 1
         """,
-        "curation_report": _CURATION_CTE_SQL + """
-            , r AS (
-              SELECT doc_id, lang_pred, quality_score,
-                     (lang_pred = 'en') AS lang_ok,
-                     (quality_score >= 0.45) AS q_ok,
-                     row_number() OVER (
-                       PARTITION BY text ORDER BY doc_id
-                     ) AS rn
-              FROM s)
-            SELECT count(*) AS n_input,
-                   count(CASE WHEN NOT lang_ok THEN 1 END) AS n_lang,
-                   count(CASE WHEN lang_ok AND NOT q_ok THEN 1 END) AS n_quality,
-                   count(CASE WHEN lang_ok AND q_ok AND rn > 1 THEN 1 END) AS n_duplicate,
-                   count(CASE WHEN lang_ok AND q_ok AND rn = 1 THEN 1 END) AS n_kept
-            FROM r
+        # scalar-stage counts from s, dup/near-dup/kept from the
+        # survivor-ranked k (byte-identical texts share scalar fate,
+        # so rn-over-survivors equals rn-over-all for survivor rows)
+        "curation_report": _CURATION_ND_CTE_SQL + """
+            SELECT (SELECT count(*) FROM s) AS n_input,
+                   (SELECT count(*) FROM s WHERE lang_pred <> 'en')
+                     AS n_lang,
+                   (SELECT count(*) FROM s
+                    WHERE lang_pred = 'en' AND quality_score < 0.45)
+                     AS n_quality,
+                   (SELECT count(*) FROM k WHERE rn > 1) AS n_duplicate,
+                   (SELECT count(*) FROM k WHERE rn = 1
+                    AND CAST(doc_id AS VARCHAR) IN
+                        (SELECT node FROM nd_losers)) AS n_near_duplicate,
+                   (SELECT count(*) FROM k WHERE rn = 1
+                    AND CAST(doc_id AS VARCHAR) NOT IN
+                        (SELECT node FROM nd_losers)) AS n_kept
+        """,
+        "curation_near_dup": _CURATION_ND_CTE_SQL + """
+            SELECT k.doc_id, k.lang_pred, k.quality_score
+            FROM k WHERE k.rn = 1
+              AND CAST(k.doc_id AS VARCHAR) NOT IN
+                  (SELECT node FROM nd_losers)
         """,
         "skew_salted_agg": """
             SELECT event_type,
@@ -1677,17 +1797,24 @@ def oracle_sql() -> dict[str, str]:
             -- four 60-bit lanes (15 hex digits each), so 32 slots cost
             -- 8 sha rounds per shingle, mirroring Spark's
             -- linking.portable_digest/portable_lane60
-            digests AS (
-              SELECT sh.tid, CAST(bl.b AS INT) AS b,
-                     sha256(sh.sh || chr(31) || CAST(bl.b AS VARCHAR)) AS dg
-              FROM shingles sh, range(0, 8) bl(b)
+            -- hash DISTINCT shingle values once, then join back (the
+            -- digest depends only on the shingle string)
+            shvals AS (SELECT DISTINCT sh FROM shingles),
+            shdg AS (
+              SELECT v.sh, CAST(bl.b AS INT) AS b,
+                     sha256(v.sh || chr(31) || CAST(bl.b AS VARCHAR)) AS dg
+              FROM shvals v, range(0, 8) bl(b)
+            ),
+            shh AS (
+              SELECT d.sh, CAST(d.b * 4 + ln.l AS INT) AS slot,
+                     CAST('0x' || substr(
+                           d.dg, CAST(ln.l * 15 + 1 AS INT), 15)
+                         AS BIGINT) AS h
+              FROM shdg d, range(0, 4) ln(l)
             ),
             minh AS (
-              SELECT d.tid, CAST(d.b * 4 + ln.l AS INT) AS slot,
-                     min(CAST('0x' || substr(
-                           d.dg, CAST(ln.l * 15 + 1 AS INT), 15)
-                         AS BIGINT)) AS h
-              FROM digests d, range(0, 4) ln(l)
+              SELECT s.tid, h.slot, min(h.h) AS h
+              FROM shingles s JOIN shh h USING (sh)
               GROUP BY 1, 2
             ),
             -- 8 bands x 4 slots; band key = the slot values themselves

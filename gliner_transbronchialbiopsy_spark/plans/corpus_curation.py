@@ -1,6 +1,7 @@
 """Corpus curation: the canonical training-data cleaning pass, composed
 from the engine's text-analysis and dedup operators into ONE declarative
-plan (language filter -> quality filter -> exact-dedup keep-first).
+plan (language filter -> quality filter -> exact-dedup keep-first ->
+MinHash near-dup cluster election).
 
 This is the pipeline a 100 TB pretraining corpus actually runs before
 anything model-shaped touches it (C4/Gopher-style). Plan shape:
@@ -8,12 +9,20 @@ anything model-shaped touches it (C4/Gopher-style). Plan shape:
 - language ID + quality features are pure column expressions
   (operators/textstats.py) — a single whole-stage-codegen projection
   over the scan, no Python, no shuffle;
-- the ONLY shuffle is the dedup: a window over sha2(text) keyed
-  partitions (keep the lowest id per identical text). Filters run
-  BEFORE the shuffle, so rejected rows never move;
+- the exact dedup is a window over sha2(text) keyed partitions (keep
+  the lowest id per identical text). Filters run BEFORE the shuffle,
+  so rejected rows never move;
+- the fuzzy stage runs LAST, over exact-dedup survivors only:
+  MinHash+LSH candidate pairs (operators/dedup.py) -> connected
+  components (operators/components.py) -> keep the lowest id per
+  near-dup cluster. Order matters for accounting: the LSH stage
+  collapses byte-identical texts before signatures, so byte-copies
+  would surface as ISOLATED nodes (not cluster members) if fuzzy ran
+  first — exact-first charges them to 'duplicate' where they belong;
 - rejection accounting is per-stage and sequential (a doc is charged
-  to the FIRST stage that rejects it), computed as one aggregate over
-  the same flagged projection — no second pass over the corpus.
+  to the FIRST stage that rejects it); the scalar stages come from one
+  aggregate over the flagged projection, the near-dup stage from the
+  cluster-election loser set.
 
 Reference analogue: the upload-validation + skip-seen-file checks
 (src/streamlit/app/utils/file_handler.py:45-90, app.py:342-346)
@@ -29,10 +38,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..operators import textstats
+from ..operators import components, dedup, textstats
 
 #: rejection stages in charge order (first failing stage wins)
-STAGES = ("lang", "quality", "duplicate")
+STAGES = ("lang", "quality", "duplicate", "near_duplicate")
 
 
 def flag(
@@ -104,17 +113,114 @@ def curate(
     )
 
 
+def near_dup_losers(
+    survivors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.5,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Ids (as strings) of near-duplicate cluster LOSERS among exact-dedup
+    survivors: MinHash+LSH pairs (dedup.minhash_near_duplicates) ->
+    connected components over the pair graph (components.canonical_map)
+    -> within each cluster the minimum id (STRING order, matching the
+    LSH stage's string rep ids) survives; every other member is a loser.
+
+    Scale shape: inherits the LSH stage's guarantees (banded equi-join
+    on sha gids, 64-row hot-bucket cap, text never travels after the
+    signature stage); the component loop is the star-contraction
+    iteration with its driver union-find shortcut below 1M edges.
+    portable_hash=True makes the whole chain DuckDB-restatable for the
+    curation contract oracles (recursive min-label CTE on the SQL side).
+    """
+    pairs = dedup.minhash_near_duplicates(
+        survivors, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, jaccard_threshold=jaccard_threshold,
+        portable_hash=portable_hash,
+    )
+    # materialize the (tiny) edge set once: the component loop reads it
+    # 2-3 times (edge count for the union-find cutoff, then the collect
+    # or the star-contraction iterations) and each read would otherwise
+    # recompute the banded candidate join + estimate joins from the
+    # signature checkpoint
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint()
+    nodes = survivors.select(F.col(id_col).cast("string").alias("node"))
+    cmap = components.canonical_map(edges, nodes)
+    return cmap.filter(F.col("node") != F.col("canonical")).select(
+        F.col("node").alias("_nd_id")
+    )
+
+
+def curate_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs: Sequence[str] = ("en",),
+    min_quality: float = 0.45,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.5,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """The full four-stage keep list: curate() (lang -> quality ->
+    exact dedup) then near-dup cluster election — the engine's LSH
+    dedup machinery composed into the flagship curation pass. The
+    anti-join removes cluster losers; column shape matches curate()."""
+    base = curate(df, text_col, id_col, langs, min_quality)
+    losers = near_dup_losers(
+        base, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, jaccard_threshold=jaccard_threshold,
+        portable_hash=portable_hash,
+    )
+    return base.join(
+        losers,
+        base[id_col].cast("string") == losers["_nd_id"],
+        "left_anti",
+    )
+
+
 def report(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     langs: Sequence[str] = ("en",),
     min_quality: float = 0.45,
+    near_dup: bool = True,
+    jaccard_threshold: float = 0.5,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """One-row audit: input size, rejects per stage, kept count. The
     no-silent-caps rule as a first-class output — at 100 TB 'we kept
-    61%' must come with WHERE the other 39% went."""
+    61%' must come with WHERE the other 39% went.
+
+    near_dup=True (default) runs the fuzzy stage over the scalar+exact
+    survivors and charges its cluster losers to 'near_duplicate'; the
+    scalar stages still come from one pass over the flagged projection.
+    near_dup=False reports the three scalar stages only (n_near_duplicate
+    = 0) for corpora where the LSH pass is run separately."""
     flagged = flag(df, text_col, id_col, langs, min_quality)
+    if near_dup:
+        kept = flagged.filter(F.col("reject_stage").isNull())
+        losers = near_dup_losers(
+            kept, text_col, id_col,
+            jaccard_threshold=jaccard_threshold, portable_hash=portable_hash,
+        ).withColumn("_nd", F.lit(True))
+        flagged = flagged.join(
+            losers,
+            flagged[id_col].cast("string") == losers["_nd_id"],
+            "left",
+        ).withColumn(
+            "reject_stage",
+            F.coalesce(
+                "reject_stage", F.when(F.col("_nd"), F.lit("near_duplicate"))
+            ),
+        )
     return flagged.agg(
         F.count(F.lit(1)).alias("n_input"),
         *[

@@ -663,16 +663,81 @@ def test_curation_curate_matches_flag_survivors(spark):
 
 def test_curation_report_partitions_the_input(spark):
     docs = _curation_docs(spark)
-    row = corpus_curation.report(docs, langs=("en",), min_quality=0.4).collect()[0]
+    row = corpus_curation.report(
+        docs, langs=("en",), min_quality=0.4, near_dup=False
+    ).collect()[0]
     assert row["n_input"] == 5
     assert row["n_lang"] == 1
     assert row["n_quality"] == 1
     assert row["n_duplicate"] == 1
+    assert row["n_near_duplicate"] == 0
     assert row["n_kept"] == 2
     assert (
-        row["n_lang"] + row["n_quality"] + row["n_duplicate"] + row["n_kept"]
+        row["n_lang"] + row["n_quality"] + row["n_duplicate"]
+        + row["n_near_duplicate"] + row["n_kept"]
         == row["n_input"]
     )
+
+
+def _near_dup_docs(spark):
+    """Five english docs: a planted near-dup cluster {2, 11, 30} (same
+    long text with one word swapped / appended), one byte-copy of the
+    cluster rep (charged 'duplicate', not 'near_duplicate'), and one
+    unrelated survivor."""
+    base = (
+        "the cat and the dog is with the man of the house and the tree "
+        "and the bird is of the garden with the sun and the rain of the "
+        "morning and the evening is with the wind"
+    )
+    other = (
+        "the ship and the sea is with the crew of the harbor and the "
+        "wave and the storm is of the night with the moon and the star "
+        "of the tide and the sail is with the rope"
+    )
+    rows = [
+        (2, base),
+        (11, base.replace("garden", "meadow")),
+        (30, base + " and the snow"),
+        (4, base),   # byte-identical to doc 2 -> exact-dup stage
+        (6, other),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curation_near_dup_keeps_lowest_string_id_per_cluster(spark):
+    docs = _near_dup_docs(spark)
+    for portable in (False, True):
+        kept = corpus_curation.curate_near_dup(
+            docs, langs=("en",), min_quality=0.4, portable_hash=portable
+        )
+        # cluster {2, 11, 30}: min STRING id '11' survives (the LSH
+        # stage's rep ids are strings; documented election order);
+        # doc 4 already fell to the exact-dedup stage
+        assert sorted(r["doc_id"] for r in kept.collect()) == [6, 11], (
+            f"portable={portable}"
+        )
+
+
+def test_curation_report_charges_near_duplicates(spark):
+    docs = _near_dup_docs(spark)
+    row = corpus_curation.report(
+        docs, langs=("en",), min_quality=0.4, portable_hash=True
+    ).collect()[0]
+    assert row["n_input"] == 5
+    assert row["n_lang"] == 0 and row["n_quality"] == 0
+    assert row["n_duplicate"] == 1      # doc 4, byte-copy of doc 2
+    assert row["n_near_duplicate"] == 2  # docs 2 and 30 lose to '11'
+    assert row["n_kept"] == 2
+    assert (
+        row["n_lang"] + row["n_quality"] + row["n_duplicate"]
+        + row["n_near_duplicate"] + row["n_kept"]
+        == row["n_input"]
+    )
+    # the report's kept count must equal the curate_near_dup keep list
+    kept = corpus_curation.curate_near_dup(
+        docs, langs=("en",), min_quality=0.4, portable_hash=True
+    ).count()
+    assert kept == row["n_kept"]
 
 
 def test_salted_distinct_agg_null_keys(spark):

@@ -91,6 +91,113 @@ def test_gliner_path_raises_cleanly_when_missing(spark):
         out.collect()
 
 
+_FAKE_GLINER_SRC = '''
+"""Test-only stand-in for the real `gliner` package, injected via
+PYTHONPATH (see test_fake_gliner_detector_end_to_end). Deterministic:
+finds each label's first word in the text; per-label scores let the
+caller verify the threshold is forwarded to the model."""
+
+_SCORES = {"rejection grade": 0.95, "biopsy site": 0.55}
+
+
+class GLiNER:
+    def __init__(self, path):
+        self.path = path
+
+    @classmethod
+    def from_pretrained(cls, path):
+        return cls(path)
+
+    def batch_predict_entities(self, texts, labels, threshold=0.5):
+        out = []
+        for t in texts:
+            low = t.lower()
+            ents = []
+            for lab in labels:
+                probe = lab.split()[0].lower()
+                i = low.find(probe)
+                score = _SCORES.get(lab, 0.9)
+                if i >= 0 and score >= threshold:
+                    ents.append({
+                        "text": t[i:i + len(probe)], "label": lab,
+                        "start": i, "end": i + len(probe), "score": score,
+                    })
+            out.append(ents)
+        return out
+'''
+
+_FAKE_GLINER_DRIVER = '''
+import json, sys
+sys.path.insert(0, ".")
+from gliner_transbronchialbiopsy_spark.operators import ner
+from gliner_transbronchialbiopsy_spark.plans import kg_pipeline
+from gliner_transbronchialbiopsy_spark.session import get_spark
+from gliner_transbronchialbiopsy_spark.sources.checkpoint import CheckpointManager
+
+spark = get_spark("fake_gliner", cpus=2, shuffle_partitions=2)
+labels = ("rejection grade", "biopsy site")
+docs = spark.createDataFrame(
+    [("r", f"p{i}", "c", "txt",
+      f"CONCLUSION : rejection noted, biopsy taken, sample {i}.")
+     for i in range(5)],
+    "repo string, path string, commit string, lang string, content string",
+)
+
+# 1) detector body: batching (batch_size=2 forces chunk iteration over
+#    5 rows), labeling, threshold pass-through (0.7 keeps only the
+#    0.95-score label), mention_id + score rounding
+det = ner.gliner_detector("fake/model", labels=labels, threshold=0.7,
+                          batch_size=2)
+rows = det(docs.withColumnRenamed("content", "conclusion"),
+           "conclusion", ("repo", "path", "commit")).collect()
+assert len(rows) == 5, rows
+assert {r["label"] for r in rows} == {"rejection grade"}, rows
+assert all(r["score"] == 0.95 for r in rows)
+assert all(r["text"] == "rejection" for r in rows)
+assert all(r["end_idx"] - r["start_idx"] == len("rejection") for r in rows)
+assert len({r["mention_id"] for r in rows}) == 5  # id_cols in the id
+
+# 2) checkpoint-variant round-trip: the mentions snapshot must carry
+#    the detector's variant tag, and a DIFFERENT threshold must change
+#    the tag (forcing recompute on resume)
+assert det.variant == "gliner:fake/model:" + str(labels) + ":0.7"
+workdir = sys.argv[1]
+kg_pipeline.run_pipeline(spark, docs, workdir, detector=det)
+m = CheckpointManager(workdir).metrics("mentions")
+# detector_variant() namespaces detector identities under "detector:"
+assert m["variant"] == "detector:" + det.variant, m
+det2 = ner.gliner_detector("fake/model", labels=labels, threshold=0.9)
+assert det2.variant != det.variant
+print("FAKE_GLINER_OK")
+'''
+
+
+def test_fake_gliner_detector_end_to_end(tmp_path):
+    """VERDICT r3 #6: execute the real-GLiNER detector body without the
+    package — a fake `gliner` module goes on PYTHONPATH (a subprocess
+    with its own Spark session, so this session's import-gate test
+    stays valid) and the batching, labeling, threshold, and
+    checkpoint-variant paths all run for real."""
+    import os
+    import subprocess
+    import sys
+
+    fake_dir = tmp_path / "fakepkg"
+    fake_dir.mkdir()
+    (fake_dir / "gliner.py").write_text(_FAKE_GLINER_SRC)
+    driver = tmp_path / "driver.py"
+    driver.write_text(_FAKE_GLINER_DRIVER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{fake_dir}:{env.get('PYTHONPATH', '')}"
+    proc = subprocess.run(
+        [sys.executable, str(driver), str(tmp_path / "work")],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "FAKE_GLINER_OK" in proc.stdout
+
+
 def test_deterministic_across_partitionings(spark):
     """Same triples whatever the parallelism: partitioning must never
     leak into results (cluster-size invariance)."""

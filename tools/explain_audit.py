@@ -92,6 +92,81 @@ def main() -> int:
             f"## {name}\n\n" + "\n".join(checks) + "\n\n```\n" + plan + "```\n"
         )
 
+    # --- partition-pruning audit on a written pred-partitioned snapshot
+    # (VERDICT r3 #4): the triples layout partitions by pred
+    # (kg_pipeline stage 4); prove a pred-filtered read-back prunes at
+    # the scan — PartitionFilters carries the pred equality and the
+    # scan's file count drops to the one selected directory.
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from gliner_transbronchialbiopsy_spark.sources.checkpoint import (  # noqa: E402
+        CheckpointManager,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = CheckpointManager(td)
+        snap = spark.range(0, 10000).select(
+            F.concat(F.lit("doc-"), F.col("id")).alias("subj"),
+            F.element_at(
+                F.array(F.lit("grade"), F.lit("site"), F.lit("date")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("pred"),
+            F.col("id").cast("string").alias("obj"),
+        )
+        ckpt.write("triples", snap, partition_by=("pred",), lineage_key="pred")
+        pruned = ckpt.read(spark, "triples").filter(F.col("pred") == "grade")
+        plan = plan_of(pruned)
+        n_grade = pruned.count()
+        checks = []
+        pf = plan.split("PartitionFilters: [", 1)
+        ok_pf = len(pf) == 2 and "pred" in pf[1].split("]", 1)[0]
+        checks.append(
+            f"  - {'OK ' if ok_pf else 'FAIL'} present `PartitionFilters` on pred"
+        )
+        if not ok_pf:
+            failures.append(("triples_pred_pruned_scan", "PartitionFilters"))
+        # behavioral: garbage every NON-selected partition's files —
+        # the pruned read must still succeed (never opens them)
+        import glob as _glob
+        import os as _os
+
+        n_bad = 0
+        for p in ("site", "date"):
+            for fpath in _glob.glob(
+                _os.path.join(td, "triples", "data", f"pred={p}", "*.parquet")
+            ):
+                with open(fpath, "wb") as fh:
+                    fh.write(b"garbage")
+                n_bad += 1
+        try:
+            ok_files = (
+                n_bad > 0
+                and ckpt.read(spark, "triples")
+                .filter(F.col("pred") == "grade")
+                .count()
+                == n_grade
+            )
+        except Exception:
+            ok_files = False
+        checks.append(
+            f"  - {'OK ' if ok_files else 'FAIL'} pruned read untouched by "
+            f"{n_bad} corrupted non-selected partition files"
+        )
+        if not ok_files:
+            failures.append(("triples_pred_pruned_scan", "behavioral-prune"))
+        sections.append(
+            "## triples_pred_pruned_scan\n\n"
+            "Read-back of a pred-partitioned triples snapshot with a "
+            "single-pred filter: partition pruning at the scan "
+            "(behavioral double-check lives in "
+            "tests/test_pipeline_e2e.py::"
+            "test_triples_pred_filter_prunes_partitions — corrupted "
+            "non-selected partitions are never opened).\n\n"
+            + "\n".join(checks) + "\n\n```\n" + plan + "```\n"
+        )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit (`.explain('formatted')`)\n\n"
