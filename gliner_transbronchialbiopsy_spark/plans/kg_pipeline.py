@@ -362,22 +362,36 @@ def run_pipeline(
     partitions: int | None = None,
     detector=None,
     force: bool = False,
+    bucket_docs: int = 0,
 ) -> DataFrame:
     """Full DAG with stage checkpoints; returns the triples DataFrame
     (read back from its parquet snapshot). Detection-dependent stages
     carry a detector variant tag so a resume with a DIFFERENT detector
-    (or threshold) recomputes instead of serving a stale snapshot."""
+    (or threshold) recomputes instead of serving a stale snapshot.
+
+    bucket_docs=N writes the sectionized snapshot bucketed by
+    content_sha256 into N buckets (checkpoint.write bucket_by): the
+    read-back scan then provides the hash-clustering the detect stage
+    needs, so the document side shuffles ZERO times — not for the
+    dedup, not for the fan-out join — on the first run AND on every
+    resume from the snapshot. Whether detection treats the docs as
+    clustered is decided from the SNAPSHOT's recorded layout, not the
+    flag, so resuming a non-bucketed workdir with bucket_docs set (or
+    vice versa) stays correct."""
     ckpt = CheckpointManager(workdir)
     det_variant = detector_variant(catalog, threshold, detector)
 
     validated = validate_documents(documents)
     sectionized = ckpt.get_or_compute(
-        spark, "sectionized", lambda: sectionize(validated), force=force
+        spark, "sectionized", lambda: sectionize(validated), force=force,
+        bucket_by=("content_sha256", bucket_docs) if bucket_docs else None,
     )
+    docs_clustered = ckpt.bucket_spec("sectionized") is not None
     mentions = detect_checkpointed(
         ckpt, spark, sectionized, variant=det_variant, force=force,
-        catalog=catalog, threshold=threshold, partitions=partitions,
-        detector=detector,
+        catalog=catalog, threshold=threshold,
+        partitions=None if docs_clustered else partitions,
+        detector=detector, docs_clustered=docs_clustered,
     )
     cmap = ckpt.get_or_compute(
         spark, "entities", lambda: canonicalize(mentions), force=force,

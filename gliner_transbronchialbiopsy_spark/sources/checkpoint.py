@@ -117,6 +117,33 @@ class CheckpointManager:
     def exists(self, stage: str) -> bool:
         return (self._stage_dir(stage) / "data" / "_SUCCESS").exists()
 
+    def _bucket_table_name(self, stage: str) -> str:
+        """Run-scoped catalog name for a bucketed stage snapshot: the
+        workdir hash keeps two concurrent jobs sharing one warehouse
+        from clobbering each other's table entry (the DATA always lives
+        under this manager's own stage dir, never the warehouse)."""
+        import hashlib
+
+        tag = hashlib.sha256(
+            str(self.root.resolve()).encode()
+        ).hexdigest()[:12]
+        return f"ckpt_{stage}_{tag}"
+
+    def bucket_spec(self, stage: str) -> dict | None:
+        """{'bucket_col', 'n_buckets', 'bucket_table'} if the stage
+        snapshot was written bucketed, else None."""
+        try:
+            m = self.metrics(stage)
+        except FileNotFoundError:
+            return None
+        if m.get("bucket_col"):
+            return {
+                "bucket_col": m["bucket_col"],
+                "n_buckets": m["n_buckets"],
+                "bucket_table": m["bucket_table"],
+            }
+        return None
+
     def write(
         self,
         stage: str,
@@ -124,14 +151,35 @@ class CheckpointManager:
         partition_by: tuple[str, ...] = (),
         lineage_key: str | None = None,
         variant: str | None = None,
+        bucket_by: tuple[str, int] | None = None,
     ) -> None:
         """Materialize a stage snapshot + metrics (+ per-partition lineage
         when lineage_key given: rows and a sha-fold content fingerprint
-        per partition value — the north rule's per-partition lineage)."""
+        per partition value — the north rule's per-partition lineage).
+
+        bucket_by=(col, n) lays the snapshot out as an n-bucket table
+        bucketed by col (EXTERNAL table: catalog metadata only, the
+        parquet lives in this stage's own data dir). Every later read()
+        — including from a fresh session, where the in-memory catalog
+        forgot the table — re-registers the table from the recorded
+        spec, so the scan itself provides hash-clustering on col and
+        downstream stages that need that clustering (detect's
+        dedup-by-sha + fan-out join) run with ZERO exchanges on the doc
+        side. Local analogue of an Iceberg bucket(n, col) partition
+        transform (SURVEY.md §4)."""
         from pyspark.sql import Observation
 
+        if partition_by and bucket_by:
+            raise ValueError(
+                "checkpoint write: partition_by and bucket_by are "
+                "mutually exclusive for one stage"
+            )
         d = self._stage_dir(stage)
         t0 = time.time()
+        if bucket_by:
+            # one task per bucket -> exactly one file per bucket
+            # (bucketed writes otherwise emit files-per-task x buckets)
+            df = df.repartition(bucket_by[1], F.col(bucket_by[0]))
         if partition_by:
             # co-locate each partition value into a few salted tasks
             # before the partitioned write: avoids shuffle_partitions ×
@@ -151,10 +199,28 @@ class CheckpointManager:
         # retry count within one session, so not worth a workaround.
         obs = Observation(f"ckpt_rows_{stage}")
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(str(d / "data"))
+        if bucket_by:
+            import shutil
+
+            bucket_col, n_buckets = bucket_by
+            table = self._bucket_table_name(stage)
+            spark = df.sparkSession
+            spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+            # CTAS refuses a non-empty location (and the catalog may
+            # have forgotten a prior session's table): clear the dir
+            shutil.rmtree(d / "data", ignore_errors=True)
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .option("path", str((d / "data").resolve()))
+                .bucketBy(n_buckets, bucket_col)
+                .saveAsTable(table)
+            )
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(str(d / "data"))
         wall = time.time() - t0
         # persist the schema: an EMPTY stage writes a parquet dir with
         # no part files, and a schema-less read-back fails with
@@ -171,6 +237,10 @@ class CheckpointManager:
             "partition_by": list(partition_by),
             "variant": variant,
         }
+        if bucket_by:
+            metrics["bucket_col"] = bucket_by[0]
+            metrics["n_buckets"] = bucket_by[1]
+            metrics["bucket_table"] = self._bucket_table_name(stage)
         if lineage_key:
             back = self.read(df.sparkSession, stage)
             lineage = back.groupBy(lineage_key).agg(
@@ -185,6 +255,31 @@ class CheckpointManager:
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         d = self._stage_dir(stage)
+        spec = self.bucket_spec(stage)
+        if spec:
+            # a fresh session's in-memory catalog forgot the table;
+            # re-register it over the existing bucketed files (bucket
+            # ids live in the file names, so the recreated table scans
+            # with the original hash-clustering guarantee)
+            table = spec["bucket_table"]
+            if not spark.catalog.tableExists(table):
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(
+                    json.loads((d / "_schema.json").read_text())
+                )
+                cols_ddl = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in schema.fields
+                )
+                loc = str((d / "data").resolve())
+                spark.sql(
+                    f"CREATE TABLE `{table}` ({cols_ddl}) USING PARQUET "
+                    f"CLUSTERED BY (`{spec['bucket_col']}`) "
+                    f"INTO {spec['n_buckets']} BUCKETS "
+                    f"LOCATION '{loc}'"
+                )
+            return spark.table(table)
         schema_file = d / "_schema.json"
         reader = spark.read
         if schema_file.exists():
@@ -224,6 +319,7 @@ class CheckpointManager:
         lineage_key: str | None = None,
         force: bool = False,
         variant: str | None = None,
+        bucket_by: tuple[str, int] | None = None,
     ) -> DataFrame:
         """The resume primitive: reuse the snapshot if complete, else
         compute, persist, and return the persisted copy (so downstream
@@ -245,6 +341,6 @@ class CheckpointManager:
         df = compute()
         self.write(
             stage, df, partition_by=partition_by, lineage_key=lineage_key,
-            variant=variant,
+            variant=variant, bucket_by=bucket_by,
         )
         return self.read(spark, stage)

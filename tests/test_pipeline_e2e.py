@@ -140,6 +140,45 @@ def test_resume_skips_completed_stages(pipeline_out, spark):
     assert again.count() == n
 
 
+def test_bucketed_sectionize_snapshot(pipeline_out, spark, tmp_path):
+    """run_pipeline(bucket_docs=N) writes the sectionized snapshot as a
+    bucketed table: triples byte-identical to the plain layout, the
+    read-back scan satisfies a content_sha256 grouping with NO exchange,
+    and a fresh catalog (new-session resume) re-registers the table from
+    the recorded spec."""
+    import contextlib
+    import io
+
+    docs_pd, _, triples_plain, _, docs = pipeline_out
+    workdir = str(tmp_path / "bucketed")
+    triples_b = kg_pipeline.run_pipeline(spark, docs, workdir, bucket_docs=4)
+    cols = sorted(triples_plain.columns)
+    assert sorted(triples_b.columns) == cols
+    a = set(map(tuple, triples_plain.select(*cols).collect()))
+    b = set(map(tuple, triples_b.select(*cols).collect()))
+    assert a == b and len(a) > 0
+
+    ckpt = CheckpointManager(workdir)
+    spec = ckpt.bucket_spec("sectionized")
+    assert spec == {
+        "bucket_col": "content_sha256",
+        "n_buckets": 4,
+        "bucket_table": spec["bucket_table"],
+    }
+    # simulate a new-session resume: drop the catalog entry, read again
+    spark.sql(f"DROP TABLE IF EXISTS `{spec['bucket_table']}`")
+    sec = ckpt.read(spark, "sectionized")
+    assert spark.catalog.tableExists(spec["bucket_table"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sec.groupBy("content_sha256").count().explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+    # resume: second run must reuse every stage (detect not re-run)
+    n = triples_b.count()
+    again = kg_pipeline.run_pipeline(spark, docs, workdir, bucket_docs=4)
+    assert again.count() == n
+
+
 def test_resume_filter_left_anti(spark, tmp_path):
     ckpt = CheckpointManager(str(tmp_path))
     df = spark.range(10).withColumnRenamed("id", "k")

@@ -37,12 +37,16 @@ def main() -> None:
                     help="treat content as already-sectionized text")
     ap.add_argument(
         "--bucketed-docs", type=int, default=0, metavar="N",
-        help="lay the sectionized documents out as an N-bucket table "
-        "bucketed by content_sha256 before detection (requires "
-        "--skip-sectionize). The scan then provides the clustering the "
-        "detect stage needs, so the document table never shuffles: not "
-        "for the dedup, not for the fan-out join (only the mention side "
-        "moves). This is the local analogue of an Iceberg "
+        help="lay the document text out as an N-bucket table bucketed "
+        "by content_sha256 before detection. The scan then provides "
+        "the clustering the detect stage needs, so the document table "
+        "never shuffles: not for the dedup, not for the fan-out join "
+        "(only the mention side moves). With --skip-sectionize this "
+        "stages the input through a run-scoped warehouse table "
+        "(dropped after the mentions snapshot lands); without it, the "
+        "SECTIONIZED STAGE SNAPSHOT ITSELF is written bucketed, so the "
+        "first run and every resume inherit the layout for free. This "
+        "is the local analogue of an Iceberg "
         "bucket(N, content_sha256) partition transform on the corpus "
         "table — at 100 TB the layout is written once and every "
         "detection run after that is shuffle-free on the doc side.",
@@ -102,9 +106,6 @@ def main() -> None:
             "(repo, path, commit, lang, content) or the driver documents "
             "shape (source, doc_id, lang, text)"
         )
-
-    if args.bucketed_docs and not args.skip_sectionize:
-        ap.error("--bucketed-docs requires --skip-sectionize")
 
     t0 = time.time()
     if args.skip_sectionize:
@@ -184,6 +185,7 @@ def main() -> None:
         triples = kg_pipeline.run_pipeline(
             spark, docs, args.workdir, catalog=catalog,
             partitions=args.cpus * 2, detector=detector,
+            bucket_docs=args.bucketed_docs,
         )
     # the snapshot write already counted the rows for _metrics.json —
     # a triples.count() here would re-scan the 7M-row parquet snapshot
