@@ -348,6 +348,7 @@ def embedding_near_duplicates(
     n_planes: int | None = None,
     max_bucket_size: int = 256,
     portable_hash: bool = False,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dups via random-hyperplane LSH bucketing
     (deterministic planes from xxhash64 of (dim, plane)) + exact cosine
@@ -367,13 +368,18 @@ def embedding_near_duplicates(
       corpus where every embedding collapses into one bucket costs one
       aggregate, never b^2/2 pairs;
     - n_planes=None autoscales the bucket count to the corpus size
-      (embedding_planes_for), so a 100x bigger corpus gets ~log2(100)
-      more planes instead of 100x fuller buckets. Pass an explicit
-      n_planes to skip the sizing count() pass.
+      (embedding_planes_for). The size comes from `n_rows` when given —
+      at 100 TB that number lives in table/snapshot metadata (Iceberg
+      snapshot summary, CheckpointManager _metrics.json rows), so pass
+      it and no sizing scan runs; only without it does a count() pass
+      over the input pay for the autoscale. An explicit n_planes skips
+      sizing entirely.
     - per-vector norms are computed ONCE before the join (one O(dim)
       fold per vector, not two per candidate pair)."""
     if n_planes is None:
-        n_planes = embedding_planes_for(df.count(), max_bucket_size)
+        n_planes = embedding_planes_for(
+            df.count() if n_rows is None else n_rows, max_bucket_size
+        )
     dim = F.size(vec_col)
     # deterministic pseudo-random plane component for (i, p):
     # sign of xxhash64(i, p) (or sha256 parity in portable mode)

@@ -117,6 +117,51 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(*merges)
 
 
+def salts_for(
+    hot_rows: float,
+    target_rows_per_task: int = 1_000_000,
+    max_salts: int = 256,
+) -> int:
+    """Autoscale n_salts from the hottest key's (estimated) row count,
+    mirroring dedup.embedding_planes_for: enough salts that each of the
+    hot key's reduce tasks sees at most target_rows_per_task rows,
+    clamped to [1, max_salts]. Tiny/uniform inputs get 1 — i.e. a plain
+    two-phase agg with NO fan-out, so small groups never pay the
+    n_salts x partial-row multiplication a fixed default charges."""
+    import math
+
+    hot = max(float(hot_rows), 0.0)
+    return max(1, min(max_salts, math.ceil(hot / max(target_rows_per_task, 1))))
+
+
+def auto_salts(
+    df: DataFrame,
+    keys: Sequence[str],
+    sample_fraction: float = 0.01,
+    target_rows_per_task: int = 1_000_000,
+    max_salts: int = 256,
+    seed: int = 7,
+) -> int:
+    """Estimate the hot-key row count from ONE sampled aggregate and
+    derive n_salts via salts_for. The sample's per-key counts
+    partial-aggregate map-side, so the estimation shuffle moves at most
+    ~n_partitions x n_keys rows — never the raw (possibly skewed)
+    table. Deterministic (seeded sample) so task retries and re-runs
+    agree. Callers on metadata-rich stores (Iceberg partition stats)
+    should derive hot_rows from table metadata instead of sampling."""
+    row = (
+        df.sample(fraction=min(max(sample_fraction, 1e-6), 1.0), seed=seed)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_hot"))
+        .head()
+    )
+    if row is None or row["_hot"] is None:
+        return 1
+    hot_est = row["_hot"] / min(max(sample_fraction, 1e-6), 1.0)
+    return salts_for(hot_est, target_rows_per_task, max_salts)
+
+
 def salted_distinct_agg(
     df: DataFrame,
     keys: Sequence[str],

@@ -52,6 +52,8 @@ _MAGIC_TABLE: tuple[tuple[bytes, str], ...] = (
     (b"%PDF-", "pdf"),
     (b"PK\x03\x04", "zip"),
     (b"\x1f\x8b", "gzip"),
+    (b"{\\rtf", "rtf"),  # RTF masquerading as .txt
+    (b"\xd0\xcf\x11\xe0", "ole2"),  # legacy .doc/.xls (OLE2 compound)
     (b"\xef\xbb\xbf", "txt"),  # UTF-8 BOM
     (b"\xff\xfe", "txt"),  # UTF-16 LE BOM
     (b"\xfe\xff", "txt"),  # UTF-16 BE BOM

@@ -120,6 +120,44 @@ def run_incremental_pipeline(
     )
 
 
+def stream_stage_snapshots(
+    spark: SparkSession,
+    workdir: str,
+    stage: str,
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over a CheckpointManager stage's snapshot directory —
+    batch and streaming share ONE resume story (the Iceberg
+    incremental-scan pattern of SURVEY.md S1, on the local snapshot
+    layout): the batch side appends stage partitions under
+    <workdir>/<stage>/data, and a streaming consumer with a checkpoint
+    sees each appended file exactly once. The schema comes from the
+    stage's persisted _schema.json (the batch reader's own source of
+    truth), so the two faces can never drift.
+
+    Scope: file sources track files BY NAME in the streaming
+    checkpoint, so this covers append-style stage growth (the
+    resume_filter discipline, foreachBatch epoch dirs). A full
+    mode('overwrite') snapshot rewrite is a NEW dataset — replaced
+    files keep their names and are not re-emitted; consume a rewritten
+    snapshot with a fresh streaming checkpoint."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql.types import StructType
+
+    d = Path(workdir) / stage
+    if schema is None:
+        schema = StructType.fromJson(
+            json.loads((d / "_schema.json").read_text())
+        )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(str(d / "data"))
+
+
 def dedup_documents_stream(
     doc_stream: DataFrame,
     content_col: str = "content",

@@ -98,6 +98,8 @@ def test_magic_byte_dispatch_table(spark):
         ("r", "bom_utf8.txt", "c", bytearray(b"\xef\xbb\xbfdu texte")),
         ("r", "bom_utf16.txt", "c", bytearray(b"\xff\xfed\x00u\x00")),
         ("r", "zip_as.pdf", "c", bytearray(b"PK\x03\x04rest-of-zip")),
+        ("r", "rtf_as.txt", "c", bytearray(b"{\\rtf1\\ansi corps")),
+        ("r", "doc_as.txt", "c", bytearray(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1")),
     ]
     valid, quarantine = ingest.split_valid_quarantine(_raw(spark, rows))
     v = {r["path"] for r in valid.collect()}
@@ -107,4 +109,6 @@ def test_magic_byte_dispatch_table(spark):
         "docx_as.txt": "content_type_mismatch:zip",
         "dump_as.txt": "content_type_mismatch:gzip",
         "zip_as.pdf": "content_type_mismatch:zip",
+        "rtf_as.txt": "content_type_mismatch:rtf",
+        "doc_as.txt": "content_type_mismatch:ole2",
     }

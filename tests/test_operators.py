@@ -592,6 +592,46 @@ def test_salted_agg_plan_spreads_hot_key(spark):
     assert hot_partials > 1
 
 
+def test_salts_for_autoscale_bounds():
+    # tiny/uniform inputs: NO fan-out (the fixed-default 32x partial-row
+    # multiplication must not be charged to small groups)
+    assert skew.salts_for(0) == 1
+    assert skew.salts_for(999_999) == 1
+    # scales linearly with the hot key, clamped at max_salts
+    assert skew.salts_for(10_000_000) == 10
+    assert skew.salts_for(10**9) == 256
+    assert skew.salts_for(5_000, target_rows_per_task=1_000) == 5
+
+
+def test_auto_salts_estimates_from_sample(spark):
+    ev = _skewed_events(spark)
+    # full sample -> exact hot count 1800; 1k-row target -> 2 salts
+    n = skew.auto_salts(
+        ev, ["event_type"], sample_fraction=1.0, target_rows_per_task=1_000
+    )
+    assert n == 2
+    # default 1M-row target: this toy table needs no fan-out at all
+    assert skew.auto_salts(ev, ["event_type"], sample_fraction=1.0) == 1
+    # empty input
+    empty = ev.filter(F.col("event_id") < 0)
+    assert skew.auto_salts(empty, ["event_type"], sample_fraction=1.0) == 1
+    # derived salts drive salted_agg to the same result as plain groupBy
+    got = {
+        r["event_type"]: r["n"]
+        for r in skew.salted_agg(
+            ev, ["event_type"], {"n": ("count", "value")},
+            salt_on="event_id", n_salts=n,
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_salted_agg_rejects_unknown_op(spark):
     ev = _skewed_events(spark)
     with pytest.raises(ValueError, match="unsupported op"):

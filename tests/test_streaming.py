@@ -233,3 +233,54 @@ def test_corrections_latest_state_streaming_lww(spark, tmpdir_path):
             latest[r["document"]] = (r["corrected_value"], r["last_updated"])
     assert latest["d1"][0] == "LSG"   # newest wins; STALE replay ignored
     assert latest["d2"][0] == "LSD"
+
+
+def test_stream_stage_snapshots_incremental_resume(spark, tmpdir_path):
+    """VERDICT r3 #8: a streaming consumer over a batch checkpoint
+    stage dir sees exactly the appended partition on resume — batch
+    snapshots and streaming share one resume story."""
+    from pyspark.sql import functions as F
+
+    from gliner_transbronchialbiopsy_spark.sources.checkpoint import (
+        CheckpointManager,
+    )
+
+    workdir = os.path.join(tmpdir_path, "work")
+    ckpt = CheckpointManager(workdir)
+    first = spark.createDataFrame(
+        [(f"d{i}", f"text {i}") for i in range(10)], "doc_id string, text string"
+    )
+    ckpt.write("sectionized", first)
+
+    sink = os.path.join(tmpdir_path, "seen")
+    ckpt_dir = os.path.join(tmpdir_path, "stream_ckpt")
+
+    def run_pass() -> None:
+        src = stream.stream_stage_snapshots(spark, workdir, "sectionized")
+        q = (
+            src.writeStream.foreachBatch(
+                lambda df, epoch: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()
+    seen1 = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert seen1 == {f"d{i}" for i in range(10)}
+
+    # batch side appends a new partition to the SAME stage dir (the
+    # resume_filter discipline); the stream's checkpoint must deliver
+    # only the new files on the next pass
+    second = spark.createDataFrame(
+        [(f"n{i}", f"new {i}") for i in range(3)], "doc_id string, text string"
+    )
+    second.write.mode("append").parquet(os.path.join(workdir, "sectionized", "data"))
+    run_pass()
+    rows = spark.read.parquet(sink).collect()
+    seen2 = [r["doc_id"] for r in rows]
+    # every original row exactly once (not reprocessed), plus the 3 new
+    assert len(seen2) == 13
+    assert set(seen2) == seen1 | {"n0", "n1", "n2"}
