@@ -233,42 +233,49 @@ def simhash_table(
     portable_hash: bool = False,
 ) -> DataFrame:
     """(id, simhash) — 64-bit SimHash: majority vote per bit over the
-    xxhash64 of each char shingle. Plan: explode shingles -> one
-    groupBy(id) with 64 sum aggregates (map-side partials make this one
-    cheap shuffle) -> bit reassembly in a single project.
+    xxhash64 of each char shingle, computed as a PURE PROJECTION: the
+    per-shingle hashes live in an array column and each bit's majority
+    is `2 * size(filter(hashes, bit set)) > n` — zero shuffles (the
+    rounds-1-3 shape exploded shingles into a 64-sum groupBy; the
+    higher-order-function form deletes that exchange, same argument as
+    linking.minhash_signatures). One output row per input row: ids are
+    expected unique per row (the old groupBy silently merged duplicate
+    ids' shingle votes — an accident, not a contract).
 
     portable_hash=True uses the sha256-derived 60-bit family
     (linking.portable_hash60) so DuckDB can restate the table; bits
     60-63 are then constantly 0 (votes all -1), which both engines
     agree on — 60 effective simhash bits instead of 64."""
-    h = (
-        linking.portable_hash60(F.col("shingle"))
-        if portable_hash
-        else F.xxhash64("shingle")
-    )
-    shingled = df.select(
-        F.col(id_col),
-        F.explode(linking.char_shingles(F.col(text_col), shingle_n)).alias(
-            "shingle"
+    def _hash_fn(x):
+        return (
+            linking.portable_hash60(x)
+            if portable_hash
+            else F.xxhash64(x)
+        )
+
+    def _bit_fn(b: int):
+        # factory, not a two-param lambda: F.filter would treat a
+        # second parameter as the element index
+        return lambda x: F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1
+
+    with_h = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_ha",
+        F.transform(
+            linking.char_shingles(F.col(text_col), shingle_n), _hash_fn
         ),
-    ).withColumn("_h", h)
-    votes = [
-        F.sum(
-            F.when(
-                F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"_b{b}")
-        for b in range(64)
-    ]
-    agg = shingled.groupBy(id_col).agg(*votes)
+    )
+    n = F.size("_ha")
     sim = F.lit(0).cast("long")
     for b in range(64):
+        ones = F.size(F.filter(F.col("_ha"), _bit_fn(b)))
+        # majority: ones - (n - ones) > 0  <=>  2*ones > n (ties -> 0,
+        # matching the old sum-of-votes > 0 rule exactly)
         sim = sim.bitwiseOR(
             F.when(
-                F.col(f"_b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+                ones * 2 > n, F.shiftleft(F.lit(1).cast("long"), b)
             ).otherwise(F.lit(0).cast("long"))
         )
-    return agg.select(F.col(id_col), sim.alias("simhash"))
+    return with_h.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_buckets(
