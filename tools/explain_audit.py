@@ -59,6 +59,13 @@ AUDIT = {
     # salted two-phase agg: the first exchange hashes on (key, _salt)
     # so a hot key spreads; two HashAggregate pairs, all JVM
     "skew_salted_agg": ("_salt", "HashAggregate", "!InPandas"),
+    # MinHash+LSH near-dup: the signature stage is a pure projection
+    # (round 4 — no shingle explode/aggregation), checkpointed once
+    # (Scan ExistingRDD feeds the census + both join sides), banding
+    # and estimate all JVM
+    # (the one Generate in this plan is the 8-band explode — 8 tiny
+    # rows per signature, intended; the shingle explode is gone)
+    "dedup_minhash": ("Scan ExistingRDD", "!InPandas"),
 }
 
 
@@ -175,7 +182,8 @@ def main() -> int:
             "for JVM stages, Python confined to the one MapInPandas "
             "detection stage.\n\n" + "\n".join(sections)
         )
-    print(f"{len(AUDIT) - len({n for n, _ in failures})}/{len(AUDIT)} clean; "
+    n_cases = len(AUDIT) + 1  # + the triples_pred_pruned_scan case
+    print(f"{n_cases - len({n for n, _ in failures})}/{n_cases} clean; "
           f"failures: {failures}")
     return 1 if failures else 0
 
