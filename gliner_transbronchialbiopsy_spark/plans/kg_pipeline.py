@@ -363,11 +363,22 @@ def run_pipeline(
     detector=None,
     force: bool = False,
     bucket_docs: int = 0,
+    detect_shards: int = 0,
 ) -> DataFrame:
     """Full DAG with stage checkpoints; returns the triples DataFrame
     (read back from its parquet snapshot). Detection-dependent stages
     carry a detector variant tag so a resume with a DIFFERENT detector
     (or threshold) recomputes instead of serving a stale snapshot.
+
+    detect_shards=K runs detection as K independently-committed
+    sub-jobs sharded by pmod(xxhash64(content_sha256), K)
+    (checkpoint.get_or_compute_sharded): a killed run resumes at the
+    first incomplete shard instead of redoing the whole stage — the
+    north rule's stage-PARTITION resume granularity, and the knob that
+    matters when one detection pass is hours long at 10^12 files.
+    Sharding by content sha keeps dedup-before-detect exact (each
+    distinct content lives in exactly one shard), so mentions are
+    byte-identical to the unsharded stage for any K.
 
     bucket_docs=N writes the sectionized snapshot bucketed by
     content_sha256 into N buckets (checkpoint.write bucket_by): the
@@ -387,12 +398,34 @@ def run_pipeline(
         bucket_by=("content_sha256", bucket_docs) if bucket_docs else None,
     )
     docs_clustered = ckpt.bucket_spec("sectionized") is not None
-    mentions = detect_checkpointed(
-        ckpt, spark, sectionized, variant=det_variant, force=force,
-        catalog=catalog, threshold=threshold,
-        partitions=None if docs_clustered else partitions,
-        detector=detector, docs_clustered=docs_clustered,
-    )
+    if detect_shards:
+        captured: list[DataFrame] = []
+
+        def _shard(k: int) -> DataFrame:
+            subset = sectionized.filter(
+                F.pmod(F.xxhash64("content_sha256"), F.lit(detect_shards))
+                == k
+            )
+            df = detect(
+                subset, catalog=catalog, threshold=threshold,
+                partitions=partitions, detector=detector,
+            )
+            captured.append(df)
+            return df
+
+        mentions = ckpt.get_or_compute_sharded(
+            spark, "mentions", _shard, detect_shards,
+            variant=det_variant, force=force,
+        )
+        for df in captured:
+            release_doc_cache(df)
+    else:
+        mentions = detect_checkpointed(
+            ckpt, spark, sectionized, variant=det_variant, force=force,
+            catalog=catalog, threshold=threshold,
+            partitions=None if docs_clustered else partitions,
+            detector=detector, docs_clustered=docs_clustered,
+        )
     cmap = ckpt.get_or_compute(
         spark, "entities", lambda: canonicalize(mentions), force=force,
         variant=det_variant,

@@ -253,6 +253,107 @@ class CheckpointManager:
             metrics["lineage_partitions"] = lineage.count()
         (d / "_metrics.json").write_text(json.dumps(metrics, indent=2))
 
+    def get_or_compute_sharded(
+        self,
+        spark: SparkSession,
+        stage: str,
+        compute_shard,
+        n_shards: int,
+        variant: str | None = None,
+        force: bool = False,
+    ) -> DataFrame:
+        """Partition-granular resume (north rule: 'a killed run resumes
+        at stage-PARTITION granularity'): the stage is computed as
+        n_shards independent sub-jobs — compute_shard(k) returns shard
+        k's DataFrame — each committed to data/shard=<k> with its own
+        marker (rows, wall, variant) under _shards/. A run killed after
+        shard j re-runs ONLY shards j.. on resume; a half-written shard
+        is replaced by its own overwrite (task files only surface at
+        job commit, so a crashed shard job leaves nothing visible).
+
+        Shard-key discipline is the CALLER's contract: shards must
+        partition the input deterministically (e.g.
+        pmod(xxhash64(content_sha256), n_shards) == k, which also keeps
+        dedup-before-detect exact — every distinct content lives in
+        exactly one shard). A variant change (different detector/
+        catalog) or a different n_shards invalidates all markers, same
+        rule as get_or_compute."""
+        import shutil
+
+        d = self._stage_dir(stage)
+        if self.exists(stage) and not force:
+            try:
+                m = self.metrics(stage)
+            except FileNotFoundError:
+                m = {}
+            if m.get("variant") == variant and m.get("n_shards") == n_shards:
+                return self.read(spark, stage)
+        shards_dir = d / "_shards"
+        # invalidate partial state from a different variant/shard count
+        stale = False
+        if shards_dir.exists():
+            for mf in shards_dir.glob("*.json"):
+                rec = json.loads(mf.read_text())
+                if rec.get("variant") != variant or rec.get("n_shards") != n_shards:
+                    stale = True
+                    break
+        if force or stale:
+            shutil.rmtree(d, ignore_errors=True)
+        shards_dir.mkdir(parents=True, exist_ok=True)
+        (d / "data").mkdir(parents=True, exist_ok=True)
+
+        from pyspark.sql import Observation
+
+        total_rows, total_wall = 0, 0.0
+        schema_json = None
+        for k in range(n_shards):
+            marker = shards_dir / f"{k}.json"
+            if marker.exists():
+                rec = json.loads(marker.read_text())
+                total_rows += rec["rows"]
+                total_wall += rec["wall_seconds"]
+                continue
+            t0 = time.time()
+            df_k = compute_shard(k)
+            if schema_json is None:
+                schema_json = df_k.schema.json()
+                (d / "_schema.json").write_text(schema_json)
+            obs = Observation(f"ckpt_rows_{stage}_s{k}")
+            df_k = df_k.observe(obs, F.count(F.lit(1)).alias("rows"))
+            df_k.write.mode("overwrite").parquet(str(d / "data" / f"shard={k}"))
+            wall = time.time() - t0
+            rows = obs.get["rows"]
+            marker.write_text(
+                json.dumps(
+                    {
+                        "shard": k,
+                        "rows": rows,
+                        "wall_seconds": round(wall, 3),
+                        "variant": variant,
+                        "n_shards": n_shards,
+                    }
+                )
+            )
+            total_rows += rows
+            total_wall += wall
+        # all shards committed: surface the stage as complete for
+        # exists()/read() (root _SUCCESS + aggregate metrics)
+        (d / "data" / "_SUCCESS").touch()
+        (d / "_metrics.json").write_text(
+            json.dumps(
+                {
+                    "stage": stage,
+                    "rows": total_rows,
+                    "wall_seconds": round(total_wall, 3),
+                    "partition_by": ["shard"],
+                    "variant": variant,
+                    "n_shards": n_shards,
+                },
+                indent=2,
+            )
+        )
+        return self.read(spark, stage)
+
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         d = self._stage_dir(stage)
         spec = self.bucket_spec(stage)
@@ -288,7 +389,15 @@ class CheckpointManager:
             reader = reader.schema(
                 StructType.fromJson(json.loads(schema_file.read_text()))
             )
-        return reader.parquet(str(d / "data"))
+        out = reader.parquet(str(d / "data"))
+        try:
+            if self.metrics(stage).get("n_shards"):
+                # sharded layout (get_or_compute_sharded): the shard dir
+                # key is resume bookkeeping, not stage schema
+                out = out.drop("shard")
+        except FileNotFoundError:
+            pass
+        return out
 
     def metrics(self, stage: str) -> dict:
         return json.loads((self._stage_dir(stage) / "_metrics.json").read_text())

@@ -179,6 +179,66 @@ def test_bucketed_sectionize_snapshot(pipeline_out, spark, tmp_path):
     assert again.count() == n
 
 
+def test_sharded_detect_partition_granular_resume(pipeline_out, spark, tmp_path):
+    """run_pipeline(detect_shards=K): detection commits per shard, a
+    failure mid-stage resumes at the first incomplete shard (north
+    rule's stage-partition granularity), and the final triples are
+    byte-identical to the unsharded pipeline."""
+    from gliner_transbronchialbiopsy_spark.sources.checkpoint import (
+        CheckpointManager as CM,
+    )
+
+    _, _, triples_plain, _, docs = pipeline_out
+    workdir = str(tmp_path / "sharded")
+    triples_s = kg_pipeline.run_pipeline(spark, docs, workdir, detect_shards=3)
+    cols = sorted(triples_plain.columns)
+    a = set(map(tuple, triples_plain.select(*cols).collect()))
+    b = set(map(tuple, triples_s.select(*cols).collect()))
+    assert a == b and len(a) > 0
+    m = CM(workdir).metrics("mentions")
+    assert m["n_shards"] == 3 and m["rows"] > 0
+
+    # partition-granular resume: kill after shard 0 by making shard 1
+    # raise; rerun completes shard 0 is NOT recomputed (its marker and
+    # data survive), shards 1-2 are
+    workdir2 = str(tmp_path / "killed")
+    ckpt2 = CM(workdir2)
+    sectionized = kg_pipeline.sectionize(kg_pipeline.validate_documents(docs))
+    computed: list[int] = []
+
+    def shard_fn_factory(fail_at):
+        def _shard(k):
+            if k == fail_at:
+                raise RuntimeError("killed mid-stage")
+            computed.append(k)
+            return kg_pipeline.detect(
+                sectionized.filter(
+                    F.pmod(F.xxhash64("content_sha256"), F.lit(3)) == k
+                )
+            )
+        return _shard
+
+    with pytest.raises(RuntimeError, match="killed mid-stage"):
+        ckpt2.get_or_compute_sharded(spark, "mentions", shard_fn_factory(1), 3)
+    assert computed == [0]
+    assert not ckpt2.exists("mentions")  # stage not complete
+    # resume: shard 0 skipped, 1 and 2 computed
+    out = ckpt2.get_or_compute_sharded(
+        spark, "mentions", shard_fn_factory(None), 3
+    )
+    assert computed == [0, 1, 2]
+    assert ckpt2.exists("mentions")
+    assert "shard" not in out.columns
+    n_out = out.count()  # snapshot count BEFORE the invalidation rewrite
+    # a different variant invalidates every shard marker
+    computed.clear()
+    out2 = ckpt2.get_or_compute_sharded(
+        spark, "mentions", shard_fn_factory(None), 3, variant="other"
+    )
+    assert computed == [0, 1, 2]
+    assert out2.count() == n_out
+
+
 def test_resume_filter_left_anti(spark, tmp_path):
     ckpt = CheckpointManager(str(tmp_path))
     df = spark.range(10).withColumnRenamed("id", "k")

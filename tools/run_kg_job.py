@@ -33,6 +33,12 @@ def main() -> None:
         "raises a clear error at execution if absent)",
     )
     ap.add_argument("--fresh", action="store_true", help="clear workdir first")
+    ap.add_argument(
+        "--detect-shards", type=int, default=0, metavar="K",
+        help="commit detection as K independent sub-jobs sharded by "
+        "content sha (stage-PARTITION resume: a killed run resumes at "
+        "the first incomplete shard; mentions byte-identical for any K)",
+    )
     ap.add_argument("--skip-sectionize", action="store_true",
                     help="treat content as already-sectionized text")
     ap.add_argument(
@@ -186,6 +192,7 @@ def main() -> None:
             spark, docs, args.workdir, catalog=catalog,
             partitions=args.cpus * 2, detector=detector,
             bucket_docs=args.bucketed_docs,
+            detect_shards=args.detect_shards,
         )
     # the snapshot write already counted the rows for _metrics.json —
     # a triples.count() here would re-scan the 7M-row parquet snapshot
