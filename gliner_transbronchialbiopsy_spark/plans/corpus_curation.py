@@ -192,6 +192,9 @@ def report(
     langs: Sequence[str] = ("en",),
     min_quality: float = 0.45,
     near_dup: bool = True,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
     jaccard_threshold: float = 0.5,
     portable_hash: bool = False,
 ) -> DataFrame:
@@ -202,13 +205,16 @@ def report(
     near_dup=True (default) runs the fuzzy stage over the scalar+exact
     survivors and charges its cluster losers to 'near_duplicate'; the
     scalar stages still come from one pass over the flagged projection.
+    The LSH knobs mirror curate_near_dup exactly — pass the SAME values
+    to both so the audit's n_kept equals the keep list's count.
     near_dup=False reports the three scalar stages only (n_near_duplicate
     = 0) for corpora where the LSH pass is run separately."""
     flagged = flag(df, text_col, id_col, langs, min_quality)
     if near_dup:
         kept = flagged.filter(F.col("reject_stage").isNull())
         losers = near_dup_losers(
-            kept, text_col, id_col,
+            kept, text_col, id_col, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n,
             jaccard_threshold=jaccard_threshold, portable_hash=portable_hash,
         ).withColumn("_nd", F.lit(True))
         flagged = flagged.join(

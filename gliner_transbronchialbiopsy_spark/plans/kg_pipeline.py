@@ -402,23 +402,37 @@ def run_pipeline(
         captured: list[DataFrame] = []
 
         def _shard(k: int) -> DataFrame:
+            # the previous shard's snapshot is committed by the time the
+            # next compute starts — release its doc cache NOW so at most
+            # one shard's clustered subset is pinned at a time (the
+            # whole point of sharding an hours-long stage)
+            while len(captured) > 0:
+                release_doc_cache(captured.pop())
             subset = sectionized.filter(
                 F.pmod(F.xxhash64("content_sha256"), F.lit(detect_shards))
                 == k
             )
+            # a filter preserves the scan's partitioning, so a bucketed
+            # sectionized snapshot keeps its zero-doc-side-shuffle
+            # guarantee per shard
             df = detect(
                 subset, catalog=catalog, threshold=threshold,
-                partitions=partitions, detector=detector,
+                partitions=None if docs_clustered else partitions,
+                detector=detector, docs_clustered=docs_clustered,
             )
             captured.append(df)
             return df
 
-        mentions = ckpt.get_or_compute_sharded(
-            spark, "mentions", _shard, detect_shards,
-            variant=det_variant, force=force,
-        )
-        for df in captured:
-            release_doc_cache(df)
+        try:
+            mentions = ckpt.get_or_compute_sharded(
+                spark, "mentions", _shard, detect_shards,
+                variant=det_variant, force=force,
+            )
+        finally:
+            # normal path: releases the last shard's cache; failure
+            # path: releases whatever shard was in flight
+            while len(captured) > 0:
+                release_doc_cache(captured.pop())
     else:
         mentions = detect_checkpointed(
             ckpt, spark, sectionized, variant=det_variant, force=force,

@@ -25,6 +25,46 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _warehouse_location(spark: SparkSession, table: str) -> Path | None:
+    """On-disk location a (possibly db-qualified) table maps to in a
+    LOCAL-filesystem warehouse, or None for hdfs://, s3a:// etc. —
+    where the parsed .path would name an unrelated local directory, so
+    rmtree there would either delete an innocent path or silently do
+    nothing; on those schemes the catalog/FS own the location (Iceberg
+    handles this natively). Explicit db qualifier wins, else the
+    session's CURRENT database; only the default db maps to the
+    warehouse root (others live under <db>.db/), comparisons
+    case-normalized like the catalog itself."""
+    from urllib.parse import unquote, urlparse
+
+    parts = table.split(".")
+    warehouse_uri = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if warehouse_uri.scheme not in ("", "file"):
+        return None
+    # unquote: the dir is a URI — %20 etc. must become real chars
+    warehouse = Path(unquote(warehouse_uri.path))
+    db = (
+        parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
+    ).lower()
+    name = parts[-1].lower()
+    return warehouse / name if db == "default" else warehouse / f"{db}.db" / name
+
+
+def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS + remove its local-warehouse directory (the
+    in-memory catalog forgets tables on restart while their warehouse
+    directories persist — a stale location otherwise raises
+    LOCATION_ALREADY_EXISTS on the next write, or leaks a full-corpus
+    copy per staging table)."""
+    import shutil
+
+    quoted = ".".join(f"`{p}`" for p in table.split("."))
+    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+    loc = _warehouse_location(spark, table)
+    if loc is not None:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, buckets: int, sort: bool = True
 ) -> None:
@@ -38,39 +78,11 @@ def write_bucketed(
     partition transform is the production analogue of this layout.
 
     Idempotent across sessions: the in-memory catalog forgets tables on
-    restart while their warehouse directories persist, so a stale
-    location is dropped before the write (LOCATION_ALREADY_EXISTS
-    otherwise). Handles db-qualified names (db.table lives under
-    <warehouse>/<db>.db/<table>)."""
-    import shutil
-    from urllib.parse import unquote, urlparse
-
+    restart while their warehouse directories persist, so the stale
+    catalog entry AND location are dropped before the write
+    (_drop_table_and_location)."""
     spark = df.sparkSession
-    parts = table.split(".")
-    quoted = ".".join(f"`{p}`" for p in parts)
-    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
-    # stale-location cleanup is only meaningful (and only SAFE) for a
-    # local-filesystem warehouse: for hdfs:// or s3a:// the parsed
-    # .path would name an unrelated LOCAL directory, so rmtree there
-    # would either delete an innocent path or silently do nothing while
-    # LOCATION_ALREADY_EXISTS persists — on those schemes skip and let
-    # the catalog/FS own the location (Iceberg handles this natively)
-    warehouse_uri = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-    if warehouse_uri.scheme in ("", "file"):
-        # unquote: the dir is a URI — %20 etc. must become real chars
-        warehouse = Path(unquote(warehouse_uri.path))
-        # resolve the database the table will actually land in: explicit
-        # qualifier wins, else the session's CURRENT database (only the
-        # default db maps to the warehouse root; comparison
-        # case-normalized like the catalog itself)
-        db = (
-            parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
-        ).lower()
-        name = parts[-1].lower()
-        stale = (
-            warehouse / name if db == "default" else warehouse / f"{db}.db" / name
-        )
-        shutil.rmtree(stale, ignore_errors=True)
+    _drop_table_and_location(spark, table)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         buckets, bucket_col
     )
@@ -84,27 +96,8 @@ def drop_bucketed(spark: SparkSession, table: str) -> None:
     directory. Run-scoped bucketed staging tables (e.g. run_kg_job's
     kg_docs_bucketed_<sha12>) must not leak a full-corpus copy into the
     shared warehouse per distinct workdir — call this once the consumer
-    stage's snapshot is materialized. Same local-filesystem-only guard
-    as write_bucketed's stale-location cleanup: on hdfs/s3a the catalog
-    DROP is all we can safely do (the parsed .path would name an
-    unrelated local directory)."""
-    import shutil
-    from urllib.parse import unquote, urlparse
-
-    parts = table.split(".")
-    quoted = ".".join(f"`{p}`" for p in parts)
-    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
-    warehouse_uri = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-    if warehouse_uri.scheme in ("", "file"):
-        warehouse = Path(unquote(warehouse_uri.path))
-        db = (
-            parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
-        ).lower()
-        name = parts[-1].lower()
-        loc = (
-            warehouse / name if db == "default" else warehouse / f"{db}.db" / name
-        )
-        shutil.rmtree(loc, ignore_errors=True)
+    stage's snapshot is materialized."""
+    _drop_table_and_location(spark, table)
 
 
 class CheckpointManager:
@@ -129,12 +122,21 @@ class CheckpointManager:
         ).hexdigest()[:12]
         return f"ckpt_{stage}_{tag}"
 
+    def metrics_or_none(self, stage: str) -> dict | None:
+        """metrics(), tolerating BOTH a missing and a truncated
+        _metrics.json (a killed prior run can leave a partial file —
+        json.JSONDecodeError is a ValueError); layout/variant decisions
+        treat either as 'no recorded metrics'."""
+        try:
+            return self.metrics(stage)
+        except (FileNotFoundError, ValueError):
+            return None
+
     def bucket_spec(self, stage: str) -> dict | None:
         """{'bucket_col', 'n_buckets', 'bucket_table'} if the stage
         snapshot was written bucketed, else None."""
-        try:
-            m = self.metrics(stage)
-        except FileNotFoundError:
+        m = self.metrics_or_none(stage)
+        if m is None:
             return None
         if m.get("bucket_col"):
             return {
@@ -280,23 +282,32 @@ class CheckpointManager:
         rule as get_or_compute."""
         import shutil
 
+        import os
+
         d = self._stage_dir(stage)
         if self.exists(stage) and not force:
-            try:
-                m = self.metrics(stage)
-            except FileNotFoundError:
-                m = {}
+            m = self.metrics_or_none(stage) or {}
             if m.get("variant") == variant and m.get("n_shards") == n_shards:
                 return self.read(spark, stage)
         shards_dir = d / "_shards"
-        # invalidate partial state from a different variant/shard count
-        stale = False
-        if shards_dir.exists():
+        # invalidate stale state: shard markers from a different
+        # variant/shard count, a COMPLETE stage of any other layout
+        # (root _SUCCESS but the fast path above didn't match — e.g. a
+        # prior unsharded run whose root part files would conflict with
+        # shard=k dirs at read time), or loose root-level part files
+        # from an unsharded layout
+        stale = self.exists(stage)
+        if shards_dir.exists() and not stale:
             for mf in shards_dir.glob("*.json"):
-                rec = json.loads(mf.read_text())
+                try:
+                    rec = json.loads(mf.read_text())
+                except ValueError:
+                    continue  # corrupt marker: shard recomputed below
                 if rec.get("variant") != variant or rec.get("n_shards") != n_shards:
                     stale = True
                     break
+        if not stale and (d / "data").exists():
+            stale = any((d / "data").glob("part-*"))
         if force or stale:
             shutil.rmtree(d, ignore_errors=True)
         shards_dir.mkdir(parents=True, exist_ok=True)
@@ -308,8 +319,13 @@ class CheckpointManager:
         schema_json = None
         for k in range(n_shards):
             marker = shards_dir / f"{k}.json"
+            rec = None
             if marker.exists():
-                rec = json.loads(marker.read_text())
+                try:
+                    rec = json.loads(marker.read_text())
+                except ValueError:
+                    rec = None  # killed mid-marker-write: recompute shard
+            if rec is not None:
                 total_rows += rec["rows"]
                 total_wall += rec["wall_seconds"]
                 continue
@@ -323,7 +339,12 @@ class CheckpointManager:
             df_k.write.mode("overwrite").parquet(str(d / "data" / f"shard={k}"))
             wall = time.time() - t0
             rows = obs.get["rows"]
-            marker.write_text(
+            # atomic marker commit (tmp + rename): a kill mid-write must
+            # leave either no marker (shard recomputed on resume) or a
+            # complete one — a truncated marker would otherwise block
+            # the resume this whole mechanism exists for
+            tmp = marker.with_suffix(".json.tmp")
+            tmp.write_text(
                 json.dumps(
                     {
                         "shard": k,
@@ -334,6 +355,7 @@ class CheckpointManager:
                     }
                 )
             )
+            os.replace(tmp, marker)
             total_rows += rows
             total_wall += wall
         # all shards committed: surface the stage as complete for
@@ -390,13 +412,10 @@ class CheckpointManager:
                 StructType.fromJson(json.loads(schema_file.read_text()))
             )
         out = reader.parquet(str(d / "data"))
-        try:
-            if self.metrics(stage).get("n_shards"):
-                # sharded layout (get_or_compute_sharded): the shard dir
-                # key is resume bookkeeping, not stage schema
-                out = out.drop("shard")
-        except FileNotFoundError:
-            pass
+        if (self.metrics_or_none(stage) or {}).get("n_shards"):
+            # sharded layout (get_or_compute_sharded): the shard dir
+            # key is resume bookkeeping, not stage schema
+            out = out.drop("shard")
         return out
 
     def metrics(self, stage: str) -> dict:
@@ -441,10 +460,7 @@ class CheckpointManager:
         return pattern mentions as model output. Pre-variant snapshots
         (no field in metrics) only match a None variant."""
         if self.exists(stage) and not force:
-            try:
-                existing = self.metrics(stage).get("variant")
-            except FileNotFoundError:
-                existing = None
+            existing = (self.metrics_or_none(stage) or {}).get("variant")
             if existing == variant:
                 return self.read(spark, stage)
         df = compute()

@@ -239,6 +239,68 @@ def test_sharded_detect_partition_granular_resume(pipeline_out, spark, tmp_path)
     assert out2.count() == n_out
 
 
+def _range_shard_fn(spark, calls=None):
+    def _shard(k):
+        if calls is not None:
+            calls.append(k)
+        return (
+            spark.range(30)
+            .select("id", (F.col("id") * 2).alias("v"))
+            .filter(F.pmod("id", F.lit(3)) == k)
+        )
+    return _shard
+
+
+def test_sharded_over_unsharded_snapshot_invalidates(spark, tmp_path):
+    """Switching a stage from the unsharded to the sharded layout must
+    wipe the old root part files — mixing them with shard=k dirs breaks
+    parquet partition discovery (review finding r4)."""
+    from gliner_transbronchialbiopsy_spark.sources.checkpoint import (
+        CheckpointManager as CM,
+    )
+
+    ckpt = CM(str(tmp_path / "w"))
+    ckpt.write("st", spark.range(30).select("id", (F.col("id") * 2).alias("v")))
+    assert ckpt.exists("st")
+    out = ckpt.get_or_compute_sharded(spark, "st", _range_shard_fn(spark), 3)
+    assert out.count() == 30
+    assert sorted(out.columns) == ["id", "v"]
+    assert (ckpt.metrics_or_none("st") or {}).get("n_shards") == 3
+    # re-read from scratch (fresh reader) also clean
+    assert ckpt.read(spark, "st").count() == 30
+
+
+def test_sharded_tolerates_truncated_marker_and_metrics(spark, tmp_path):
+    """A kill mid-marker-write (partial JSON) must cost ONE shard's
+    recompute, not block resume; a truncated _metrics.json must not
+    crash read()/resume (review findings r4)."""
+    import os
+
+    from gliner_transbronchialbiopsy_spark.sources.checkpoint import (
+        CheckpointManager as CM,
+    )
+
+    root = str(tmp_path / "w2")
+    ckpt = CM(root)
+    ckpt.get_or_compute_sharded(spark, "st", _range_shard_fn(spark), 3)
+    # simulate the kill: stage incomplete again, marker 1 truncated
+    os.remove(os.path.join(root, "st", "data", "_SUCCESS"))
+    os.remove(os.path.join(root, "st", "_metrics.json"))
+    with open(os.path.join(root, "st", "_shards", "1.json"), "w") as f:
+        f.write('{"shard": 1, "ro')  # partial JSON
+    calls: list[int] = []
+    out = ckpt.get_or_compute_sharded(spark, "st", _range_shard_fn(spark, calls), 3)
+    assert calls == [1]  # only the corrupt-marker shard recomputed
+    assert out.count() == 30
+    # truncated metrics on a COMPLETE stage: read still works
+    with open(os.path.join(root, "st", "_metrics.json"), "w") as f:
+        f.write('{"stage": "st", "ro')
+    assert ckpt.metrics_or_none("st") is None
+    # (shard column no longer droppable without metrics — but the read
+    # itself must not raise, which is the crash the fix removes)
+    assert ckpt.read(spark, "st").count() == 30
+
+
 def test_resume_filter_left_anti(spark, tmp_path):
     ckpt = CheckpointManager(str(tmp_path))
     df = spark.range(10).withColumnRenamed("id", "k")
