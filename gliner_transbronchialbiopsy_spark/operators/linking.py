@@ -17,6 +17,9 @@ already splits one hot surface across `bands` different join keys.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
+                     # (future-annotations stringifies them; pandas_udf
+                     # looks the names up in module globals)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -291,6 +294,87 @@ def estimated_edges(
     return (
         joined.select(*key_cols, "text_a", "text_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def hash_embedder(dim: int = 64):
+    """Deterministic stand-in for a sentence-transformer bi-encoder
+    (none is installed in this environment): char-3-gram bag hashed
+    into a dim-dimensional float vector, L2-normalized. Similar
+    surfaces share n-grams, so cosine behaves like a (crude) semantic
+    encoder — the REAL contract is the signature: a pandas_udf
+    string -> array<float> that a model-backed encoder drops into
+    unchanged (batched Arrow transfer, one model per worker, same shape
+    as ner.gliner_detector's pluggable pattern)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def embed(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for t in texts:
+            v = np.zeros(dim, dtype=np.float64)
+            s = (t or "").lower()
+            grams = {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
+            for g in grams:
+                h = int.from_bytes(
+                    hashlib.sha256(g.encode()).digest()[:8], "big"
+                )
+                v[h % dim] += 1.0 if (h >> 8) % 2 == 0 else -1.0
+            n = float(np.linalg.norm(v))
+            out.append((v / n if n > 0 else v).astype(np.float32))
+        return pd.Series(out)
+
+    return embed
+
+
+def biencoder_scored_edges(
+    pairs: DataFrame,
+    key_cols: tuple[str, ...] = ("label",),
+    embed_udf=None,
+    cosine_threshold: float = 0.8,
+) -> DataFrame:
+    """Stage-2 verification via bi-encoder cosine (north star: 'blocked
+    candidate generation (MinHash-LSH) plus bi-encoder cosine scoring
+    in vectorized UDFs'): an alternative to the exact-Jaccard /
+    MinHash-estimate verifiers for surface variants that share MEANING
+    but few shingles (abbreviations, reorderings).
+
+    Plan shape (M3 discipline end-to-end): each DISTINCT surface is
+    embedded ONCE (union of both pair sides -> distinct -> one
+    vectorized pandas-UDF pass), then the pair table joins the (small)
+    embedding table twice and the cosine is a JVM-side zip_with fold —
+    the encoder never runs per pair, and never twice for a surface that
+    appears in many pairs. embed_udf defaults to hash_embedder() (the
+    deterministic stand-in; pass a model-backed pandas_udf in
+    production)."""
+    embed_udf = embed_udf if embed_udf is not None else hash_embedder()
+    surfaces = (
+        pairs.select(F.col("text_a").alias("text"))
+        .unionByName(pairs.select(F.col("text_b").alias("text")))
+        .distinct()
+        .withColumn("_emb", embed_udf(F.col("text")))
+    )
+    a = surfaces.select(
+        F.col("text").alias("text_a"), F.col("_emb").alias("_emb_a")
+    )
+    b = surfaces.select(
+        F.col("text").alias("text_b"), F.col("_emb").alias("_emb_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("_emb_a", "_emb_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(a, "text_a")
+        .join(b, "text_b")
+        .withColumn("cosine", dot)  # embeddings are L2-normalized
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select(*key_cols, "text_a", "text_b", "cosine")
     )
 
 

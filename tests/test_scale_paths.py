@@ -91,6 +91,35 @@ def test_gliner_path_raises_cleanly_when_missing(spark):
         out.collect()
 
 
+def test_biencoder_scored_edges(spark):
+    """Stage-2 bi-encoder verification: distinct surfaces embedded once
+    (vectorized UDF), pairs scored by JVM-side cosine — near-identical
+    surfaces pass the threshold, unrelated ones fail."""
+    pairs = spark.createDataFrame(
+        [
+            ("grade", "rejet aigu grade a2", "rejet aigu grade a3"),
+            ("grade", "rejet aigu grade a2", "absence de bronchiolite"),
+        ],
+        "label string, text_a string, text_b string",
+    )
+    scored = linking.biencoder_scored_edges(pairs, cosine_threshold=-1.0)
+    rows = {(r["text_a"], r["text_b"]): r["cosine"] for r in scored.collect()}
+    assert len(rows) == 2
+    near = rows[("rejet aigu grade a2", "rejet aigu grade a3")]
+    far = rows[("rejet aigu grade a2", "absence de bronchiolite")]
+    assert near > 0.8 > far, (near, far)
+    # thresholding keeps only the near pair
+    kept = linking.biencoder_scored_edges(pairs, cosine_threshold=0.8).collect()
+    assert [(r["text_a"], r["text_b"]) for r in kept] == [
+        ("rejet aigu grade a2", "rejet aigu grade a3")
+    ]
+    # a custom embedder drops in unchanged (the model-backed contract)
+    custom = linking.biencoder_scored_edges(
+        pairs, embed_udf=linking.hash_embedder(dim=128), cosine_threshold=-1.0
+    )
+    assert custom.count() == 2
+
+
 _FAKE_GLINER_SRC = '''
 """Test-only stand-in for the real `gliner` package, injected via
 PYTHONPATH (see test_fake_gliner_detector_end_to_end). Deterministic:
