@@ -121,7 +121,16 @@ def minhash_signatures(
         return lambda dg: portable_lane60(dg, lane)
 
     def _xx_fn(i: int):
-        return lambda x: F.xxhash64(x, F.lit(i))
+        # seed FIRST: Spark folds multi-arg xxhash64 left-to-right
+        # (each arg hashed with the previous result as seed), so
+        # xxhash64(x, lit(i)) is one weak trailing-long fold over a
+        # shared base hash — measured on the documents corpus it left
+        # the num_hashes slots correlated (est-Jaccard upper tail:
+        # 153/170 LSH pairs above the 0.5 threshold were false
+        # positives, mean est-exact +0.25). xxhash64(lit(i), x) runs
+        # the full string-hash loop under a per-seed initial state:
+        # same cost, measured 0 false positives / +0.006 bias.
+        return lambda x: F.xxhash64(F.lit(i), x)
 
     if portable_hash:
         lanes = PORTABLE_LANES_PER_DIGEST
