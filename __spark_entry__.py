@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 from gliner_transbronchialbiopsy_spark.functions import patterns as pat
 from gliner_transbronchialbiopsy_spark.functions import spark_fns
 from gliner_transbronchialbiopsy_spark.operators import (
+    decontam,
     dedup,
+    mixture,
+    packing,
+    pii,
     pivot,
     similarity,
     skew,
@@ -962,6 +966,103 @@ def q_skew_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals
+    (textstats.repetition_features): duplicated sentence-segment
+    fraction, top word-bigram fraction, duplicated word-2-gram
+    fraction — all per-row HOF projections, zero shuffles.
+    dup_gram_n=2 because the synthetic docs are too short for 5-gram
+    repeats; the operator itself defaults to Gopher's 5."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.repetition_features(docs, dup_gram_n=2).select(
+        "doc_id", "dup_segment_frac", "top_bigram_frac", "dup_ngram_frac"
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub accounting (operators/pii.redact). The synthetic
+    corpus carries no PII, so the query PLANTS deterministic markers
+    derived from doc_id (same derivation in the oracle) — the point
+    under test is the regex catalog + sequential-replace semantics,
+    which both engines restate on identical inputs."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" host 10.0.0."),
+                    (F.col("doc_id") % 250).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" ref 1234567"), F.col("doc_id").cast("string")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(" tel +33 612 345 678")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii.redact(docs, "text").select(
+        "doc_id",
+        F.col("text").alias("redacted_text"),
+        "n_email",
+        "n_ip",
+        "n_phone",
+        "n_idnum",
+        "n_pii_total",
+    )
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination (operators/decontam): docs
+    with doc_id % 10 == 0 play the eval benchmark, the rest the
+    training corpus; flag every training doc sharing a word 5-gram
+    with the eval side. Eval n-gram set broadcasts; the training side
+    is pruned by the join before its only shuffle."""
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    return decontam.contamination(tr, ev, n=5)
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing
+    (operators/packing.pack_chunks): global token offsets via the
+    distributed two-phase prefix sum (range buckets -> bounded offset
+    collect -> per-bucket windows), then each doc's 512-token chunk
+    span. The oracle is the single-window cumsum the distributed form
+    must equal."""
+    docs = _read(spark, sf_dir, "documents")
+    return packing.pack_chunks(docs, seq_len=512)
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixture sampling
+    (operators/mixture.mixture_sample, alpha=0.5, target 50%):
+    per-source keep rates from one bounded aggregate, keep decision a
+    deterministic portable-hash uniform — reproducible on any cluster
+    size and restatable in DuckDB bit-for-bit."""
+    docs = _read(spark, sf_dir, "documents")
+    m = mixture.mixture_sample(docs, alpha=0.5, target_frac=0.5)
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.first("keep_rate").alias("keep_rate"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
@@ -1020,6 +1121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "pii_redaction": q_pii_redaction,
+        "decontam_overlap": q_decontam_overlap,
+        "pack_chunks": q_pack_chunks,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -1659,6 +1765,143 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint_md5
             FROM documents
+        """,
+        "text_repetition": r"""
+            WITH base AS (
+              SELECT doc_id,
+                list_filter(list_transform(
+                  string_split_regex(lower(text), '\.\s*'), s -> trim(s)),
+                  s -> s <> '') AS segs,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\s+')
+                END AS tk
+              FROM documents),
+            g AS (
+              SELECT doc_id, segs,
+                CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(generate_series(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i + 1])
+                END AS bi
+              FROM base)
+            SELECT doc_id,
+              round(CASE WHEN len(segs) <= 0 THEN 0.0
+                ELSE (len(segs) - len(list_distinct(segs)))
+                     / CAST(len(segs) AS DOUBLE) END, 4) AS dup_segment_frac,
+              round(CASE WHEN len(bi) <= 0 THEN 0.0
+                ELSE list_max(list_transform(bi,
+                       b -> len(list_filter(bi, x -> x = b))))
+                     / CAST(len(bi) AS DOUBLE) END, 4) AS top_bigram_frac,
+              round(CASE WHEN len(bi) <= 0 THEN 0.0
+                ELSE len(list_filter(bi,
+                       gm -> len(list_filter(bi, x -> x = gm)) > 1))
+                     / CAST(len(bi) AS DOUBLE) END, 4) AS dup_ngram_frac
+            FROM g
+        """,
+        "pii_redaction": r"""
+            WITH p AS (
+              SELECT doc_id, text
+                || CASE WHEN doc_id % 5 = 0 THEN ' contact user'
+                     || CAST(doc_id AS VARCHAR) || '@example.com now'
+                   ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.0.'
+                     || CAST(doc_id % 250 AS VARCHAR)
+                   ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN ' ref 1234567'
+                     || CAST(doc_id AS VARCHAR)
+                   ELSE '' END
+                || CASE WHEN doc_id % 13 = 0 THEN ' tel +33 612 345 678'
+                   ELSE '' END AS t
+              FROM documents)
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                '\+?\d[\d ().-]{7,}\d', '<PHONE>', 'g'),
+                '\b\d{6,}\b', '<ID>', 'g') AS redacted_text,
+              len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+              len(regexp_extract_all(t,
+                '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+              len(regexp_extract_all(t, '\+?\d[\d ().-]{7,}\d')) AS n_phone,
+              len(regexp_extract_all(t, '\b\d{6,}\b')) AS n_idnum,
+              len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+              + len(regexp_extract_all(t, '\+?\d[\d ().-]{7,}\d'))
+              + len(regexp_extract_all(t, '\b\d{6,}\b')) AS n_pii_total
+            FROM p
+        """,
+        "decontam_overlap": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\s+')
+                END AS tk
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(tk) < 5 THEN CAST([] AS VARCHAR[])
+                     ELSE list_distinct(list_transform(
+                          generate_series(1, len(tk) - 4),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                               || ' ' || tk[i+3] || ' ' || tk[i+4]))
+                END AS gs
+              FROM toks),
+            ev AS (
+              SELECT DISTINCT unnest(gs) AS gram FROM grams
+              WHERE doc_id % 10 = 0),
+            tr AS (
+              SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram
+              FROM grams WHERE doc_id % 10 != 0)
+            SELECT tr.doc_id, tr.n_grams, count(*) AS n_hit_grams,
+                   round(count(*) / CAST(tr.n_grams AS DOUBLE), 4)
+                     AS contamination_frac
+            FROM tr JOIN ev USING (gram)
+            GROUP BY tr.doc_id, tr.n_grams
+        """,
+        "pack_chunks": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+'))
+                END AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   cum - n_tokens AS token_start,
+                   (cum - n_tokens) // 512 AS first_chunk,
+                   CASE WHEN n_tokens <= 0 THEN (cum - n_tokens) // 512
+                        ELSE (cum - 1) // 512 END AS last_chunk,
+                   CASE WHEN n_tokens <= 0 THEN 0
+                        ELSE (cum - 1) // 512 - (cum - n_tokens) // 512 + 1
+                   END AS n_chunks
+            FROM c
+        """,
+        "mixture_sample": """
+            WITH c AS (
+              SELECT source, count(*) AS n_docs
+              FROM documents GROUP BY source),
+            t AS (
+              SELECT CAST(sum(n_docs) AS DOUBLE) AS n_total,
+                     sum(pow(n_docs, 0.5)) AS pow_sum
+              FROM c),
+            r AS (
+              SELECT source,
+                     least(1.0, round(0.5 * t.n_total * pow(c.n_docs, 0.5)
+                       / (t.pow_sum * c.n_docs), 6)) AS keep_rate
+              FROM c, t),
+            kept AS (
+              SELECT d.source, r.keep_rate
+              FROM documents d JOIN r USING (source)
+              WHERE CAST(('0x' || substr(sha256(
+                      CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 15))
+                    AS BIGINT) / 1152921504606846976.0 < r.keep_rate)
+            SELECT source, count(*) AS n_kept, any_value(keep_rate) AS keep_rate
+            FROM kept GROUP BY source
         """,
         # full-probe IVF == exact top-k (every bucket probed), so the
         # brute-force SQL is its oracle; the pruning path itself is

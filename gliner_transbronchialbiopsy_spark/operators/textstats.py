@@ -87,6 +87,111 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feats.withColumn("quality_score", F.round(score, 4))
 
 
+def word_tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens as an array column; empty/blank
+    text yields an empty array."""
+    return F.when(
+        F.trim(col) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.lower(col)), r"\s+"))
+
+
+def ngrams_of(toks: Column, n: int) -> Column:
+    """Word n-grams from a token-array column. PASS A MATERIALIZED
+    COLUMN (a plain F.col over a projected token array), not a nested
+    expression: every element_at inside the lambda embeds a full copy
+    of its argument tree, and Catalyst's common-subexpression
+    elimination does not cross lambda boundaries — an inline split()
+    here gets re-evaluated once per gram per position (measured 80s vs
+    <2s on 500 docs). Fewer than n tokens -> empty array."""
+    n_toks = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n_toks - (n - 1), F.lit(0)))
+    return F.when(n_toks < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
+            ),
+        )
+    )
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams of lower(col) as an array column (JVM-side). Only
+    for one-shot use on a text column; anything that references the
+    gram array more than once should project word_tokens first and use
+    ngrams_of (see its docstring for why)."""
+    return ngrams_of(word_tokens(col), n)
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", dup_gram_n: int = 5
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    table A1, adapted to single-line text: sentence segments stand in
+    for lines). Pure per-row HOF projections — each doc's arrays never
+    leave the row, so this is whole-stage codegen with zero shuffles at
+    any corpus size. O(n_tokens^2) per doc via nested filter() is the
+    deliberate trade: no explode, no groupBy, and n_tokens is bounded
+    per doc, not per corpus.
+
+    - dup_segment_frac: fraction of '.'-delimited segments that are
+      byte-duplicates of another segment in the same doc;
+    - top_bigram_frac: occurrences of the most frequent word 2-gram
+      over total 2-grams;
+    - dup_ngram_frac: fraction of word dup_gram_n-grams occurring
+      more than once in the doc (Gopher uses 5..10; short synthetic
+      docs need 2-3 for any signal).
+
+    The token/segment/gram arrays are PROJECTED as columns first, so
+    each is computed once per row; the nested O(n^2) count lambdas
+    then reference cheap array values (see ngrams_of)."""
+    c = F.col(text_col)
+    staged = df.select(
+        "*",
+        F.filter(
+            F.transform(F.split(F.lower(c), r"\.\s*"), lambda s: F.trim(s)),
+            lambda s: s != "",
+        ).alias("_segs"),
+        word_tokens(c).alias("_tk"),
+    ).select(
+        "*",
+        ngrams_of(F.col("_tk"), 2).alias("_bi"),
+        ngrams_of(F.col("_tk"), dup_gram_n).alias("_gn"),
+    )
+    segs, bigrams, grams = F.col("_segs"), F.col("_bi"), F.col("_gn")
+    n_segs = F.size(segs)
+    dup_seg = F.when(n_segs <= 0, F.lit(0.0)).otherwise(
+        (n_segs - F.size(F.array_distinct(segs)))
+        / n_segs.cast("double")
+    )
+    n_bi = F.size(bigrams)
+    top_bi = F.when(n_bi <= 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                bigrams,
+                lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+            )
+        )
+        / n_bi.cast("double")
+    )
+    n_gn = F.size(grams)
+    dup_gn = F.when(n_gn <= 0, F.lit(0.0)).otherwise(
+        F.size(
+            F.filter(
+                grams,
+                lambda g: F.size(F.filter(grams, lambda x: x == g)) > 1,
+            )
+        )
+        / n_gn.cast("double")
+    )
+    return staged.select(
+        *df.columns,
+        F.round(dup_seg, 4).alias("dup_segment_frac"),
+        F.round(top_bi, 4).alias("top_bigram_frac"),
+        F.round(dup_gn, 4).alias("dup_ngram_frac"),
+    )
+
+
 def fingerprint64(col: Column) -> Column:
     """Rolling-hash document fingerprint: xxhash64 of the
     whitespace-normalized, lowercased text (content identity robust to

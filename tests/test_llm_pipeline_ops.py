@@ -1,0 +1,286 @@
+"""Tests for the round-4 LLM-training-pipeline operators: within-doc
+repetition signals, PII redaction, train/eval n-gram decontamination,
+concat-and-chunk sequence packing, and temperature-weighted domain
+mixture sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from gliner_transbronchialbiopsy_spark.operators import (
+    decontam,
+    mixture,
+    packing,
+    pii,
+    textstats,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# --- textstats.repetition_features ----------------------------------------
+def test_repetition_duplicated_segments(spark):
+    """'a b. a b. c d.' -> 3 segments, 1 duplicate -> 1/3."""
+    out = textstats.repetition_features(
+        _docs(spark, ["a b. a b. c d."]), dup_gram_n=2
+    ).collect()[0]
+    assert out["dup_segment_frac"] == pytest.approx(1 / 3, abs=1e-4)
+
+
+def test_repetition_top_and_dup_bigrams(spark):
+    """tokens: x y x y z -> bigrams [x y, y x, x y, y z]: top 'x y'
+    twice / 4 = 0.5; duplicated grams = the two 'x y' -> 0.5."""
+    out = textstats.repetition_features(
+        _docs(spark, ["x y x y z"]), dup_gram_n=2
+    ).collect()[0]
+    assert out["top_bigram_frac"] == pytest.approx(0.5, abs=1e-4)
+    assert out["dup_ngram_frac"] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_repetition_clean_and_empty_docs_zero(spark):
+    rows = textstats.repetition_features(
+        _docs(spark, ["alpha beta gamma delta.", "", "   "]), dup_gram_n=2
+    ).collect()
+    for r in rows:
+        assert r["dup_segment_frac"] == 0.0
+        assert r["dup_ngram_frac"] == 0.0
+
+
+def test_repetition_whole_stage_no_shuffle(spark):
+    """Pure per-row projections: zero exchanges in the plan."""
+    df = textstats.repetition_features(_docs(spark, ["a b c"] * 5))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --- pii.redact -----------------------------------------------------------
+def test_pii_redact_all_patterns(spark):
+    t = (
+        "write to jane.doe+x@mail.example.org from 192.168.001.004 "
+        "or call +33 612 345 678, case 123456789."
+    )
+    out = pii.redact(_docs(spark, [t])).collect()[0]
+    assert out["n_email"] == 1
+    assert out["n_ip"] == 1
+    # counts are pattern-by-pattern on the RAW text (documented): the
+    # phone regex also matches the IP and the digit run -> 3
+    assert out["n_phone"] == 3
+    assert out["n_idnum"] == 1
+    assert out["n_pii_total"] == 6
+    red = out["text"]
+    assert "<EMAIL>" in red and "<IP>" in red and "<PHONE>" in red
+    assert "jane" not in red and "192.168" not in red
+    assert "123456789" not in red
+
+
+def test_pii_counts_each_pattern_alone(spark):
+    """One doc per pattern, crafted so no other pattern co-matches."""
+    cases = [
+        ("mail me at a.b@example.fr today", "n_email", "<EMAIL>"),
+        ("server at 10.0.0.7 is up", "n_ip", "<IP>"),
+        ("call 06 12 34 56 78 now", "n_phone", "<PHONE>"),
+        ("dossier 987654 closed", "n_idnum", "<ID>"),
+    ]
+    rows = pii.redact(_docs(spark, [t for t, _, _ in cases])).collect()
+    for r, (_, count_col, token) in zip(sorted(rows, key=lambda r: r["doc_id"]), cases):
+        assert r[count_col] >= 1 and token in r["text"]
+        # redaction replaced the sensitive span exactly once
+        assert r["text"].count(token) == 1
+
+
+def test_pii_email_shadows_digit_run(spark):
+    """An email containing a long digit run redacts as <EMAIL> once;
+    the digit-run count still sees it on the raw text (documented
+    counts-on-original semantics)."""
+    out = pii.redact(_docs(spark, ["box.1234567@ex.com"])).collect()[0]
+    assert out["text"] == "<EMAIL>"
+    # the '.' gives the digit run a word boundary, so it counts on the
+    # raw text — but the email redacted first, so no <ID> in the output
+    assert out["n_email"] == 1 and out["n_idnum"] == 1
+    assert "<ID>" not in out["text"]
+
+
+def test_pii_clean_text_untouched(spark):
+    t = "no identifiers here, just prose with the number 42."
+    out = pii.redact(_docs(spark, [t])).collect()[0]
+    assert out["text"] == t and out["n_pii_total"] == 0
+
+
+def test_pii_no_shuffle(spark):
+    plan = (
+        pii.redact(_docs(spark, ["x"]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+# --- decontam.contamination -----------------------------------------------
+def test_decontam_flags_planted_overlap(spark):
+    leak = "the quick brown fox jumps"
+    train = _docs(
+        spark,
+        [
+            f"intro words then {leak} and a tail",  # contaminated
+            "totally unrelated training text here now",  # clean
+            f"{leak} {leak} again",  # contaminated, repeated gram
+        ],
+    )
+    ev = spark.createDataFrame(
+        [(100, f"benchmark asks about {leak} indeed")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decontam.contamination(train, ev, n=5).collect()
+    }
+    assert set(got) == {0, 2}  # the clean doc is absent
+    assert got[0]["n_hit_grams"] == 1
+    # doc 2: 'fox jumps the quick brown' etc. cross-repeat grams also
+    # hit only if present in eval; the leaked 5-gram counts ONCE
+    # (distinct semantics) even though it occurs twice in the doc
+    assert got[2]["n_hit_grams"] >= 1
+    for r in got.values():
+        assert r["contamination_frac"] == pytest.approx(
+            r["n_hit_grams"] / r["n_grams"], abs=1e-4
+        )
+
+
+def test_decontam_short_docs_no_grams(spark):
+    """Docs shorter than n tokens produce no grams and never appear."""
+    train = _docs(spark, ["a b c", ""])
+    ev = _docs(spark, ["a b c d e f"])
+    assert decontam.contamination(train, ev, n=5).count() == 0
+
+
+def test_decontam_eval_side_broadcasts(spark):
+    train = _docs(spark, ["a b c d e f g h"] * 3)
+    ev = _docs(spark, ["a b c d e"])
+    plan = (
+        decontam.contamination(train, ev, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# --- packing.pack_chunks --------------------------------------------------
+def test_pack_chunks_matches_single_window_cumsum(spark):
+    """The distributed two-phase prefix sum must equal the naive
+    single-window global cumsum on every row, including zero-token
+    docs and sparse ids."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        doc_id = i * rng.choice([1, 3, 11])  # sparse, non-dense ids
+        n_words = rng.choice([0, 1, 5, 50, 513])
+        rows.append((doc_id, " ".join(["w"] * n_words)))
+    # dedupe ids (sparse multipliers can collide)
+    seen, uniq = set(), []
+    for d, t in rows:
+        if d not in seen:
+            seen.add(d)
+            uniq.append((d, t))
+    df = spark.createDataFrame(uniq, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in packing.pack_chunks(df, seq_len=64, n_buckets=7).collect()
+    }
+    naive = df.select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("n_tokens"),
+    ).withColumn(
+        "cum",
+        F.sum("n_tokens").over(
+            W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    for r in naive.collect():
+        g = got[r["doc_id"]]
+        start = r["cum"] - r["n_tokens"]
+        assert g["token_start"] == start
+        assert g["first_chunk"] == start // 64
+        if r["n_tokens"] > 0:
+            assert g["last_chunk"] == (r["cum"] - 1) // 64
+            assert g["n_chunks"] == g["last_chunk"] - g["first_chunk"] + 1
+        else:
+            assert g["n_chunks"] == 0
+
+
+def test_pack_chunks_no_single_partition_window(spark):
+    """The scale point: no Window over a SinglePartition exchange —
+    the running sum is per-bucket."""
+    df = _docs(spark, ["w " * 20] * 50)
+    plan = (
+        packing.pack_chunks(df, seq_len=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pack_chunks_empty_and_bad_seq_len(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert packing.pack_chunks(empty).count() == 0
+    with pytest.raises(ValueError):
+        packing.pack_chunks(empty, seq_len=0)
+
+
+# --- mixture.mixture_sample -----------------------------------------------
+def _sourced(spark, counts):
+    rows, i = [], 0
+    for src, n in counts.items():
+        for _ in range(n):
+            rows.append((i, src, f"text {i}"))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_mixture_rates_formula(spark):
+    """alpha=0.5, two sources 400/100: w = 20/(20+10), 10/30;
+    rate_a = min(1, 0.5*500*(2/3)/400), rate_b = min(1, 0.5*500*(1/3)/100)."""
+    df = _sourced(spark, {"a": 400, "b": 100})
+    rates = {
+        r["source"]: r["keep_rate"]
+        for r in mixture.source_rates(df, alpha=0.5, target_frac=0.5).collect()
+    }
+    assert rates["a"] == pytest.approx(0.5 * 500 * (2 / 3) / 400, abs=1e-6)
+    assert rates["b"] == pytest.approx(0.5 * 500 * (1 / 3) / 100, abs=1e-6)
+
+
+def test_mixture_alpha_one_is_uniform_rate(spark):
+    """alpha=1 -> w_s = n_s/N -> every source keeps target_frac."""
+    df = _sourced(spark, {"a": 300, "b": 60, "c": 10})
+    for r in mixture.source_rates(df, alpha=1.0, target_frac=0.25).collect():
+        assert r["keep_rate"] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_mixture_sample_deterministic_and_near_target(spark):
+    df = _sourced(spark, {"a": 500, "b": 125})
+    s1 = sorted(
+        r["doc_id"]
+        for r in mixture.mixture_sample(df, alpha=0.5, target_frac=0.5).collect()
+    )
+    s2 = sorted(
+        r["doc_id"]
+        for r in mixture.mixture_sample(
+            df.repartition(13), alpha=0.5, target_frac=0.5
+        ).collect()
+    )
+    assert s1 == s2  # partitioning-independent determinism
+    # kept fraction within sampling noise of the target
+    assert 0.35 < len(s1) / 625 < 0.65
+
+
+def test_mixture_rare_source_rate_caps_at_one(spark):
+    """A very rare source's boost can exceed 1 -> capped."""
+    df = _sourced(spark, {"big": 1000, "tiny": 2})
+    rates = {
+        r["source"]: r["keep_rate"]
+        for r in mixture.source_rates(df, alpha=0.3, target_frac=0.9).collect()
+    }
+    assert rates["tiny"] == 1.0
