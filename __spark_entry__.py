@@ -927,6 +927,27 @@ def q_curation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "quality_score")
 
 
+def q_curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation audit with the Gopher-style repetition stage ENABLED
+    (corpus_curation.report, near_dup=False): docs over the
+    top-bigram / duplicated-2-gram caps are charged to 'repetition'
+    after lang+quality and before exact dedup. dup_gram_n=2 and the
+    0.08/0.10 caps match the synthetic corpus's short docs (the
+    operator defaults to Gopher's 5-grams)."""
+    from gliner_transbronchialbiopsy_spark.plans import corpus_curation
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_curation.report(
+        docs,
+        langs=("en",),
+        min_quality=0.45,
+        max_top_bigram_frac=0.08,
+        max_dup_ngram_frac=0.10,
+        dup_gram_n=2,
+        near_dup=False,
+    )
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the hot event_type keys
     (operators/skew.salted_agg): the wide shuffle spreads each key over
@@ -1116,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "curation_report": q_curation_report,
         "curation_near_dup": q_curation_near_dup,
+        "curation_repetition": q_curation_repetition,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_distinct_agg": q_skew_distinct_agg,
         "text_langid": q_text_langid,
@@ -1698,6 +1720,9 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM s
                     WHERE lang_pred = 'en' AND quality_score < 0.45)
                      AS n_quality,
+                   -- repetition stage disabled in this query (caps
+                   -- unset) -> always-present column counts zero
+                   (SELECT count(*) FROM s WHERE FALSE) AS n_repetition,
                    (SELECT count(*) FROM k WHERE rn > 1) AS n_duplicate,
                    (SELECT count(*) FROM k WHERE rn = 1
                     AND CAST(doc_id AS VARCHAR) IN
@@ -1711,6 +1736,59 @@ def oracle_sql() -> dict[str, str]:
             FROM k WHERE k.rn = 1
               AND CAST(k.doc_id AS VARCHAR) NOT IN
                   (SELECT node FROM nd_losers)
+        """,
+        # repetition stage enabled (dup_gram_n=2, caps 0.08/0.10 on the
+        # 4-decimal-rounded features — same rounding as the operator so
+        # the decision boundary is engine-portable); charge order
+        # lang -> quality -> repetition -> duplicate, near-dup off
+        "curation_repetition": _CURATION_CTE_SQL + r"""
+            , rtk AS (
+              SELECT doc_id, lang_pred, quality_score, text,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\s+')
+                END AS tk
+              FROM s),
+            rbi AS (
+              SELECT doc_id, lang_pred, quality_score, text,
+                CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(generate_series(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i + 1])
+                END AS bi
+              FROM rtk),
+            rfe AS (
+              SELECT doc_id, lang_pred, quality_score, text,
+                round(CASE WHEN len(bi) <= 0 THEN 0.0
+                  ELSE list_max(list_transform(bi,
+                         b -> len(list_filter(bi, x -> x = b))))
+                       / CAST(len(bi) AS DOUBLE) END, 4) AS tbf,
+                round(CASE WHEN len(bi) <= 0 THEN 0.0
+                  ELSE len(list_filter(bi,
+                         gm -> len(list_filter(bi, x -> x = gm)) > 1))
+                       / CAST(len(bi) AS DOUBLE) END, 4) AS dnf
+              FROM rbi),
+            staged AS (
+              SELECT doc_id,
+                CASE WHEN lang_pred <> 'en' THEN 'lang'
+                     WHEN quality_score < 0.45 THEN 'quality'
+                     WHEN tbf > 0.08 OR dnf > 0.10 THEN 'repetition'
+                     WHEN row_number() OVER (
+                            PARTITION BY text ORDER BY doc_id) > 1
+                       THEN 'duplicate'
+                END AS reject_stage
+              FROM rfe)
+            SELECT count(*) AS n_input,
+                   count(CASE WHEN reject_stage = 'lang' THEN 1 END)
+                     AS n_lang,
+                   count(CASE WHEN reject_stage = 'quality' THEN 1 END)
+                     AS n_quality,
+                   count(CASE WHEN reject_stage = 'repetition' THEN 1 END)
+                     AS n_repetition,
+                   count(CASE WHEN reject_stage = 'duplicate' THEN 1 END)
+                     AS n_duplicate,
+                   count(CASE WHEN FALSE THEN 1 END) AS n_near_duplicate,
+                   count(CASE WHEN reject_stage IS NULL THEN 1 END)
+                     AS n_kept
+            FROM staged
         """,
         "skew_salted_agg": """
             SELECT event_type,

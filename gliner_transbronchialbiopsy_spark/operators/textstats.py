@@ -123,16 +123,61 @@ def word_ngrams(col: Column, n: int) -> Column:
     return ngrams_of(word_tokens(col), n)
 
 
+def _run_stats(arr: Column) -> Column:
+    """struct(best, ndup) over arr in ONE aggregate pass on its sorted
+    copy: best = longest run of equal elements (== max value
+    frequency), ndup = number of elements belonging to runs of length
+    >= 2 (== occurrences whose value appears more than once).
+
+    Why a fold and not nested filter-counting: a nested HOF (count
+    each element's frequency by filtering the array per element)
+    references the array O(n) times, and Catalyst inlines a fresh copy
+    of the array expression at every reference when predicate pushdown
+    substitutes the projection into a filter — the O(n^2) count
+    becomes O(n^3) re-evaluation (measured 264s vs 15s on a 500-doc
+    curation pass). The fold references the array ONCE, so the plan
+    survives any inlining Catalyst does."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("ndup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (
+                acc["ndup"]
+                + F.when(run == 2, 2).when(run > 2, 1).otherwise(0)
+            ).alias("ndup"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["best"].alias("best"), acc["ndup"].alias("ndup")
+        ),
+    )
+
+
 def repetition_features(
     df: DataFrame, text_col: str = "text", dup_gram_n: int = 5
 ) -> DataFrame:
     """Gopher-style within-document repetition signals (Rae et al. 2021
     table A1, adapted to single-line text: sentence segments stand in
-    for lines). Pure per-row HOF projections — each doc's arrays never
+    for lines). Pure per-row projections — each doc's arrays never
     leave the row, so this is whole-stage codegen with zero shuffles at
-    any corpus size. O(n_tokens^2) per doc via nested filter() is the
-    deliberate trade: no explode, no groupBy, and n_tokens is bounded
-    per doc, not per corpus.
+    any corpus size; the duplicate counts are single-pass folds over
+    the sorted gram arrays (see _run_stats for why NOT nested
+    filter-counts).
 
     - dup_segment_frac: fraction of '.'-delimited segments that are
       byte-duplicates of another segment in the same doc;
@@ -140,11 +185,7 @@ def repetition_features(
       over total 2-grams;
     - dup_ngram_frac: fraction of word dup_gram_n-grams occurring
       more than once in the doc (Gopher uses 5..10; short synthetic
-      docs need 2-3 for any signal).
-
-    The token/segment/gram arrays are PROJECTED as columns first, so
-    each is computed once per row; the nested O(n^2) count lambdas
-    then reference cheap array values (see ngrams_of)."""
+      docs need 2-3 for any signal)."""
     c = F.col(text_col)
     staged = df.select(
         "*",
@@ -157,32 +198,24 @@ def repetition_features(
         "*",
         ngrams_of(F.col("_tk"), 2).alias("_bi"),
         ngrams_of(F.col("_tk"), dup_gram_n).alias("_gn"),
+    ).select(
+        "*",
+        _run_stats(F.col("_bi")).alias("_bi_rs"),
+        _run_stats(F.col("_gn")).alias("_gn_rs"),
     )
-    segs, bigrams, grams = F.col("_segs"), F.col("_bi"), F.col("_gn")
+    segs = F.col("_segs")
     n_segs = F.size(segs)
     dup_seg = F.when(n_segs <= 0, F.lit(0.0)).otherwise(
         (n_segs - F.size(F.array_distinct(segs)))
         / n_segs.cast("double")
     )
-    n_bi = F.size(bigrams)
+    n_bi = F.size(F.col("_bi"))
     top_bi = F.when(n_bi <= 0, F.lit(0.0)).otherwise(
-        F.array_max(
-            F.transform(
-                bigrams,
-                lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
-            )
-        )
-        / n_bi.cast("double")
+        F.col("_bi_rs")["best"] / n_bi.cast("double")
     )
-    n_gn = F.size(grams)
+    n_gn = F.size(F.col("_gn"))
     dup_gn = F.when(n_gn <= 0, F.lit(0.0)).otherwise(
-        F.size(
-            F.filter(
-                grams,
-                lambda g: F.size(F.filter(grams, lambda x: x == g)) > 1,
-            )
-        )
-        / n_gn.cast("double")
+        F.col("_gn_rs")["ndup"] / n_gn.cast("double")
     )
     return staged.select(
         *df.columns,

@@ -1,7 +1,8 @@
 """Corpus curation: the canonical training-data cleaning pass, composed
 from the engine's text-analysis and dedup operators into ONE declarative
-plan (language filter -> quality filter -> exact-dedup keep-first ->
-MinHash near-dup cluster election).
+plan (language filter -> quality filter -> optional Gopher-style
+repetition caps -> exact-dedup keep-first -> MinHash near-dup cluster
+election, with an optional PII scrub on the kept rows).
 
 This is the pipeline a 100 TB pretraining corpus actually runs before
 anything model-shaped touches it (C4/Gopher-style). Plan shape:
@@ -32,16 +33,46 @@ public curation heuristics, not reference parity items.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..operators import components, dedup, textstats
+from ..operators import components, dedup, pii, textstats
 
 #: rejection stages in charge order (first failing stage wins)
-STAGES = ("lang", "quality", "duplicate", "near_duplicate")
+STAGES = ("lang", "quality", "repetition", "duplicate", "near_duplicate")
+
+#: repetition-feature columns added by textstats.repetition_features
+_REP_COLS = ("dup_segment_frac", "top_bigram_frac", "dup_ngram_frac")
+
+
+def _repetition_ok(
+    max_dup_segment_frac: Optional[float],
+    max_top_bigram_frac: Optional[float],
+    max_dup_ngram_frac: Optional[float],
+) -> Optional[Column]:
+    """AND of the enabled repetition-rule predicates (Gopher table A1
+    shape: a doc passes when every enabled signal is at or under its
+    cap), or None when the stage is disabled (all caps None). The
+    comparison runs on the 4-decimal-rounded features so the decision
+    boundary is engine-portable (same rationale as mixture keep
+    rates)."""
+    caps = [
+        (c, m)
+        for c, m in zip(
+            _REP_COLS,
+            (max_dup_segment_frac, max_top_bigram_frac, max_dup_ngram_frac),
+        )
+        if m is not None
+    ]
+    if not caps:
+        return None
+    ok = F.lit(True)
+    for col, cap in caps:
+        ok = ok & (F.col(col) <= F.lit(cap))
+    return ok
 
 
 def flag(
@@ -50,9 +81,19 @@ def flag(
     id_col: str = "doc_id",
     langs: Sequence[str] = ("en",),
     min_quality: float = 0.45,
+    max_dup_segment_frac: Optional[float] = None,
+    max_top_bigram_frac: Optional[float] = None,
+    max_dup_ngram_frac: Optional[float] = None,
+    dup_gram_n: int = 5,
 ) -> DataFrame:
     """Annotate every doc with lang_pred, quality_score and its fate:
-    reject_stage in {'lang','quality','duplicate'} or NULL for kept.
+    reject_stage in {'lang','quality','repetition','duplicate'} or
+    NULL for kept.
+
+    The repetition stage (Gopher-style within-doc repetition caps,
+    textstats.repetition_features) is off by default — pass any of the
+    max_* caps to enable it; like lang/quality it is a pure per-row
+    projection, so enabling it adds zero shuffles.
 
     Duplicate election is deterministic: within byte-identical texts
     the lowest id survives (the reference's skip-already-seen rule,
@@ -63,20 +104,28 @@ def flag(
     scored = scored.withColumn(
         "lang_pred", textstats.lang_id(F.col(text_col))
     )
+    rep_ok = _repetition_ok(
+        max_dup_segment_frac, max_top_bigram_frac, max_dup_ngram_frac
+    )
+    if rep_ok is not None:
+        scored = textstats.repetition_features(scored, text_col, dup_gram_n)
     lang_ok = F.col("lang_pred").isin(*langs)
     quality_ok = F.col("quality_score") >= F.lit(min_quality)
-    # byte-identical texts share lang_pred and quality_score (both are
-    # pure functions of text_col), so every row of a text partition has
-    # the same scalar fate — rank>1 can only ever charge a row whose
-    # partition-mates are survivors too, and plain id order suffices
+    # byte-identical texts share lang_pred, quality_score, and the
+    # repetition features (all pure functions of text_col), so every
+    # row of a text partition has the same scalar fate — rank>1 can
+    # only ever charge a row whose partition-mates are survivors too,
+    # and plain id order suffices
     rank = F.row_number().over(
         W.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col).asc())
     )
+    fate = F.when(~lang_ok, F.lit("lang")).when(
+        ~quality_ok, F.lit("quality")
+    )
+    if rep_ok is not None:
+        fate = fate.when(~rep_ok, F.lit("repetition"))
     return scored.withColumn(
-        "reject_stage",
-        F.when(~lang_ok, F.lit("lang"))
-        .when(~quality_ok, F.lit("quality"))
-        .when(rank > 1, F.lit("duplicate")),
+        "reject_stage", fate.when(rank > 1, F.lit("duplicate"))
     )
 
 
@@ -86,31 +135,55 @@ def curate(
     id_col: str = "doc_id",
     langs: Sequence[str] = ("en",),
     min_quality: float = 0.45,
+    max_dup_segment_frac: Optional[float] = None,
+    max_top_bigram_frac: Optional[float] = None,
+    max_dup_ngram_frac: Optional[float] = None,
+    dup_gram_n: int = 5,
+    scrub_pii: bool = False,
 ) -> DataFrame:
     """The kept corpus: original columns + (lang_pred, quality_score)
     retained for downstream sampling.
 
-    Same fate per row as flag(), but the scalar filters run BEFORE the
-    dedup window, so only survivors enter the one shuffle — at 100 TB
-    the rejected fraction (often >50%) never moves."""
+    Same fate per row as flag(), but the scalar filters (lang, quality,
+    and — when any max_* cap is set — the repetition rules) run BEFORE
+    the dedup window, so only survivors enter the one shuffle — at
+    100 TB the rejected fraction (often >50%) never moves.
+
+    scrub_pii=True replaces text_col with its PII-redacted form
+    (operators/pii.PATTERNS) on the kept rows — a pure projection on
+    the output, free at any scale. Redaction runs AFTER dedup on
+    purpose: dedup keys on the original bytes, so two docs differing
+    only in the redacted identifier stay distinct (they are different
+    documents; the near-dup stage is where they collapse)."""
     scored = textstats.quality_score(df, text_col).withColumn(
         "lang_pred", textstats.lang_id(F.col(text_col))
     )
-    survivors = scored.filter(
-        F.col("lang_pred").isin(*langs)
-        & (F.col("quality_score") >= F.lit(min_quality))
+    keep = F.col("lang_pred").isin(*langs) & (
+        F.col("quality_score") >= F.lit(min_quality)
     )
+    rep_ok = _repetition_ok(
+        max_dup_segment_frac, max_top_bigram_frac, max_dup_ngram_frac
+    )
+    rep_drop = []
+    if rep_ok is not None:
+        scored = textstats.repetition_features(scored, text_col, dup_gram_n)
+        keep = keep & rep_ok
+        rep_drop = list(_REP_COLS)
+    survivors = scored.filter(keep)
     rank = F.row_number().over(
         W.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col).asc())
     )
-    return (
+    out = (
         survivors.withColumn("_rank", rank)
         .filter(F.col("_rank") == 1)
         .drop(
             "_rank", "n_chars_calc", "n_tokens", "punct_ratio",
-            "stopword_ratio", "upper_ratio",
+            "stopword_ratio", "upper_ratio", *rep_drop,
         )
     )
+    if scrub_pii:
+        out = out.withColumn(text_col, pii.redacted(F.col(text_col)))
+    return out
 
 
 def near_dup_losers(
@@ -162,27 +235,44 @@ def curate_near_dup(
     id_col: str = "doc_id",
     langs: Sequence[str] = ("en",),
     min_quality: float = 0.45,
+    max_dup_segment_frac: Optional[float] = None,
+    max_top_bigram_frac: Optional[float] = None,
+    max_dup_ngram_frac: Optional[float] = None,
+    dup_gram_n: int = 5,
+    scrub_pii: bool = False,
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 5,
     jaccard_threshold: float = 0.5,
     portable_hash: bool = False,
 ) -> DataFrame:
-    """The full four-stage keep list: curate() (lang -> quality ->
-    exact dedup) then near-dup cluster election — the engine's LSH
-    dedup machinery composed into the flagship curation pass. The
-    anti-join removes cluster losers; column shape matches curate()."""
-    base = curate(df, text_col, id_col, langs, min_quality)
+    """The full five-stage keep list: curate() (lang -> quality ->
+    optional repetition caps -> exact dedup) then near-dup cluster
+    election — the engine's LSH dedup machinery composed into the
+    flagship curation pass. The anti-join removes cluster losers;
+    column shape matches curate(). scrub_pii redacts AFTER the LSH
+    stage so signatures key on the original bytes (same rationale as
+    curate's dedup-before-redaction ordering)."""
+    base = curate(
+        df, text_col, id_col, langs, min_quality,
+        max_dup_segment_frac=max_dup_segment_frac,
+        max_top_bigram_frac=max_top_bigram_frac,
+        max_dup_ngram_frac=max_dup_ngram_frac,
+        dup_gram_n=dup_gram_n,
+    )
     losers = near_dup_losers(
         base, text_col, id_col, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, jaccard_threshold=jaccard_threshold,
         portable_hash=portable_hash,
     )
-    return base.join(
+    out = base.join(
         losers,
         base[id_col].cast("string") == losers["_nd_id"],
         "left_anti",
     )
+    if scrub_pii:
+        out = out.withColumn(text_col, pii.redacted(F.col(text_col)))
+    return out
 
 
 def report(
@@ -191,6 +281,10 @@ def report(
     id_col: str = "doc_id",
     langs: Sequence[str] = ("en",),
     min_quality: float = 0.45,
+    max_dup_segment_frac: Optional[float] = None,
+    max_top_bigram_frac: Optional[float] = None,
+    max_dup_ngram_frac: Optional[float] = None,
+    dup_gram_n: int = 5,
     near_dup: bool = True,
     num_hashes: int = 32,
     bands: int = 8,
@@ -207,9 +301,17 @@ def report(
     scalar stages still come from one pass over the flagged projection.
     The LSH knobs mirror curate_near_dup exactly — pass the SAME values
     to both so the audit's n_kept equals the keep list's count.
-    near_dup=False reports the three scalar stages only (n_near_duplicate
-    = 0) for corpora where the LSH pass is run separately."""
-    flagged = flag(df, text_col, id_col, langs, min_quality)
+    near_dup=False reports the scalar stages only (n_near_duplicate
+    = 0) for corpora where the LSH pass is run separately. The
+    repetition stage is off unless a max_* cap is set (n_repetition =
+    0 when off; the column is always present — STAGES is the schema)."""
+    flagged = flag(
+        df, text_col, id_col, langs, min_quality,
+        max_dup_segment_frac=max_dup_segment_frac,
+        max_top_bigram_frac=max_top_bigram_frac,
+        max_dup_ngram_frac=max_dup_ngram_frac,
+        dup_gram_n=dup_gram_n,
+    )
     if near_dup:
         kept = flagged.filter(F.col("reject_stage").isNull())
         losers = near_dup_losers(

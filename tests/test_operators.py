@@ -780,6 +780,68 @@ def test_curation_report_charges_near_duplicates(spark):
     assert kept == row["n_kept"]
 
 
+def test_curation_repetition_stage_charges_and_orders(spark):
+    """A highly repetitive doc is charged 'repetition' (after quality,
+    before duplicate); the same doc duplicated still charges its copy
+    to 'duplicate'? No — byte-copies share the repetition fate, so BOTH
+    rows fall to 'repetition', never reaching the dedup rank."""
+    reps = "the cat the cat the cat the cat the cat"
+    rows = [
+        (1, "the dog and the man is with the tree of the house and more"),
+        (2, reps),
+        (3, reps),  # byte-copy of the repetitive doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fate = {
+        r["doc_id"]: r["reject_stage"]
+        for r in corpus_curation.flag(
+            docs, langs=("en",), min_quality=0.1,
+            max_top_bigram_frac=0.2, dup_gram_n=2,
+        ).collect()
+    }
+    assert fate == {1: None, 2: "repetition", 3: "repetition"}
+    row = corpus_curation.report(
+        docs, langs=("en",), min_quality=0.1,
+        max_top_bigram_frac=0.2, dup_gram_n=2, near_dup=False,
+    ).collect()[0]
+    assert row["n_repetition"] == 2 and row["n_duplicate"] == 0
+    assert row["n_kept"] == 1
+    kept = corpus_curation.curate(
+        docs, langs=("en",), min_quality=0.1,
+        max_top_bigram_frac=0.2, dup_gram_n=2,
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    # feature columns are audit-internal, dropped from the keep list
+    assert "top_bigram_frac" not in kept.columns
+
+
+def test_curation_repetition_disabled_reports_zero_column(spark):
+    """Caps unset -> stage off, but n_repetition is still in the
+    schema (STAGES is the report contract) and counts zero."""
+    row = corpus_curation.report(
+        _curation_docs(spark), langs=("en",), min_quality=0.4,
+        near_dup=False,
+    ).collect()[0]
+    assert row["n_repetition"] == 0
+
+
+def test_curation_scrub_pii_redacts_after_dedup(spark):
+    """Two docs identical except for their embedded email must BOTH
+    survive exact dedup (keyed on original bytes), then come out with
+    the email redacted — the documented dedup-before-redaction order."""
+    rows = [
+        (1, "the cat and the dog of the house writes to a.a@ex.com ok"),
+        (2, "the cat and the dog of the house writes to b.b@ex.com ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = corpus_curation.curate(
+        docs, langs=("en",), min_quality=0.1, scrub_pii=True
+    ).collect()
+    assert len(kept) == 2
+    for r in kept:
+        assert "<EMAIL>" in r["text"] and "@ex.com" not in r["text"]
+
+
 def test_salted_distinct_agg_null_keys(spark):
     # groupBy treats a NULL key as a group; the restoring join must be
     # null-safe or the NULL group's count silently becomes 0

@@ -29,6 +29,26 @@ def main() -> None:
     ap.add_argument("--langs", default="en", help="comma-separated keep list")
     ap.add_argument("--min-quality", type=float, default=0.45)
     ap.add_argument(
+        "--max-dup-segment-frac", type=float, default=None,
+        help="repetition cap: duplicated sentence-segment fraction",
+    )
+    ap.add_argument(
+        "--max-top-bigram-frac", type=float, default=None,
+        help="repetition cap: top word-bigram occurrence fraction",
+    )
+    ap.add_argument(
+        "--max-dup-ngram-frac", type=float, default=None,
+        help="repetition cap: duplicated word n-gram fraction",
+    )
+    ap.add_argument(
+        "--dup-gram-n", type=int, default=5,
+        help="n for the duplicated-n-gram repetition signal",
+    )
+    ap.add_argument(
+        "--scrub-pii", action="store_true",
+        help="redact emails/IPs/phones/id runs in the kept text",
+    )
+    ap.add_argument(
         "--jaccard", type=float, default=0.5,
         help="near-dup MinHash estimate threshold",
     )
@@ -51,15 +71,23 @@ def main() -> None:
         "curation_job", cpus=args.cpus, shuffle_partitions=args.cpus
     )
     docs = spark.read.parquet(args.input)
+    rep_kw = dict(
+        max_dup_segment_frac=args.max_dup_segment_frac,
+        max_top_bigram_frac=args.max_top_bigram_frac,
+        max_dup_ngram_frac=args.max_dup_ngram_frac,
+        dup_gram_n=args.dup_gram_n,
+    )
     t0 = time.time()
     if args.no_near_dup:
         kept = corpus_curation.curate(
-            docs, args.text_col, args.id_col, langs, args.min_quality
+            docs, args.text_col, args.id_col, langs, args.min_quality,
+            scrub_pii=args.scrub_pii, **rep_kw,
         )
     else:
         kept = corpus_curation.curate_near_dup(
             docs, args.text_col, args.id_col, langs, args.min_quality,
-            jaccard_threshold=args.jaccard,
+            jaccard_threshold=args.jaccard, scrub_pii=args.scrub_pii,
+            **rep_kw,
         )
     os.makedirs(args.output, exist_ok=True)
     kept_path = os.path.join(args.output, "kept.parquet")
@@ -74,7 +102,8 @@ def main() -> None:
 
     scalar = (
         corpus_curation.flag(
-            docs, args.text_col, args.id_col, langs, args.min_quality
+            docs, args.text_col, args.id_col, langs, args.min_quality,
+            **rep_kw,
         )
         .agg(
             F.count(F.lit(1)).alias("n_input"),
@@ -82,7 +111,7 @@ def main() -> None:
                 F.count(
                     F.when(F.col("reject_stage") == s, 1)
                 ).alias(f"n_{s}")
-                for s in ("lang", "quality", "duplicate")
+                for s in ("lang", "quality", "repetition", "duplicate")
             ],
             F.count(
                 F.when(F.col("reject_stage").isNull(), 1)
@@ -96,6 +125,7 @@ def main() -> None:
         "n_input": scalar["n_input"],
         "n_lang": scalar["n_lang"],
         "n_quality": scalar["n_quality"],
+        "n_repetition": scalar["n_repetition"],
         "n_duplicate": scalar["n_duplicate"],
         "n_near_duplicate": scalar["n_scalar_kept"] - n_kept,
         "n_kept": n_kept,
