@@ -18,6 +18,7 @@ from gliner_transbronchialbiopsy_spark.functions import spark_fns
 from gliner_transbronchialbiopsy_spark.operators import (
     decontam,
     dedup,
+    graph,
     mixture,
     packing,
     pii,
@@ -25,6 +26,7 @@ from gliner_transbronchialbiopsy_spark.operators import (
     similarity,
     skew,
     stats,
+    termstats,
     textstats,
 )
 
@@ -1084,6 +1086,73 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity quality scoring
+    (operators/termstats.perplexity_score): the corpus-trained unigram
+    log-probs are FIXED-POINT longs (floor(ln(c/total) * 1e9)), so each
+    doc's negative log-likelihood is an exact integer sum —
+    bit-identical at any parallelism and in DuckDB. Two shuffles total
+    (vocab build, per-doc re-agg); the LM table broadcasts."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return termstats.perplexity_score(docs).select(
+        "doc_id", "n_tokens", "nll_fp", "avg_nll"
+    )
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document
+    (operators/termstats.tfidf_topk): document frequencies from one
+    corpus aggregate, broadcast back onto per-doc term counts; the
+    score is an exact long ((c * idf_fp) div n_tok), so the top-k cut
+    line has no float comparison and both engines elect the same
+    terms."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return termstats.tfidf_topk(docs, k=3)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (operators/dedup.line_dedup), the
+    RefinedWeb boilerplate pass: any 10-token window occurring more
+    than once corpus-wide is dropped from every doc, survivors
+    reassembled in original order. The counting shuffle moves sha256
+    digests only; the boilerplate set broadcasts into a left_anti
+    join. The synthetic docs have no newlines, so the contract query
+    synthesizes "lines" as non-overlapping 10-token windows
+    (dedup.token_windows) — deterministically restated in the
+    oracle."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", dedup.token_windows(F.col("text"), 10).alias("lines")
+    )
+    out = dedup.line_dedup(docs, "lines")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.concat_ws(" ", "lines_kept").alias("text_dedup"),
+    )
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-point PageRank (operators/graph.pagerank)
+    over the customer-supplier trade graph (lineitem x orders, both
+    directions, edge weight = lineitem count): 5 power iterations in
+    integer arithmetic — long sums commute exactly, so the emitted
+    ranks are bit-identical at any executor count and the DuckDB
+    oracle restates the recurrence as 5 chained CTEs. Top 20 nodes by
+    rank (ties broken by node id)."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rel = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = graph.pagerank_edges_from(rel, "src", "dst", symmetric=True)
+    ranks = graph.pagerank(edges, weight="w", iterations=5)
+    return ranks.orderBy(F.desc("rank_fp"), F.col("node").asc()).limit(20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
@@ -1148,6 +1217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": q_decontam_overlap,
         "pack_chunks": q_pack_chunks,
         "mixture_sample": q_mixture_sample,
+        "lm_perplexity": q_lm_perplexity,
+        "tfidf_terms": q_tfidf_terms,
+        "line_dedup": q_line_dedup,
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
@@ -1285,6 +1358,56 @@ _CURATION_ND_CTE_SQL = _CURATION_CTE_SQL + r"""
               SELECT node FROM nd_cc
               GROUP BY node HAVING min(label) <> node)
 """
+
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    """DuckDB restatement of graph.pagerank over the customer-supplier
+    trade graph: the same integer recurrence as the Spark loop, one
+    chained CTE per power iteration (fixed-point longs make the two
+    engines bit-identical — see operators/graph.py)."""
+    head = r"""
+        WITH rel AS (
+          SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS cn,
+                 's:' || CAST(l.l_suppkey AS VARCHAR) AS sn
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        ed AS (
+          SELECT cn AS src, sn AS dst, count(*) AS w
+          FROM rel GROUP BY cn, sn
+          UNION ALL
+          SELECT sn AS src, cn AS dst, count(*) AS w
+          FROM rel GROUP BY sn, cn),
+        wt AS (
+          SELECT src, CAST(sum(w) AS BIGINT) AS wtot
+          FROM ed GROUP BY src),
+        ew AS (
+          SELECT ed.src, ed.dst, ed.w, wt.wtot
+          FROM ed JOIN wt USING (src)),
+        nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        pr0 AS (
+          SELECT node, CAST(1000000000 AS BIGINT) // nn.n AS rank_fp
+          FROM nodes, nn)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+        pr{i} AS (
+          SELECT n.node,
+            CAST((15 * CAST(1000000000 AS BIGINT)) // (100 * nn.n)
+                 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS rank_fp
+          FROM nodes n CROSS JOIN nn
+          LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(sum((p.rank_fp * e.w) // e.wtot) AS BIGINT) AS c
+            FROM pr{i-1} p JOIN ew e ON e.src = p.node
+            GROUP BY e.dst) s ON s.node = n.node)""")
+    tail = f"""
+        SELECT node, rank_fp FROM pr{iterations}
+        ORDER BY rank_fp DESC, node ASC LIMIT 20
+    """
+    return head + "," + ",".join(steps) + tail
+
+
+_PAGERANK_SQL = _pagerank_sql(5)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1981,6 +2104,113 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_kept, any_value(keep_rate) AS keep_rate
             FROM kept GROUP BY source
         """,
+        # fixed-point unigram LM: lp quantized to a long BEFORE any
+        # summation, so the per-doc totals are exact integers in both
+        # engines (double sums would be order-dependent)
+        "lm_perplexity": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\s+')
+                END AS tk
+              FROM documents),
+            e AS (SELECT doc_id, unnest(tk) AS token FROM t),
+            v AS (SELECT token, count(*) AS c FROM e GROUP BY token),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM v),
+            lm AS (
+              SELECT token,
+                CAST(floor(ln(c / CAST(tot.s AS DOUBLE)) * 1000000000)
+                     AS BIGINT) AS lp
+              FROM v, tot),
+            pd AS (
+              SELECT e.doc_id, count(*) AS n_tokens,
+                     CAST(-sum(lm.lp) AS BIGINT) AS nll_fp
+              FROM e JOIN lm USING (token) GROUP BY e.doc_id)
+            SELECT t.doc_id,
+                   coalesce(pd.n_tokens, 0) AS n_tokens,
+                   coalesce(pd.nll_fp, 0) AS nll_fp,
+                   CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
+                        ELSE round(pd.nll_fp / pd.n_tokens
+                                   / 1000000000.0, 4)
+                   END AS avg_nll
+            FROM t LEFT JOIN pd USING (doc_id)
+        """,
+        # integer TF-IDF: score = (c * floor(ln(N/df)*1e9)) // n_tok —
+        # the top-k cut compares exact longs, so both engines elect
+        # identical term sets
+        "tfidf_terms": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\s+')
+                END AS tk
+              FROM documents),
+            e AS (
+              SELECT doc_id, len(tk) AS n_tok, unnest(tk) AS token
+              FROM t),
+            pd AS (
+              SELECT doc_id, token, count(*) AS c, max(n_tok) AS n_tok
+              FROM e GROUP BY doc_id, token),
+            dfreq AS (SELECT token, count(*) AS dfd FROM pd GROUP BY token),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            idf AS (
+              SELECT token,
+                CAST(floor(ln(nd.n / CAST(dfd AS DOUBLE)) * 1000000000)
+                     AS BIGINT) AS idf_fp
+              FROM dfreq, nd),
+            sc AS (
+              SELECT pd.doc_id, pd.token AS term,
+                     (pd.c * idf.idf_fp) // pd.n_tok AS score_fp
+              FROM pd JOIN idf USING (token)),
+            rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_fp DESC, term ASC) AS rn
+              FROM sc)
+            SELECT doc_id, term, score_fp,
+                   round(score_fp / 1000000000.0, 6) AS tfidf
+            FROM rk WHERE rn <= 3
+        """,
+        # lines = non-overlapping 10-token windows (the deterministic
+        # stand-in for newline structure); any line occurring > 1 time
+        # corpus-wide is dropped, survivors rejoined in order
+        "line_dedup": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\s+')
+                END AS tk
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                CASE WHEN len(tk) <= 0 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(
+                       generate_series(1,
+                         CAST(ceil(len(tk) / 10.0) AS BIGINT)),
+                       i -> array_to_string(tk[(i-1)*10+1 : i*10], ' '))
+                END AS lines
+              FROM t),
+            e AS (
+              SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(lines)),
+                  i -> struct_pack(pos := i, line := lines[i]))) AS u
+              FROM l),
+            e2 AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM e),
+            dup AS (
+              SELECT line FROM e2 GROUP BY line HAVING count(*) > 1),
+            kept AS (
+              SELECT doc_id, pos, line FROM e2
+              WHERE line NOT IN (SELECT line FROM dup))
+            SELECT l.doc_id,
+                   CAST(len(l.lines) AS BIGINT) AS n_lines,
+                   CAST(len(l.lines) - count(k.line) AS BIGINT)
+                     AS n_removed,
+                   coalesce(string_agg(k.line, ' ' ORDER BY k.pos), '')
+                     AS text_dedup
+            FROM l LEFT JOIN kept k USING (doc_id)
+            GROUP BY l.doc_id, len(l.lines)
+        """,
+        "graph_pagerank": _PAGERANK_SQL,
         # full-probe IVF == exact top-k (every bucket probed), so the
         # brute-force SQL is its oracle; the pruning path itself is
         # pytest-checked (recall >= 0.5 at n_probe=4, == exact at 8/8)

@@ -450,3 +450,91 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    lines_col: str = "lines",
+    id_col: str = "doc_id",
+    max_occurrences: int = 1,
+    broadcast_dups: bool = True,
+) -> DataFrame:
+    """Cross-document line deduplication (the RefinedWeb/Gopher
+    boilerplate pass: drop every line whose exact content appears more
+    than max_occurrences times ACROSS the corpus — nav bars, cookie
+    banners, license headers — keeping each doc's surviving lines in
+    original order).
+
+    Input is a pre-split array column (callers choose the unit:
+    newline split for real text, sentence segments, or fixed token
+    windows); output is (id, n_lines, n_removed, lines_kept).
+
+    Scale shape — the text bytes shuffle exactly once:
+      1. posexplode, project ONLY sha2(line) -> groupBy(sha) count.
+         The counting shuffle moves 32-byte digests, never line bytes.
+      2. over-represented shas (count > max_occurrences) are the
+         boilerplate set — tiny relative to the corpus, broadcast into
+         a left_anti join against the exploded lines (no shuffle on
+         the data side). broadcast_dups=False falls back to a shuffle
+         join for corpora where boilerplate itself is huge.
+      3. survivors groupBy(id) -> sort by position -> reassembled
+         array. This re-agg is the one shuffle that carries text.
+    """
+    lines = F.col(lines_col)
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(lines).alias("_pos", "_line"),
+    ).withColumn("_lsha", F.sha2(F.col("_line"), 256))
+    dup = (
+        exploded.groupBy("_lsha")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_occurrences)
+        .select("_lsha")
+    )
+    if broadcast_dups:
+        dup = F.broadcast(dup)
+    kept = exploded.join(dup, "_lsha", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("_pos", "_line"))
+            ),
+            lambda s: s["_line"],
+        ).alias("_kept")
+    )
+    return (
+        df.select(id_col, F.size(lines).alias("n_lines"))
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce(
+                F.col("_kept"), F.array().cast("array<string>")
+            ).alias("lines_kept"),
+        )
+        .withColumn(
+            "n_removed", F.col("n_lines") - F.size("lines_kept")
+        )
+        .select(id_col, "n_lines", "n_removed", "lines_kept")
+    )
+
+
+def token_windows(col, n: int = 10):
+    """Non-overlapping n-token windows of lower(col) as an array column
+    — the deterministic "line" synthesizer for corpora without line
+    structure (each window is a reassemblable unit, unlike overlapping
+    shingles). Guarded sequence: Spark's sequence(1, 0) would count
+    DOWN, so empty token arrays short-circuit to an empty window
+    array."""
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    toks = F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(toks)
+    n_tok = F.size(toks)
+    n_win = F.ceil(n_tok / F.lit(float(n))).cast("int")
+    return F.when(n_tok <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i - 1) * n + 1, n)
+            ),
+        )
+    )

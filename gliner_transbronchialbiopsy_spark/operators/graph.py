@@ -1,0 +1,130 @@
+"""Graph analytics over materialized KG triples: deterministic
+fixed-point PageRank as an iterative DataFrame loop.
+
+Why fixed-point: float PageRank is not reproducible on a cluster —
+groupBy partial-aggregation order changes between runs and between
+parallelism levels, and double addition does not commute exactly, so
+the same job can emit different last-digit ranks at local[8] vs
+local[32] (let alone 1000 executors), and no exact SQL oracle exists.
+Here every rank is a long in units of 1/SCALE: contributions are
+integer (rank * w) div w_out, the damping blend is integer
+(d_pct * sum) div 100, and long sums commute EXACTLY — the emitted
+ranks are bit-identical at any partitioning, any executor count, and
+in DuckDB (the oracle restates the same integer recurrence). Mass
+lost to integer-division flooring (and to dangling nodes, the
+standard removed-mass variant) is bounded by one SCALE unit per edge
+per iteration and identical in both engines by construction.
+
+Iteration shape (per round, the Kiveris-style loop discipline shared
+with operators/components.py): ranks join edges on src (the edge side
+carries precomputed per-src out-weight, persisted once), one
+groupBy(dst) sum, one left join back onto the node set;
+localCheckpoint every round keeps plan depth O(1) instead of O(k).
+The node set and weighted edge table are computed once. At 100 TB the
+entity graph this runs on is the post-canonicalization KG (orders of
+magnitude smaller than the mention corpus), same as the component
+election stage.
+
+Reference analogue: the entity co-occurrence ranking the reference
+surfaces in its stats tab (src/streamlit/app/app.py) — generalized to
+a principled graph centrality over the emitted triples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rank unit = 1/SCALE; total mass starts at ~SCALE. 1e9 leaves
+#: rank * weight products far inside long range (rank <= ~1e9,
+#: weight < 1e9 -> product < 1e18 < 2^63).
+SCALE = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> DataFrame:
+    """edges(src, dst[, weight]) -> (node, rank_fp) after a fixed
+    number of synchronous power iterations.
+
+    rank_fp is the fixed-point long; rank_fp/scale approximates the
+    PageRank probability. damping_pct is the damping factor in percent
+    (85 = the classic 0.85) so the blend stays integer. weight=None
+    treats every edge as weight 1; parallel edges should be
+    pre-aggregated by the caller (pagerank_edges_from does this).
+
+    Deterministic by construction: same output longs at any
+    parallelism — asserted by a pytest that runs the loop at 1 and 32
+    partitions and requires exact frame equality."""
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    ew = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
+    )
+    nodes = (
+        ew.select(F.col("_src").alias("node"))
+        .union(ew.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # per-src total out-weight rides on every edge row; computed once
+    wtot = ew.groupBy("_src").agg(F.sum("_w").alias("_wtot"))
+    ew = ew.join(wtot, "_src").localCheckpoint()
+    n_nodes = nodes.count()  # one bounded scalar (the node count) —
+    # drives the integer teleport term; the entity graph is the
+    # post-canonicalization KG, not the raw corpus
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_fp"))
+    base = ((100 - damping_pct) * scale) // (100 * n_nodes)
+    ranks = nodes.select(
+        "node", F.lit(scale // n_nodes).cast("long").alias("rank_fp")
+    )
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks, ew["_src"] == ranks["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("(rank_fp * _w) div _wtot").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(_s, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint()  # plan depth stays O(1) across rounds
+        )
+    return ranks
+
+
+def pagerank_edges_from(
+    df: DataFrame, src: str, dst: str, symmetric: bool = False
+) -> DataFrame:
+    """Aggregate a row-level relation into weighted distinct edges
+    (src, dst, w=count). symmetric=True adds the reversed edges (same
+    weights) so rank flows both ways across a bipartite relation —
+    without it, source-side nodes of a bipartite graph receive only
+    teleport mass."""
+    e = df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if symmetric:
+        e = e.union(
+            df.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+    return e.groupBy("src", "dst").agg(F.count("*").alias("w"))

