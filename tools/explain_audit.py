@@ -66,6 +66,21 @@ AUDIT = {
     # (the one Generate in this plan is the 8-band explode — 8 tiny
     # rows per signature, intended; the shingle explode is gone)
     "dedup_minhash": ("Scan ExistingRDD", "!InPandas"),
+    # fixed-point unigram LM: the (token, lp_fp) table joins back onto
+    # the exploded tokens via an explicit broadcast; vocab build is a
+    # partial-combine HashAggregate; zero Python
+    "lm_perplexity": ("BroadcastHashJoin", "HashAggregate", "!InPandas"),
+    # TF-IDF: document-frequency table broadcast onto per-doc term
+    # counts, per-doc top-k via Window, all JVM
+    "tfidf_terms": ("BroadcastHashJoin", "Window", "!InPandas"),
+    # cross-doc line dedup: the boilerplate set broadcasts into a
+    # left_anti join (the exploded data side never shuffles for it);
+    # counting shuffle keys on sha2, not line bytes
+    "line_dedup": ("BroadcastHashJoin LeftAnti", "sha2", "!InPandas"),
+    # fixed-point PageRank: each round ends in a localCheckpoint, so
+    # the visible plan reads the checkpointed rank RDD — iterations
+    # never stack into one mega-plan; zero Python
+    "graph_pagerank": ("Scan ExistingRDD", "!InPandas"),
 }
 
 
