@@ -1153,6 +1153,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.desc("rank_fp"), F.col("node").asc()).limit(20)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch dedup (operators/dedup.incremental_dedup):
+    docs with doc_id % 3 == 0 play the already-ingested history, the
+    rest the incoming batch. Every new doc is flagged 'exact' (sha
+    match against the history), 'near_duplicate' (asymmetric
+    MinHash-LSH banding against the history's signatures, portable
+    family, est-Jaccard >= 0.5), or NULL (kept). Exact dups never
+    shingle; the history side never re-shuffles its text."""
+    docs = _read(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    return dedup.incremental_dedup(
+        new, seen, jaccard_threshold=0.5, portable_hash=True
+    ).select("doc_id", "reject_reason")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
@@ -1221,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "line_dedup": q_line_dedup,
         "graph_pagerank": q_graph_pagerank,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -2211,6 +2228,91 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.doc_id, len(l.lines)
         """,
         "graph_pagerank": _PAGERANK_SQL,
+        # incremental dedup: exact = sha membership in the history;
+        # near-dup = the SAME portable MinHash chain as dedup_minhash,
+        # but banded asymmetrically (new-survivor side x history side,
+        # per-side 64-row bucket caps, no tid ordering)
+        "dedup_incremental": """
+            WITH seen AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+            nw AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0),
+            seen_sha AS (SELECT DISTINCT sha256(text) AS sha FROM seen),
+            surv AS (
+              SELECT DISTINCT text FROM nw
+              WHERE sha256(text) NOT IN (SELECT sha FROM seen_sha)),
+            sides AS (
+              SELECT text, 'n' AS side FROM surv
+              UNION ALL
+              SELECT DISTINCT text, 's' AS side FROM seen),
+            tid AS (
+              SELECT text, side, sha256(text) AS tid FROM sides),
+            shingles AS (
+              SELECT t.tid, s.sh
+              FROM (SELECT DISTINCT text, tid FROM tid) t, LATERAL (
+                SELECT DISTINCT substr(lower(t.text), CAST(u.i AS INT), 5) AS sh
+                FROM unnest(range(1, greatest(len(lower(t.text)) - 4, 1) + 1)) u(i)
+              ) s
+            ),
+            shvals AS (SELECT DISTINCT sh FROM shingles),
+            shdg AS (
+              SELECT v.sh, CAST(bl.b AS INT) AS b,
+                     sha256(v.sh || chr(31) || CAST(bl.b AS VARCHAR)) AS dg
+              FROM shvals v, range(0, 8) bl(b)
+            ),
+            shh AS (
+              SELECT d.sh, CAST(d.b * 4 + ln.l AS INT) AS slot,
+                     CAST('0x' || substr(
+                           d.dg, CAST(ln.l * 15 + 1 AS INT), 15)
+                         AS BIGINT) AS h
+              FROM shdg d, range(0, 4) ln(l)
+            ),
+            minh AS (
+              SELECT s.tid, h.slot, min(h.h) AS h
+              FROM shingles s JOIN shh h USING (sh)
+              GROUP BY 1, 2
+            ),
+            bandkeys AS (
+              SELECT m.tid, t.side, CAST(m.slot // 4 AS INT) AS band_id,
+                     string_agg(CAST(m.h AS VARCHAR), ',' ORDER BY m.slot)
+                       AS band_key
+              FROM minh m JOIN tid t USING (tid)
+              GROUP BY m.tid, t.side, m.slot // 4
+            ),
+            okb AS (
+              SELECT side, band_id, band_key FROM bandkeys
+              GROUP BY 1, 2, 3 HAVING count(*) <= 64
+            ),
+            capped AS (
+              SELECT b.* FROM bandkeys b
+              JOIN okb USING (side, band_id, band_key)
+            ),
+            cand AS (
+              SELECT DISTINCT a.tid AS tid_a, b.tid AS tid_b
+              FROM capped a
+              JOIN capped b ON a.band_id = b.band_id
+                           AND a.band_key = b.band_key
+              WHERE a.side = 'n' AND b.side = 's'
+            ),
+            est AS (
+              SELECT c.tid_a, c.tid_b,
+                     sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 32.0
+                       AS jaccard
+              FROM cand c
+              JOIN minh ha ON ha.tid = c.tid_a
+              JOIN minh hb ON hb.tid = c.tid_b AND hb.slot = ha.slot
+              GROUP BY 1, 2
+            ),
+            near AS (
+              SELECT DISTINCT tid_a FROM est WHERE jaccard >= 0.5)
+            SELECT n.doc_id,
+              CASE WHEN sha256(n.text) IN (SELECT sha FROM seen_sha)
+                     THEN 'exact'
+                   WHEN sha256(n.text) IN (SELECT tid_a FROM near)
+                     THEN 'near_duplicate'
+              END AS reject_reason
+            FROM nw n
+        """,
         # full-probe IVF == exact top-k (every bucket probed), so the
         # brute-force SQL is its oracle; the pruning path itself is
         # pytest-checked (recall >= 0.5 at n_probe=4, == exact at 8/8)

@@ -538,3 +538,90 @@ def token_windows(col, n: int = 10):
             ),
         )
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_dup: bool = True,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.6,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Incremental batch dedup: flag every NEW doc that duplicates the
+    already-ingested corpus — the production crawl pattern (dedup
+    today's batch against the historical index, never re-shuffle the
+    history). Returns new_df's columns + reject_reason in
+    {'exact', 'near_duplicate', NULL(kept)}; charge order exact first.
+
+    Scale shape:
+      - exact: sha256 anti/semi joins on 32-byte digests — the seen
+        side is a digest column, so at 100 TB the "index" is the sha
+        snapshot the checkpoint store already maintains, not the
+        corpus.
+      - near-dup: MinHash signatures are computed ONLY for new docs
+        that survive the exact stage (exact dups never shingle), then
+        banded ASYMMETRICALLY against the seen side's signatures
+        (linking.lsh_candidate_pairs_between) — in production the seen
+        signatures come from the stored signature table, appended
+        batch-by-batch, so each batch pays O(batch) signature work
+        against an equi-join with the index, never O(history).
+
+    Within-batch duplicates are NOT flagged here (two identical new
+    docs both compare against the history only) — run
+    exact_duplicates / minhash_near_duplicates for intra-batch dedup.
+    portable_hash=True makes the whole decision DuckDB-restatable
+    (contract query dedup_incremental)."""
+    new_h = new_df.withColumn("_sha", F.sha2(F.col(text_col), 256))
+    seen_sha = (
+        seen_df.select(F.sha2(F.col(text_col), 256).alias("_sha"))
+        .distinct()
+    )
+    exact_hit = seen_sha.withColumn("_exact", F.lit(True))
+    out = new_h.join(exact_hit, "_sha", "left")
+    if near_dup:
+        survivors = new_h.join(seen_sha, "_sha", "left_anti")
+        # ONE signature computation over the side-tagged union (the
+        # sides are disjoint by construction — survivors exclude every
+        # seen sha), ONE checkpoint; both banding sides and the
+        # estimate join-back read the cut (a per-side computation
+        # measured 2x the signature cost for identical output)
+        surfaces = survivors.select(
+            F.lit("n").alias("side"), F.col(text_col).alias("text")
+        ).unionByName(
+            seen_df.select(
+                F.lit("s").alias("side"), F.col(text_col).alias("text")
+            )
+        )
+        sigs = linking.minhash_signatures(
+            surfaces, "text", ("side",), num_hashes=num_hashes,
+            shingle_n=shingle_n, portable_hash=portable_hash,
+        ).select(
+            "side", F.sha2("text", 256).alias("text"), "sig"
+        ).localCheckpoint()
+        cand = linking.lsh_candidate_pairs_between(
+            sigs.filter(F.col("side") == "n").drop("side"),
+            sigs.filter(F.col("side") == "s").drop("side"),
+            "text", (), bands=bands,
+        )
+        est = linking.estimated_edges(
+            cand, sigs.drop("side"), "text", (),
+            jaccard_threshold=jaccard_threshold,
+        )
+        near_tids = (
+            est.select(F.col("text_a").alias("_sha"))
+            .distinct()
+            .withColumn("_near", F.lit(True))
+        )
+        out = out.join(near_tids, "_sha", "left")
+    else:
+        out = out.withColumn("_near", F.lit(None).cast("boolean"))
+    reason = (
+        F.when(F.col("_exact"), F.lit("exact"))
+        .when(F.col("_near"), F.lit("near_duplicate"))
+    )
+    return out.select(*new_df.columns, reason.alias("reject_reason"))

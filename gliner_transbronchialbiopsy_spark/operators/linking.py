@@ -155,23 +155,16 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def banded_keys(
     signatures: DataFrame,
     text_col: str = "text",
     key_cols: tuple[str, ...] = ("label",),
     bands: int = 4,
     max_bucket_size: int | None = 64,
 ) -> DataFrame:
-    """Banded LSH: split each signature into `bands` slices, equi-join on
-    (key_cols, band_id, band_hash). Returns distinct candidate pairs
-    (key_cols, text_a, text_b) with text_a < text_b.
-
-    max_bucket_size is the hot-band skew guard (north_rule): a band
-    bucket holding b rows yields b^2/2 candidate pairs, so one
-    boilerplate-dominated bucket can dwarf the whole join. Buckets
-    larger than the cap are dropped BEFORE the self-join (rows keep
-    their other, more selective bands — graceful recall degradation on
-    pathological near-uniform corpora, bounded work always)."""
+    """Split each signature into `bands` slices -> one row per
+    (key_cols, text, band_id, band_hash), with over-full buckets
+    dropped (the hot-band skew guard — see lsh_candidate_pairs)."""
     sig_len = F.size("sig")
     rows_per_band = (sig_len / bands).cast("int")
     size_col = (
@@ -211,6 +204,32 @@ def lsh_candidate_pairs(
             .drop("count")
         )
         banded = banded.join(ok, bucket_cols, "left_semi")
+    return banded
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("label",),
+    bands: int = 4,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """Banded LSH: split each signature into `bands` slices, equi-join on
+    (key_cols, band_id, band_hash). Returns distinct candidate pairs
+    (key_cols, text_a, text_b) with text_a < text_b.
+
+    max_bucket_size is the hot-band skew guard (north_rule): a band
+    bucket holding b rows yields b^2/2 candidate pairs, so one
+    boilerplate-dominated bucket can dwarf the whole join. Buckets
+    larger than the cap are dropped BEFORE the self-join (rows keep
+    their other, more selective bands — graceful recall degradation on
+    pathological near-uniform corpora, bounded work always)."""
+    size_col = (
+        ["n_shingles"] if "n_shingles" in signatures.columns else []
+    )
+    banded = banded_keys(
+        signatures, text_col, key_cols, bands, max_bucket_size
+    )
 
     left = banded
     right = banded.select(
@@ -238,6 +257,48 @@ def lsh_candidate_pairs(
             F.col(f"_r_{text_col}").alias("text_b"),
             *size_out,
         )
+        .dropDuplicates([*key_cols, "text_a", "text_b"])
+    )
+
+
+def lsh_candidate_pairs_between(
+    left_sigs: DataFrame,
+    right_sigs: DataFrame,
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("label",),
+    bands: int = 4,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """Asymmetric banded LSH: candidates between TWO signature tables
+    (e.g. a new crawl batch vs the stored historical signature index —
+    the incremental-dedup shape). Returns distinct (key_cols, text_a,
+    text_b) with text_a from left and text_b from right; no ordering
+    constraint between the sides.
+
+    The bucket cap applies to each side independently (a bucket with L
+    left x R right rows yields L*R pairs, so either side alone can
+    blow it up); both sides must come from the SAME signature family
+    and band count or the equi-join is meaningless."""
+    left_b = banded_keys(
+        left_sigs, text_col, key_cols, bands, max_bucket_size
+    ).select(*key_cols, F.col(text_col).alias("text_a"),
+             "band_id", "band_hash")
+    right_b = banded_keys(
+        right_sigs, text_col, key_cols, bands, max_bucket_size
+    ).select(
+        *[F.col(c).alias(f"_r_{c}") for c in key_cols],
+        F.col(text_col).alias("text_b"),
+        F.col("band_id").alias("_r_band_id"),
+        F.col("band_hash").alias("_r_band_hash"),
+    )
+    cond = (F.col("band_id") == F.col("_r_band_id")) & (
+        F.col("band_hash") == F.col("_r_band_hash")
+    )
+    for c in key_cols:
+        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+    return (
+        left_b.join(right_b, cond, "inner")
+        .select(*key_cols, "text_a", "text_b")
         .dropDuplicates([*key_cols, "text_a", "text_b"])
     )
 

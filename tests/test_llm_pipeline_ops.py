@@ -514,3 +514,66 @@ def test_pagerank_validates_args(spark):
         graph.pagerank(edges, iterations=-1)
     with pytest.raises(ValueError):
         graph.pagerank(edges, damping_pct=101)
+
+
+# --- dedup.incremental_dedup ----------------------------------------------
+def test_incremental_dedup_exact_near_and_kept(spark):
+    seen = _docs(spark, [
+        "the quick brown fox jumps over the lazy dog every single day",
+        "completely different historical content about spark engines",
+    ])
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog every single day"),
+            (11, "the quick brown fox jumps over the lazy dog every single NIGHT"),
+            (12, "entirely novel text that matches nothing in the history at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["reject_reason"]
+        for r in dedup.incremental_dedup(
+            new, seen, jaccard_threshold=0.5, portable_hash=True
+        ).collect()
+    }
+    assert out == {10: "exact", 11: "near_duplicate", 12: None}
+
+
+def test_incremental_dedup_exact_charges_before_near(spark):
+    """A new doc byte-identical to history is 'exact' even though it
+    would also be a trivial near-dup; its signature is never computed
+    (survivors exclude it) so it cannot double-charge."""
+    text = "shared byte identical document text goes right here okay"
+    seen = _docs(spark, [text])
+    new = spark.createDataFrame(
+        [(5, text)], "doc_id long, text string"
+    )
+    out = dedup.incremental_dedup(
+        new, seen, jaccard_threshold=0.1, portable_hash=True
+    ).collect()
+    assert out[0]["reject_reason"] == "exact"
+
+
+def test_incremental_dedup_within_batch_dups_not_flagged(spark):
+    """Two identical NEW docs with no history match both pass — the
+    operator's contract is history-only (intra-batch dedup is
+    exact_duplicates/minhash_near_duplicates)."""
+    seen = _docs(spark, ["some unrelated history document content here"])
+    t = "twin new documents that only duplicate each other not history"
+    new = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    out = dedup.incremental_dedup(
+        new, seen, jaccard_threshold=0.5, portable_hash=True
+    ).collect()
+    assert all(r["reject_reason"] is None for r in out)
+
+
+def test_incremental_dedup_near_dup_off(spark):
+    seen = _docs(spark, ["alpha beta gamma delta epsilon zeta eta theta"])
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta IOTA")],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_dedup(new, seen, near_dup=False).collect()
+    assert out[0]["reject_reason"] is None
