@@ -23,6 +23,8 @@ from gliner_transbronchialbiopsy_spark.operators import (
     packing,
     pii,
     pivot,
+    quantiles,
+    ranges,
     similarity,
     skew,
     stats,
@@ -1169,6 +1171,109 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "reject_reason")
 
 
+def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (operators/quantiles.group_quantiles,
+    Spark `percentile` = linear interpolation at rank p*(n-1), the
+    same definition as DuckDB quantile_cont). Production path at
+    monster-group scale is approx_percentile (exact=False) — the
+    oracle pins the exact kernel."""
+    li = _read(spark, sf_dir, "lineitem")
+    q = quantiles.group_quantiles(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        "l_extendedprice",
+        [0.25, 0.5, 0.75, 0.95],
+    )
+    return q.select(
+        "l_returnflag",
+        "l_linestatus",
+        *[F.round(c, 4).alias(c) for c in ("q_25", "q_50", "q_75", "q_95")],
+    )
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (quantile-clipped) per-group aggregation
+    (operators/quantiles.winsorized_stats): the robust mean used in
+    corpus quality scoring. One wide shuffle; the per-group quantile
+    frame broadcasts back."""
+    li = _read(spark, sf_dir, "lineitem")
+    return quantiles.winsorized_stats(
+        li, ["l_returnflag"], "l_extendedprice", lo=0.05, hi=0.95
+    )
+
+
+def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-blocked fuzzy surface match
+    (operators/linking.fuzzy_match_blocked): candidate pairs share a
+    word token (equi-join, block-capped), verified by exact
+    Levenshtein <= 4. Surfaces are the first-3-token pseudo-titles of
+    the documents table."""
+    from gliner_transbronchialbiopsy_spark.operators import linking
+
+    docs = _read(spark, sf_dir, "documents")
+    surfaces = docs.select(
+        F.regexp_extract("text", r"^(\S+ \S+ \S+)", 1).alias("name")
+    )
+    return linking.fuzzy_match_blocked(
+        surfaces, "name", max_dist=4, block_cap=64
+    )
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count via degree orientation
+    (operators/graph.triangle_count) over the part co-purchase graph:
+    parts appearing in the same order are adjacent. Counts are exact
+    longs — parallelism-invariant. The contract query slices to every
+    third order (l_orderkey % 3 == 0): the synthetic co-purchase graph
+    is uniformly dense (avg degree ~120 at sf0.1 -> ~36M wedges), and
+    the slice keeps the audit bounded while exercising the full
+    degree-oriented plan; the operator itself takes any edge list."""
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return graph.triangle_count(edges)
+
+
+def q_range_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized time-range join (operators/ranges.time_window_pairs):
+    for every purchase event, count error events within +-10 minutes
+    (any user), then histogram purchases by that count. Spark would
+    plan the raw inequality join as a BroadcastNestedLoop; the
+    3-bucket explode turns it into an equi-join. The DuckDB oracle
+    states the same predicate directly (IEJoin-able there)."""
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error")
+    pairs = ranges.time_window_pairs(
+        purchases,
+        errors.withColumnRenamed("event_id", "err_id"),
+        "event_id",
+        "err_id",
+        window_sec=600,
+    )
+    per_purchase = pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_err")
+    )
+    with_zeros = purchases.select("event_id").join(
+        per_purchase, "event_id", "left"
+    ).select(F.coalesce("n_err", F.lit(0)).alias("n_nearby_errors"))
+    return with_zeros.groupBy("n_nearby_errors").agg(
+        F.count("*").alias("n_purchases")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
@@ -1238,6 +1343,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "graph_pagerank": q_graph_pagerank,
         "dedup_incremental": q_dedup_incremental,
+        "quantiles_exact": q_quantiles_exact,
+        "winsorized_stats": q_winsorized_stats,
+        "fuzzy_match_blocked": q_fuzzy_match_blocked,
+        "graph_triangles": q_graph_triangles,
+        "range_window_join": q_range_window_join,
     }
 
 
@@ -2629,5 +2739,123 @@ def oracle_sql() -> dict[str, str]:
                            AND a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 12
+        """,
+        "quantiles_exact": """
+            SELECT l_returnflag, l_linestatus,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS q_25,
+                   round(quantile_cont(l_extendedprice, 0.50), 4) AS q_50,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS q_75,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS q_95
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "winsorized_stats": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.05) AS lo,
+                     quantile_cont(l_extendedprice, 0.95) AS hi
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_returnflag,
+                   count(*) AS n,
+                   round(avg(least(greatest(l.l_extendedprice, q.lo), q.hi)), 4)
+                     AS winsor_mean,
+                   round(sum(least(greatest(l.l_extendedprice, q.lo), q.hi)), 2)
+                     AS winsor_sum,
+                   round(min(q.lo), 4) AS q_lo,
+                   round(min(q.hi), 4) AS q_hi
+            FROM lineitem l JOIN q USING (l_returnflag)
+            GROUP BY l.l_returnflag
+        """,
+        "fuzzy_match_blocked": r"""
+            WITH names AS (
+              SELECT DISTINCT
+                     lower(regexp_extract(text, '^(\S+ \S+ \S+)', 1)) AS nm
+              FROM documents
+              WHERE regexp_extract(text, '^(\S+ \S+ \S+)', 1) <> ''
+            ),
+            toks AS (
+              SELECT DISTINCT nm, tok
+              FROM names, unnest(string_split_regex(nm, '\s+')) AS t(tok)
+              WHERE len(tok) > 0
+            ),
+            ranked AS (
+              SELECT nm, tok,
+                     row_number() OVER (PARTITION BY tok ORDER BY nm) AS rk
+              FROM toks
+            ),
+            kept AS (SELECT * FROM ranked WHERE rk <= 64),
+            cand AS (
+              SELECT DISTINCT a.nm AS name_a, b.nm AS name_b
+              FROM kept a JOIN kept b USING (tok)
+              WHERE a.nm < b.nm
+            ),
+            verified AS (
+              SELECT name_a, name_b,
+                     levenshtein(name_a, name_b) AS dist
+              FROM cand
+            )
+            SELECT name_a, name_b, dist FROM verified WHERE dist <= 4
+        """,
+        "graph_triangles": """
+            WITH und AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM lineitem a
+              JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+              WHERE a.l_orderkey % 3 = 0
+            ),
+            deg AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM und
+                UNION ALL SELECT v AS node FROM und
+              ) GROUP BY node
+            ),
+            oriented AS (
+              SELECT CASE WHEN (d1.deg < d2.deg)
+                            OR (d1.deg = d2.deg AND und.u < und.v)
+                          THEN und.u ELSE und.v END AS tail,
+                     CASE WHEN (d1.deg < d2.deg)
+                            OR (d1.deg = d2.deg AND und.u < und.v)
+                          THEN und.v ELSE und.u END AS head,
+                     CASE WHEN (d1.deg < d2.deg)
+                            OR (d1.deg = d2.deg AND und.u < und.v)
+                          THEN d2.deg ELSE d1.deg END AS head_deg
+              FROM und
+              JOIN deg d1 ON d1.node = und.u
+              JOIN deg d2 ON d2.node = und.v
+            ),
+            wedges AS (
+              SELECT e1.head AS b, e2.head AS c
+              FROM oriented e1 JOIN oriented e2 ON e1.tail = e2.tail
+              WHERE (e1.head_deg < e2.head_deg)
+                 OR (e1.head_deg = e2.head_deg AND e1.head < e2.head)
+            ),
+            closed AS (
+              SELECT * FROM wedges w
+              WHERE EXISTS (SELECT 1 FROM oriented o
+                            WHERE o.tail = w.b AND o.head = w.c)
+            )
+            SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                   (SELECT count(*) FROM und) AS n_edges,
+                   (SELECT count(*) FROM wedges) AS n_wedges,
+                   (SELECT count(*) FROM closed) AS n_triangles
+        """,
+        "range_window_join": """
+            WITH p AS (
+              SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+              FROM events WHERE event_type = 'purchase'
+            ),
+            e AS (
+              SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t
+              FROM events WHERE event_type = 'error'
+            ),
+            cnt AS (
+              SELECT p.event_id, count(e.t) AS n
+              FROM p LEFT JOIN e ON abs(e.t - p.t) <= 600
+              GROUP BY p.event_id
+            )
+            SELECT n AS n_nearby_errors, count(*) AS n_purchases
+            FROM cnt GROUP BY n
         """,
     }

@@ -128,3 +128,81 @@ def pagerank_edges_from(
             df.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
         )
     return e.groupBy("src", "dst").agg(F.count("*").alias("w"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle counting via degree orientation (the standard
+    distributed formulation: Suri & Vassilvitskii WWW'11 "Counting
+    triangles and the curse of the last reducer").
+
+    Each undirected edge is oriented from its lower endpoint to its
+    higher endpoint under the total order (degree, node id); wedges
+    are enumerated only at each edge's LOWER endpoint, whose oriented
+    out-degree is bounded by O(sqrt(m)) on any graph — that bound is
+    exactly what kills the hot-vertex blowup a naive (join on common
+    neighbor) plan hits on skewed degree distributions: the boilerplate
+    mega-entity that every doc links to (the KG's hot key) gets rank
+    LAST and therefore enumerates no wedges at all.
+
+    Plan shape: one distinct on canonical pairs, one degree agg, two
+    broadcast-eligible joins to attach degrees, one self-join on the
+    wedge tail, one closure semi-join on the oriented pair. Every join
+    key is a node id or node-pair — hash-partitioned, no cartesian.
+    Returns a single row (n_nodes, n_edges, n_wedges, n_triangles);
+    all counts are exact longs, so the result is partitioning- and
+    parallelism-invariant and restatable verbatim in the DuckDB oracle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient from lower to higher under (deg, id); attach head degree
+    # so the wedge-order comparison needs no further join
+    with_deg = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("tail"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("head"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("head_deg"),
+    )
+    e1 = oriented.select(
+        F.col("tail"), F.col("head").alias("b"), F.col("head_deg").alias("db")
+    )
+    e2 = oriented.select(
+        F.col("tail"), F.col("head").alias("c"), F.col("head_deg").alias("dc")
+    )
+    wedges = e1.join(e2, "tail").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("tail").alias("b"), F.col("head").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    )
+    # one lazy plan, no driver-side actions: four single-row aggregates
+    # cross-joined (each side is exactly one row, so the "cross" is a
+    # trivial broadcast product, not a real cartesian)
+    return (
+        deg.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(und.agg(F.count("*").alias("n_edges")))
+        .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
+        .crossJoin(closed.agg(F.count("*").alias("n_triangles")))
+    )

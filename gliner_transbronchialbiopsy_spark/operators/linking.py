@@ -482,3 +482,59 @@ def link_surfaces(
     return verified_edges(
         pairs, key_cols, shingle_n=shingle_n, jaccard_threshold=jaccard_threshold
     )
+
+
+def fuzzy_match_blocked(
+    surfaces: DataFrame,
+    name_col: str = "name",
+    max_dist: int = 4,
+    block_cap: int = 64,
+) -> DataFrame:
+    """Token-blocked fuzzy self-match: candidate surface pairs sharing
+    at least one word token, verified by exact Levenshtein distance
+    <= max_dist. The edit-distance analogue of verified_edges — same
+    block -> verify shape, a different verifier (the reference's exact
+    string grouping, entity_processor.py:68-71, catches only dist==0;
+    this generalizes to typo-class variants GLiNER emits for the same
+    entity).
+
+    Candidate generation is an equi-join on the token (never a
+    cartesian): explode distinct lowered surfaces into word tokens,
+    self-join per token, keep each pair once (name_a < name_b), verify
+    with F.levenshtein (JVM codegen, matched exactly by DuckDB's
+    levenshtein). Stop-token blowup is bounded by block_cap: within a
+    token block rows are ranked by surface order and pairs are only
+    enumerated among the first block_cap rows — the same documented
+    lower-bound-under-cap semantics as ngram_jaccard_pairs, restated
+    identically in the oracle (deterministic: rank ties impossible on
+    distinct surfaces). A token shared by half the corpus (the hot-key
+    case) therefore contributes O(block_cap^2) candidates, not O(n^2).
+
+    Returns one row per verified pair: (name_a, name_b, dist).
+    """
+    names = (
+        surfaces.select(F.lower(F.col(name_col)).alias("nm"))
+        .filter(F.col("nm").isNotNull() & (F.length("nm") > 0))
+        .distinct()
+    )
+    toks = names.select(
+        "nm", F.explode(F.split("nm", r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0).distinct()
+    from pyspark.sql import Window as W
+
+    ranked = toks.withColumn(
+        "rk", F.row_number().over(W.partitionBy("tok").orderBy("nm"))
+    ).filter(F.col("rk") <= block_cap)
+    a = ranked.select(F.col("tok"), F.col("nm").alias("name_a"))
+    b = ranked.select(F.col("tok"), F.col("nm").alias("name_b"))
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

@@ -1,0 +1,164 @@
+"""Tests for the relational/graph extensions added late in round 4:
+exact group quantiles + winsorized stats, token-blocked fuzzy match,
+degree-oriented triangle counting, and the bucketized time-range join.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from gliner_transbronchialbiopsy_spark.operators import (
+    graph,
+    linking,
+    quantiles,
+    ranges,
+)
+
+
+# --- quantiles -------------------------------------------------------------
+def test_group_quantiles_exact_interpolation(spark):
+    """4 sorted values [1,2,3,10]: p50 at rank 0.5*3=1.5 -> 2.5; p25 at
+    rank 0.75 -> 1.75 (linear interpolation, the quantile_cont rule)."""
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3, 10)], "k string, v double"
+    )
+    row = quantiles.group_quantiles(df, ["k"], "v", [0.25, 0.5]).collect()[0]
+    assert row["q_25"] == pytest.approx(1.75)
+    assert row["q_50"] == pytest.approx(2.5)
+
+
+def test_group_quantiles_approx_path_runs(spark):
+    """exact=False swaps in the mergeable sketch; at tiny n with high
+    accuracy it lands on an actual data value near the median."""
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(101)], "k string, v double"
+    )
+    row = quantiles.group_quantiles(
+        df, ["k"], "v", [0.5], exact=False
+    ).collect()[0]
+    assert 49.0 <= row["q_50"] <= 51.0
+
+
+def test_winsorized_stats_clips_outlier(spark):
+    """9 ones + one 1000: p05=1, p95 interpolates at rank 8.55 between
+    1 and 1000 -> 550.45; the outlier clips to that, mean drops."""
+    df = spark.createDataFrame(
+        [("g", 1.0)] * 9 + [("g", 1000.0)], "k string, v double"
+    )
+    row = quantiles.winsorized_stats(df, ["k"], "v", 0.05, 0.95).collect()[0]
+    assert row["n"] == 10
+    assert row["q_lo"] == pytest.approx(1.0)
+    assert row["q_hi"] == pytest.approx(550.45)
+    assert row["winsor_mean"] == pytest.approx((9 * 1.0 + 550.45) / 10, abs=1e-3)
+
+
+# --- fuzzy match -----------------------------------------------------------
+def test_fuzzy_match_blocked_finds_typo_pair(spark):
+    """'grade a2 biopsy' vs 'grade a3 biopsy' share tokens, dist 1;
+    'unrelated text here' shares no token -> never a candidate even
+    though its distance to anything is finite."""
+    df = spark.createDataFrame(
+        [("grade a2 biopsy",), ("grade a3 biopsy",), ("unrelated text here",)],
+        "name string",
+    )
+    rows = linking.fuzzy_match_blocked(df, "name", max_dist=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["name_a"], r["name_b"], r["dist"]) == (
+        "grade a2 biopsy",
+        "grade a3 biopsy",
+        1,
+    )
+
+
+def test_fuzzy_match_block_cap_bounds_hot_token(spark):
+    """50 surfaces all sharing one hot token with block_cap=4: pairs
+    only among the 4 first-ranked surfaces -> at most C(4,2)=6
+    candidates (lower-bound-under-cap semantics, like ngram_jaccard)."""
+    df = spark.createDataFrame(
+        [(f"hot name{i:02d}",) for i in range(50)], "name string"
+    )
+    rows = linking.fuzzy_match_blocked(
+        df, "name", max_dist=20, block_cap=4
+    ).collect()
+    # 'hot' block capped at 4; 'nameXX' tokens are distinct singletons
+    assert 0 < len(rows) <= 6
+
+
+def test_fuzzy_match_dedups_multi_token_pairs(spark):
+    """A pair sharing TWO tokens appears once, not twice."""
+    df = spark.createDataFrame(
+        [("alpha beta one",), ("alpha beta two",)], "name string"
+    )
+    rows = linking.fuzzy_match_blocked(df, "name", max_dist=10).collect()
+    assert len(rows) == 1
+
+
+# --- triangles -------------------------------------------------------------
+def test_triangle_count_k4(spark):
+    """K4 has 4 nodes, 6 edges, 4 triangles; every edge oriented, each
+    wedge enumerated exactly once at its lowest-ranked endpoint."""
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    row = graph.triangle_count(edges).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+
+
+def test_triangle_count_dedups_and_ignores_direction(spark):
+    """Duplicate edges, reversed edges and self-loops collapse: the
+    triangle {1,2,3} counts once."""
+    raw = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 1), (2, 2)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    row = graph.triangle_count(edges).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (3, 3, 1)
+
+
+def test_triangle_count_star_has_none(spark):
+    """A star (hub + 5 leaves) has wedges but zero triangles, and the
+    hub (highest degree) is ranked last so it enumerates no wedges —
+    the curse-of-the-last-reducer guard."""
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    row = graph.triangle_count(edges).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 0  # leaves have out-degree 1, hub 0
+
+
+# --- time-range join -------------------------------------------------------
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=s))
+            for i, s in rows
+        ],
+        "event_id long, ts timestamp",
+    )
+
+
+def test_time_window_pairs_within_and_outside(spark):
+    """window=60s: right events at +30s and -59s match, +61s does not;
+    dt_sec is signed."""
+    left = _ev(spark, [(1, 1000)])
+    right = _ev(spark, [(10, 1030), (11, 941), (12, 1061), (13, 2000)])
+    rows = ranges.time_window_pairs(
+        left, right.withColumnRenamed("event_id", "rid"), "event_id", "rid",
+        window_sec=60,
+    ).collect()
+    got = {(r["rid"], r["dt_sec"]) for r in rows}
+    assert got == {(10, 30), (11, -59)}
+
+
+def test_time_window_pairs_no_duplicate_across_buckets(spark):
+    """A right event exactly on a bucket boundary joins via exactly one
+    of the left row's 3 candidate buckets — no duplicate pairs."""
+    left = _ev(spark, [(1, 100)])
+    right = _ev(spark, [(10, 120)])  # bucket boundary at window=60
+    rows = ranges.time_window_pairs(
+        left, right.withColumnRenamed("event_id", "rid"), "event_id", "rid",
+        window_sec=60,
+    ).collect()
+    assert len(rows) == 1
