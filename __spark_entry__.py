@@ -1171,6 +1171,28 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "reject_reason")
 
 
+def q_kg_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite ontology audit over the emitted triples
+    (operators/kgvalidate.constraint_violations): 'engine' is declared
+    functional (one distinct engine per document), 'exec_op' objects
+    must match a closed sub-catalog, 'data_noun' carries a rule row
+    with no constraints (and so never violates). Rules broadcast; the
+    only wide shuffle is the (subj, pred) cardinality agg; output is
+    violation-sized, not triple-sized."""
+    from gliner_transbronchialbiopsy_spark.operators import kgvalidate
+
+    triples = q_kg_triples(spark, sf_dir)
+    rules = spark.createDataFrame(
+        [
+            ("engine", True, None),
+            ("exec_op", False, "join|filter|sort"),
+            ("data_noun", False, None),
+        ],
+        "pred string, functional boolean, obj_pattern string",
+    )
+    return kgvalidate.constraint_violations(triples, rules)
+
+
 def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles (operators/quantiles.group_quantiles,
     Spark `percentile` = linear interpolation at rank p*(n-1), the
@@ -1343,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "graph_pagerank": q_graph_pagerank,
         "dedup_incremental": q_dedup_incremental,
+        "kg_constraint_violations": q_kg_constraint_violations,
         "quantiles_exact": q_quantiles_exact,
         "winsorized_stats": q_winsorized_stats,
         "fuzzy_match_blocked": q_fuzzy_match_blocked,
@@ -2739,6 +2762,41 @@ def oracle_sql() -> dict[str, str]:
                            AND a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 12
+        """,
+        "kg_constraint_violations": f"""
+            WITH t AS (
+              SELECT d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {kw_values}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            rules(pred, functional, obj_pattern) AS (VALUES
+              ('engine', TRUE, CAST(NULL AS VARCHAR)),
+              ('exec_op', FALSE, 'join|filter|sort'),
+              ('data_noun', FALSE, CAST(NULL AS VARCHAR))
+            ),
+            j AS (
+              SELECT t.subj, t.pred, t.obj, r.functional, r.obj_pattern
+              FROM t JOIN rules r USING (pred)
+            ),
+            shape AS (
+              SELECT subj, pred, 'obj_shape' AS violation,
+                     count(*) AS n_bad
+              FROM j
+              WHERE obj_pattern IS NOT NULL
+                AND NOT regexp_full_match(obj, '(?:' || obj_pattern || ')')
+              GROUP BY subj, pred
+            ),
+            card AS (
+              SELECT subj, pred, 'functional_cardinality' AS violation,
+                     count(DISTINCT obj) AS n_bad
+              FROM j WHERE functional
+              GROUP BY subj, pred
+              HAVING count(DISTINCT obj) > 1
+            )
+            SELECT * FROM shape UNION ALL SELECT * FROM card
         """,
         "quantiles_exact": """
             SELECT l_returnflag, l_linestatus,

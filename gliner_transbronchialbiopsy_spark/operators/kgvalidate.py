@@ -1,0 +1,81 @@
+"""SHACL-lite constraint validation over materialized KG triples.
+
+The reference enforces its closed label catalog and grade shapes at
+extraction time (config.py's 14-label whitelist; the A0-A4/B0-B2 grade
+regexes in utils/text_normalizer.py) — i.e. constraints live INSIDE
+the extractor. At KG scale constraints must also run as a standalone
+audit over the emitted (subj, pred, obj) table: triples arrive from
+many pipeline versions/backfills, and "which rows violate the ontology
+NOW" is a query, not an extractor property.
+
+Two rule families (the functional core of SHACL node/property shapes):
+
+- **object shape**: for a predicate with a declared ``obj_pattern``,
+  every object must fully match it (anchored rlike).
+- **functional cardinality**: a predicate declared ``functional`` may
+  bind at most one DISTINCT object per subject (the classic
+  owl:FunctionalProperty audit — e.g. one rejection grade per biopsy
+  report).
+
+Plan shape: the rules table is tiny (one row per predicate) and
+broadcast onto the triple scan; shape checking is a pure projection
+after that map-side join. The cardinality audit is one
+groupBy(subj, pred) with a distinct-count — a single wide shuffle on
+the (subj, pred) key, map-side partials first. Output is one row per
+(subj, pred, violation) with a count, never one row per good triple,
+so the result stays audit-sized at 10^12 triples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def constraint_violations(
+    triples: DataFrame,
+    rules: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Audit ``triples`` against ``rules(pred, functional, obj_pattern)``.
+
+    Returns (subj, pred, violation, n_bad):
+    - violation='obj_shape': n_bad = number of triple rows whose obj
+      fails the anchored pattern (pattern rules only).
+    - violation='functional_cardinality': n_bad = number of DISTINCT
+      objects bound (>1), for functional predicates only.
+    Predicates with no rule row pass silently (open-world default).
+    """
+    r = F.broadcast(
+        rules.select(
+            F.col("pred"),
+            F.col("functional").cast("boolean").alias("functional"),
+            F.col("obj_pattern"),
+        )
+    )
+    t = triples.select(
+        F.col(subj).alias("subj"), F.col(pred).alias("pred"), F.col(obj).alias("obj")
+    ).join(r, "pred")  # inner: unruled predicates drop out immediately
+
+    anchored = F.concat(F.lit("^(?:"), F.col("obj_pattern"), F.lit(")$"))
+    shape = (
+        t.filter(
+            F.col("obj_pattern").isNotNull()
+            & ~F.regexp_like(F.col("obj"), anchored)
+        )
+        .groupBy("subj", "pred")
+        .agg(F.count("*").alias("n_bad"))
+        .select("subj", "pred", F.lit("obj_shape").alias("violation"), "n_bad")
+    )
+    card = (
+        t.filter(F.col("functional"))
+        .groupBy("subj", "pred")
+        .agg(F.countDistinct("obj").alias("n_bad"))
+        .filter(F.col("n_bad") > 1)
+        .select(
+            "subj", "pred", F.lit("functional_cardinality").alias("violation"), "n_bad"
+        )
+    )
+    return shape.unionAll(card)

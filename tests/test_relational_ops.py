@@ -162,3 +162,54 @@ def test_time_window_pairs_no_duplicate_across_buckets(spark):
         window_sec=60,
     ).collect()
     assert len(rows) == 1
+
+
+# --- KG constraint validation ----------------------------------------------
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def _rules(spark, rows):
+    return spark.createDataFrame(
+        rows, "pred string, functional boolean, obj_pattern string"
+    )
+
+
+def test_kg_constraints_functional_cardinality(spark):
+    from gliner_transbronchialbiopsy_spark.operators import kgvalidate
+
+    t = _triples(
+        spark,
+        [("d1", "grade", "A2"), ("d1", "grade", "A3"), ("d2", "grade", "A2"),
+         ("d1", "grade", "A2")],  # duplicate binding is NOT a 2nd object
+    )
+    r = _rules(spark, [("grade", True, None)])
+    rows = kgvalidate.constraint_violations(t, r).collect()
+    assert len(rows) == 1
+    v = rows[0]
+    assert (v["subj"], v["violation"], v["n_bad"]) == (
+        "d1", "functional_cardinality", 2,
+    )
+
+
+def test_kg_constraints_obj_shape_anchored(spark):
+    """Pattern 'A[0-4]' must FULL-match: 'A2' passes, 'A22' and 'B1'
+    violate (anchoring — a bare substring match would pass 'A22')."""
+    from gliner_transbronchialbiopsy_spark.operators import kgvalidate
+
+    t = _triples(
+        spark,
+        [("d1", "grade", "A2"), ("d1", "grade", "A22"), ("d2", "grade", "B1")],
+    )
+    r = _rules(spark, [("grade", False, "A[0-4]")])
+    rows = kgvalidate.constraint_violations(t, r).collect()
+    got = {(v["subj"], v["violation"], v["n_bad"]) for v in rows}
+    assert got == {("d1", "obj_shape", 1), ("d2", "obj_shape", 1)}
+
+
+def test_kg_constraints_unruled_pred_open_world(spark):
+    from gliner_transbronchialbiopsy_spark.operators import kgvalidate
+
+    t = _triples(spark, [("d1", "site", "x"), ("d1", "site", "y")])
+    r = _rules(spark, [("grade", True, None)])
+    assert kgvalidate.constraint_violations(t, r).count() == 0

@@ -81,6 +81,32 @@ AUDIT = {
     # the visible plan reads the checkpointed rank RDD — iterations
     # never stack into one mega-plan; zero Python
     "graph_pagerank": ("Scan ExistingRDD", "!InPandas"),
+    # exact group quantiles: single partial+final agg pair (percentile
+    # is an ObjectHashAggregate buffer), zero Python, no window
+    "quantiles_exact": ("Aggregate", "!InPandas", "!Window"),
+    # winsorized stats: the one-row-per-group quantile frame broadcasts
+    # back onto the fact table — the second pass is NOT a wide shuffle
+    "winsorized_stats": ("BroadcastHashJoin", "!InPandas"),
+    # token-blocked fuzzy match: candidate generation is an equi-join
+    # on the token (never a nested loop); levenshtein verify is JVM
+    "fuzzy_match_blocked": (
+        "levenshtein",
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+    ),
+    # bucketized range join: the window predicate becomes an equi-join
+    # on the bucket id — the BroadcastNestedLoop Spark would pick for
+    # the raw inequality predicate must NOT appear
+    "range_window_join": ("!BroadcastNestedLoopJoin", "!InPandas"),
+    # degree-oriented triangles: wedge + closure joins are hash joins
+    # on node/pair keys; the only nested-loop is the final 4-way
+    # single-row count product (cost 1x1x1x1, intended)
+    "graph_triangles": ("HashAggregate", "!InPandas"),
+    # SHACL-lite KG audit: the rules table broadcasts onto the triple
+    # stream (detection itself sits behind the usual checkpoint
+    # barrier, so no Python appears downstream); cardinality agg is
+    # the only wide shuffle
+    "kg_constraint_violations": ("BroadcastHashJoin", "!InPandas"),
 }
 
 
