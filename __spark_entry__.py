@@ -1193,6 +1193,105 @@ def q_kg_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kgvalidate.constraint_violations(triples, rules)
 
 
+def q_kg_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic-graph-pattern match (operators/bgp.bgp_match)
+    over the emitted triples: docs that mention the exec_op 'join'
+    (ground pattern — a pushed-down pred+obj filter), joined to their
+    engine and data_noun bindings on the shared ?doc variable. The
+    greedy compiler orders the ground pattern first; every pattern scan
+    is deduplicated (SPARQL set semantics), so the binding counts are
+    multiplicity-free. Summarized per (eng, noun) pair so the contract
+    row count stays catalog-sized at any sf."""
+    from gliner_transbronchialbiopsy_spark.operators import bgp
+
+    triples = q_kg_triples(spark, sf_dir)
+    bindings = bgp.bgp_match(
+        triples,
+        [
+            ("?doc", "engine", "?eng"),
+            ("?doc", "exec_op", "join"),
+            ("?doc", "data_noun", "?noun"),
+        ],
+    )
+    return bindings.groupBy("eng", "noun").agg(
+        F.count("*").alias("n_bindings"),
+        F.countDistinct("doc").alias("n_docs"),
+    )
+
+
+def q_kg_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded property-path / k-hop expansion (operators/graph.reachable):
+    multi-source BFS from every nation-0 customer over the symmetric
+    customer-supplier trade graph, max 3 hops, exact min hop distance
+    per reached node. Frontier-only joins per round (visited nodes
+    never rejoin the edge table); results are set-semantic integers,
+    bit-identical at any parallelism, restated in DuckDB as a
+    recursive CTE with a min(dist) roll-up. Summarized as nodes per
+    (dist, side) so the contract row count is O(hops)."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rel = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = rel.unionAll(rel.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sources = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("node"))
+    )
+    reached = graph.reachable(edges, sources, max_hops=3)
+    return reached.groupBy(
+        "dist", F.substring("node", 1, 1).alias("side")
+    ).agg(F.count("*").alias("n_nodes"))
+
+
+def q_kg_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS-lite entailment (operators/graph.infer_types): asserted
+    instance types are the distinct (surface, label) pairs from the
+    emitted triples; the subClassOf ontology (exec_op ⊑ operation ⊑
+    kg_term, data_noun ⊑ artifact ⊑ kg_term, engine ⊑ system ⊑
+    kg_term) is closed by path-doubling and broadcast onto the
+    instance scan — instances shuffle zero times. Output is every
+    (inst, cls) membership with an asserted flag; inferred rows are
+    the rdfs9 entailments. DuckDB restates the closure as a recursive
+    CTE."""
+    triples = q_kg_triples(spark, sf_dir)
+    instance_types = triples.select(
+        F.col("obj").alias("inst"), F.col("pred").alias("cls")
+    )
+    sc = spark.createDataFrame(
+        _SUBCLASS_EDGES, "sub string, sup string"
+    )
+    return graph.infer_types(instance_types, sc)
+
+
+def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic N-Triples serialization (sources/export.to_ntriples):
+    the RDF interchange sink for the emitted KG — subjects/predicates
+    minted under urn:kg:, objects as literals with the full N-Triples
+    escape chain (backslash, quote, LF, CR, tab — in that order). Pure
+    JVM string projection over the deduplicated triple set; the oracle
+    rebuilds the identical lines with DuckDB's replace() chain."""
+    from gliner_transbronchialbiopsy_spark.sources import export
+
+    triples = q_kg_triples(spark, sf_dir).distinct()
+    return export.to_ntriples(triples)
+
+
+#: tiny demo ontology over the keyword-catalog labels, shared by the
+#: Spark query and the DuckDB oracle (rendered into SQL VALUES below)
+_SUBCLASS_EDGES = [
+    ("exec_op", "operation"),
+    ("operation", "kg_term"),
+    ("data_noun", "artifact"),
+    ("artifact", "kg_term"),
+    ("engine", "system"),
+    ("system", "kg_term"),
+]
+_SUBCLASS_VALUES_SQL = ", ".join(f"('{a}', '{b}')" for a, b in _SUBCLASS_EDGES)
+
+
 def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles (operators/quantiles.group_quantiles,
     Spark `percentile` = linear interpolation at rank p*(n-1), the
@@ -1366,6 +1465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "dedup_incremental": q_dedup_incremental,
         "kg_constraint_violations": q_kg_constraint_violations,
+        "kg_bgp_match": q_kg_bgp_match,
+        "kg_reachability": q_kg_reachability,
+        "kg_type_inference": q_kg_type_inference,
+        "kg_ntriples": q_kg_ntriples,
         "quantiles_exact": q_quantiles_exact,
         "winsorized_stats": q_winsorized_stats,
         "fuzzy_match_blocked": q_fuzzy_match_blocked,
@@ -2798,6 +2901,88 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM shape UNION ALL SELECT * FROM card
         """,
+        "kg_bgp_match": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            p1 AS (SELECT DISTINCT subj AS doc, obj AS eng FROM t WHERE pred = 'engine'),
+            p2 AS (SELECT DISTINCT subj AS doc FROM t
+                   WHERE pred = 'exec_op' AND obj = 'join'),
+            p3 AS (SELECT DISTINCT subj AS doc, obj AS noun FROM t WHERE pred = 'data_noun')
+            SELECT eng, noun,
+                   count(*) AS n_bindings,
+                   count(DISTINCT doc) AS n_docs
+            FROM p1 JOIN p2 USING (doc) JOIN p3 USING (doc)
+            GROUP BY eng, noun
+        """.format(kw_values=kw_values),
+        "kg_reachability": """
+            WITH RECURSIVE base AS MATERIALIZED (
+              SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
+                     's:' || CAST(l.l_suppkey AS VARCHAR) AS dst
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            e AS MATERIALIZED (
+              SELECT src, dst FROM base
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM base
+            ),
+            r AS (
+              SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS node, 0 AS dist
+              FROM customer WHERE c_nationkey = 0
+              UNION
+              SELECT e.dst AS node, r.dist + 1 AS dist
+              FROM r JOIN e ON r.node = e.src
+              WHERE r.dist < 3
+            ),
+            m AS (SELECT node, min(dist) AS dist FROM r GROUP BY node)
+            SELECT dist, substring(node, 1, 1) AS side, count(*) AS n_nodes
+            FROM m GROUP BY dist, side
+        """,
+        "kg_type_inference": f"""
+            WITH RECURSIVE it AS MATERIALIZED (
+              SELECT DISTINCT u.obj AS inst, l.label AS cls
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            sc(sub, sup) AS (VALUES {{subclass_values}}),
+            cl AS (
+              SELECT sub, sup FROM sc
+              UNION
+              SELECT cl.sub, sc.sup FROM cl JOIN sc ON cl.sup = sc.sub
+            )
+            SELECT inst, cls, TRUE AS asserted FROM it
+            UNION ALL
+            SELECT DISTINCT it.inst, cl.sup AS cls, FALSE AS asserted
+            FROM it JOIN cl ON it.cls = cl.sub
+            WHERE NOT EXISTS (
+              SELECT 1 FROM it it2
+              WHERE it2.inst = it.inst AND it2.cls = cl.sup
+            )
+        """.format(kw_values=kw_values, subclass_values=_SUBCLASS_VALUES_SQL),
+        "kg_ntriples": f"""
+            WITH t AS (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            )
+            SELECT '<urn:kg:' || subj || '> <urn:kg:' || pred || '> "' ||
+                   replace(replace(replace(replace(replace(obj,
+                     '\\', '\\\\'), '"', '\\"'),
+                     chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')
+                   || '" .' AS ntriple
+            FROM t
+        """.format(kw_values=kw_values),
         "quantiles_exact": """
             SELECT l_returnflag, l_linestatus,
                    round(quantile_cont(l_extendedprice, 0.25), 4) AS q_25,

@@ -1,0 +1,123 @@
+"""Basic-graph-pattern (BGP) matching over materialized KG triples —
+the SPARQL conjunctive-query core, compiled to Catalyst self-joins.
+
+The reference answers "which documents carry grade X AND site Y"
+inside pandas after pivoting (src/streamlit/app/app.py results tab);
+at KG scale the same question is a conjunctive pattern over the
+(subj, pred, obj) table and must run as joins, not a pivot — a pivot
+materializes every column for every subject, a BGP touches only the
+predicates named in the query.
+
+A pattern is a (s, p, o) triple of terms; a term starting with '?' is
+a variable, anything else a constant. ``bgp_match`` compiles the
+pattern list to:
+
+1. one filtered scan per pattern — constants become pushed-down
+   predicates on the triple scan (pred = 'engine' reaches the parquet
+   reader as a PushedFilter, and partition-prunes a pred-partitioned
+   triples snapshot), variables become column renames;
+2. a greedy join order — patterns with the most constants (most
+   selective scans) first, then always a pattern sharing a variable
+   with what's bound so far (no cartesian unless the query itself is
+   disconnected, which raises by default);
+3. equi-joins on the shared variables, each a hash join on the
+   variable columns. Matching SPARQL set semantics, each pattern scan
+   is deduplicated, so duplicate triple rows (same assertion emitted
+   by two pipeline versions) don't multiply the bindings.
+
+At 10^12 triples the win is exactly the classic BGP plan: every scan
+is pred-pruned before any join, and AQE picks broadcast sides for the
+selective patterns. No Python runs per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POS = ("subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _scan(triples: DataFrame, pattern: tuple) -> tuple[DataFrame, set]:
+    """One pattern -> (deduped scan with variable columns, var set)."""
+    cond = []
+    proj = []
+    vars_: dict[str, str] = {}
+    for pos, term in zip(_POS, pattern):
+        if _is_var(term):
+            name = term[1:]
+            if not name:
+                raise ValueError(f"empty variable name in pattern {pattern!r}")
+            if name in vars_:
+                # repeated variable inside one pattern = equality
+                cond.append(F.col(pos) == F.col(vars_[name]))
+            else:
+                vars_[name] = pos
+                proj.append(F.col(pos).alias(name))
+        else:
+            cond.append(F.col(pos) == F.lit(term))
+    df = triples
+    for c in cond:
+        df = df.filter(c)
+    if not proj:
+        # ASK-style fully-ground pattern: expose a constant marker
+        return df.select(F.lit(1).alias("_ask")).distinct(), set()
+    return df.select(*proj).distinct(), set(vars_)
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: list[tuple],
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """Match a conjunctive pattern list against ``triples``.
+
+    Returns one row per binding of the pattern variables, one column
+    per variable (set semantics — duplicate triples don't multiply).
+    Raises on a disconnected pattern unless ``allow_cartesian``.
+    """
+    if not patterns:
+        raise ValueError("empty pattern list")
+    t = triples.select(
+        F.col(subj).alias("subj"), F.col(pred).alias("pred"), F.col(obj).alias("obj")
+    )
+    scans = [_scan(t, p) for p in patterns]
+
+    # greedy order: most-constant pattern first, then connected-first
+    order = sorted(
+        range(len(scans)),
+        key=lambda i: (-sum(not _is_var(x) for x in patterns[i]), i),
+    )
+    pending = list(order)
+    first = pending.pop(0)
+    acc, bound = scans[first]
+    while pending:
+        nxt = next(
+            (i for i in pending if scans[i][1] & bound or not scans[i][1]),
+            None,
+        )
+        if nxt is None:
+            if not allow_cartesian:
+                raise ValueError(
+                    "disconnected BGP (no shared variable); pass "
+                    "allow_cartesian=True to cross-join the components"
+                )
+            nxt = pending[0]
+        pending.remove(nxt)
+        df, vs = scans[nxt]
+        shared = sorted(vs & bound)
+        if shared:
+            acc = acc.join(df, on=shared, how="inner")
+        else:
+            acc = acc.crossJoin(df)
+        bound |= vs
+    if "_ask" in acc.columns and len(acc.columns) > 1:
+        acc = acc.drop("_ask")
+    return acc

@@ -206,3 +206,128 @@ def triangle_count(
         .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
         .crossJoin(closed.agg(F.count("*").alias("n_triangles")))
     )
+
+
+def reachable(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: every node reachable from ``sources`` within
+    ``max_hops`` directed hops, with its exact minimum hop distance.
+
+    This is the bounded SPARQL property path (``p{0,k}``) / k-hop
+    neighborhood primitive: "everything within 3 hops of these seed
+    entities" is the standard KG expansion query, and at 10^12 triples
+    it must run as synchronous frontier rounds, never a transitive
+    closure materialization.
+
+    Iteration shape (the loop discipline shared with components.py and
+    pagerank): per round, ONLY the new frontier (nodes first reached
+    last round) joins the edge table — visited nodes never rejoin — so
+    total join work is O(edges-touched), the Bellman-Ford-free BFS
+    bound. A left_anti against the visited set keeps frontiers
+    shrinking; localCheckpoint per round keeps the plan O(1) deep and
+    cuts lineage (at cluster scale: checkpoint to HDFS instead). Early
+    exit when the frontier empties — max_hops is a cap, not a fixed
+    round count.
+
+    min-distance election is exact and deterministic: a node entering
+    the frontier in round d has min distance d by BFS invariant, so no
+    per-node min() re-aggregation is ever needed. Results are
+    partitioning- and parallelism-invariant (set semantics, integer
+    distances), restatable in DuckDB as a recursive CTE with a
+    min(dist) roll-up.
+
+    Returns (node, dist) with dist in [0, max_hops]; sources sit at
+    dist 0 (even sources absent from the edge table).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col(src).alias("_e_src"), F.col(dst).alias("_e_dst")).distinct()
+    visited = (
+        sources.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_e_src"])
+            .select(F.col("_e_dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(d))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def infer_types(
+    instance_types: DataFrame,
+    subclass_edges: DataFrame,
+    max_depth: int = 16,
+) -> DataFrame:
+    """RDFS-lite type inference: saturate instance ``type`` assertions
+    through a subClassOf hierarchy (rdfs9/rdfs11 entailment, the part
+    of RDFS materialization KG stores actually run).
+
+    ``instance_types(inst, cls)`` holds asserted types;
+    ``subclass_edges(sub, sup)`` the (usually tiny) ontology. The
+    ontology's transitive closure comes from :func:`reachable` run
+    once per distinct asserted class — but vectorized: one BFS over
+    the subclass graph seeded with EVERY class at dist 0 via the
+    self-loop trick would conflate seeds, so instead the closure is
+    built by iterated join of the edge set with itself bounded by
+    ``max_depth`` (path-doubling: depth doubles per round, so 16
+    levels need 4 rounds). The closed ontology is ontology-sized —
+    broadcast onto the instance scan; instances shuffle ZERO times.
+
+    Returns (inst, cls, asserted) — asserted=false rows are the
+    inferred entailments; duplicates collapse (set semantics).
+    """
+    edges = (
+        subclass_edges.select(
+            F.col(subclass_edges.columns[0]).alias("sub"),
+            F.col(subclass_edges.columns[1]).alias("sup"),
+        )
+        .filter(F.col("sub") != F.col("sup"))
+        .distinct()
+    )
+    closure = edges.localCheckpoint(eager=True)
+    depth = 1
+    while depth < max_depth:
+        # path doubling: closure ∘ closure ∪ closure
+        hop = (
+            closure.alias("a")
+            .join(closure.alias("b"), F.col("a.sup") == F.col("b.sub"))
+            .select(F.col("a.sub").alias("sub"), F.col("b.sup").alias("sup"))
+        )
+        new_closure = closure.unionAll(hop).distinct().localCheckpoint(eager=True)
+        if new_closure.count() == closure.count():
+            closure = new_closure
+            break
+        closure = new_closure
+        depth *= 2
+    it = instance_types.select(
+        F.col(instance_types.columns[0]).alias("inst"),
+        F.col(instance_types.columns[1]).alias("cls"),
+    ).distinct()
+    inferred = (
+        it.join(
+            F.broadcast(closure.withColumnRenamed("sub", "cls")), "cls"
+        )
+        .select("inst", F.col("sup").alias("cls"))
+        .join(it, ["inst", "cls"], "left_anti")
+        .distinct()
+        .withColumn("asserted", F.lit(False))
+    )
+    return it.withColumn("asserted", F.lit(True)).unionAll(inferred)

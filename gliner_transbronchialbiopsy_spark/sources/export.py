@@ -124,3 +124,51 @@ def write_reference_excel(
             cell.font = Font(bold=True)
             cell.fill = PatternFill("solid", fgColor="DDE5F0")
         ws.freeze_panes = "A2"
+
+
+# ---------------------------------------------------------------------------
+# RDF interchange: deterministic N-Triples serialization
+# ---------------------------------------------------------------------------
+
+#: N-Triples string-literal escapes (W3C N-Triples §2.3), applied in
+#: order — backslash FIRST so later escapes don't double-escape.
+_NT_ESCAPES = (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t"))
+
+
+def nt_escape(col: Column) -> Column:
+    """Escape a string column for use inside an N-Triples literal."""
+    out = col
+    for raw, esc in _NT_ESCAPES:
+        out = F.replace(out, F.lit(raw), F.lit(esc))
+    return out
+
+
+def to_ntriples(
+    triples: DataFrame,
+    base_iri: str = "urn:kg:",
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """(subj, pred, obj) -> one-column (ntriple) RDF serialization:
+    ``<base_iri+subj> <base_iri+pred> "escaped obj" .``
+
+    Subjects/predicates are minted under ``base_iri`` (URN-style, so
+    the repo/path/commit ids — which contain only IRI-safe chars —
+    embed verbatim); objects serialize as plain literals with the
+    full escape chain. A pure JVM projection (whole-stage codegen,
+    no shuffle): write the result with ``.write.text()`` for the
+    interchange file. Reference analogue: the CSV/JSON result sinks
+    (src/streamlit/utils/export_handler.py) generalized to the RDF
+    interchange format a KG consumer expects.
+    """
+    line = F.concat(
+        F.lit("<" + base_iri),
+        F.col(subj),
+        F.lit("> <" + base_iri),
+        F.col(pred),
+        F.lit('> "'),
+        nt_escape(F.col(obj)),
+        F.lit('" .'),
+    )
+    return triples.select(line.alias("ntriple"))

@@ -1,0 +1,188 @@
+"""KG query-layer operators: BGP matching, bounded reachability,
+RDFS-lite type inference, N-Triples serialization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gliner_transbronchialbiopsy_spark.operators import bgp, graph
+from gliner_transbronchialbiopsy_spark.sources import export
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+# --- BGP matching -----------------------------------------------------------
+def test_bgp_two_patterns_join_on_shared_var(spark):
+    t = _triples(
+        spark,
+        [
+            ("d1", "engine", "spark"),
+            ("d1", "exec_op", "join"),
+            ("d2", "engine", "hash"),
+            ("d3", "exec_op", "sort"),
+        ],
+    )
+    out = bgp.bgp_match(t, [("?doc", "engine", "?e"), ("?doc", "exec_op", "?op")])
+    assert sorted(out.columns) == ["doc", "e", "op"]
+    rows = [(r["doc"], r["e"], r["op"]) for r in out.collect()]
+    assert rows == [("d1", "spark", "join")]
+
+
+def test_bgp_set_semantics_dedupes_duplicate_triples(spark):
+    t = _triples(
+        spark,
+        [("d1", "engine", "spark")] * 3 + [("d1", "exec_op", "join")] * 2,
+    )
+    out = bgp.bgp_match(t, [("?doc", "engine", "?e"), ("?doc", "exec_op", "?op")])
+    assert out.count() == 1
+
+
+def test_bgp_ground_pattern_filters(spark):
+    t = _triples(
+        spark,
+        [
+            ("d1", "engine", "spark"),
+            ("d1", "exec_op", "join"),
+            ("d2", "engine", "vector"),
+            ("d2", "exec_op", "filter"),
+        ],
+    )
+    out = bgp.bgp_match(t, [("?doc", "exec_op", "join"), ("?doc", "engine", "?e")])
+    rows = [tuple(r) for r in out.select("doc", "e").collect()]
+    assert rows == [("d1", "spark")]
+
+
+def test_bgp_repeated_variable_means_equality(spark):
+    t = _triples(
+        spark,
+        [("a", "p", "a"), ("a", "p", "b"), ("c", "q", "c")],
+    )
+    out = bgp.bgp_match(t, [("?x", "p", "?x")])
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [("a",)]
+
+
+def test_bgp_disconnected_raises_without_flag(spark):
+    t = _triples(spark, [("d1", "p", "x"), ("d2", "q", "y")])
+    with pytest.raises(ValueError, match="disconnected"):
+        bgp.bgp_match(t, [("?a", "p", "?b"), ("?c", "q", "?d")])
+    out = bgp.bgp_match(
+        t, [("?a", "p", "?b"), ("?c", "q", "?d")], allow_cartesian=True
+    )
+    assert out.count() == 1  # 1 binding of each component
+
+
+def test_bgp_var_to_var_chain(spark):
+    # path query: ?a knows ?b, ?b knows ?c
+    t = _triples(
+        spark,
+        [("a", "knows", "b"), ("b", "knows", "c"), ("c", "knows", "d")],
+    )
+    out = bgp.bgp_match(t, [("?a", "knows", "?b"), ("?b", "knows", "?c")])
+    rows = sorted(tuple(r) for r in out.select("a", "b", "c").collect())
+    assert rows == [("a", "b", "c"), ("b", "c", "d")]
+
+
+# --- reachability -----------------------------------------------------------
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _sources(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node string")
+
+
+def test_reachable_chain_min_distance(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")])
+    out = graph.reachable(e, _sources(spark, ["a"]), max_hops=3)
+    dist = {r["node"]: r["dist"] for r in out.collect()}
+    # c reachable at dist 1 via the shortcut, NOT 2 via b
+    assert dist == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_reachable_respects_max_hops_and_direction(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("x", "a")])
+    out = graph.reachable(e, _sources(spark, ["a"]), max_hops=1)
+    dist = {r["node"]: r["dist"] for r in out.collect()}
+    # x points INTO a: not reachable; c is 2 hops: cut by max_hops
+    assert dist == {"a": 0, "b": 1}
+
+
+def test_reachable_early_exit_on_empty_frontier_and_isolated_source(spark):
+    e = _edges(spark, [("a", "b")])
+    out = graph.reachable(e, _sources(spark, ["z", "a"]), max_hops=10)
+    dist = {r["node"]: r["dist"] for r in out.collect()}
+    # isolated source still reported at dist 0; loop exits after round 2
+    assert dist == {"z": 0, "a": 0, "b": 1}
+
+
+def test_reachable_multi_source_elects_min(spark):
+    e = _edges(spark, [("a", "m"), ("b", "m"), ("m", "t")])
+    out = graph.reachable(e, _sources(spark, ["a", "b"]), max_hops=4)
+    dist = {r["node"]: r["dist"] for r in out.collect()}
+    assert dist == {"a": 0, "b": 0, "m": 1, "t": 2}
+
+
+def test_reachable_cycle_terminates(spark):
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    out = graph.reachable(e, _sources(spark, ["a"]), max_hops=8)
+    dist = {r["node"]: r["dist"] for r in out.collect()}
+    assert dist == {"a": 0, "b": 1}
+
+
+# --- type inference ---------------------------------------------------------
+def test_infer_types_transitive_closure(spark):
+    it = spark.createDataFrame(
+        [("x", "exec_op"), ("y", "artifact")], "inst string, cls string"
+    )
+    sc = spark.createDataFrame(
+        [("exec_op", "operation"), ("operation", "kg_term"), ("artifact", "kg_term")],
+        "sub string, sup string",
+    )
+    out = graph.infer_types(it, sc)
+    rows = {(r["inst"], r["cls"]): r["asserted"] for r in out.collect()}
+    assert rows == {
+        ("x", "exec_op"): True,
+        ("x", "operation"): False,
+        ("x", "kg_term"): False,
+        ("y", "artifact"): True,
+        ("y", "kg_term"): False,
+    }
+
+
+def test_infer_types_deep_chain_path_doubling(spark):
+    # 9-level chain: needs 4 doubling rounds (1,2,4,8 -> 9 via union)
+    sc = spark.createDataFrame(
+        [(f"c{i}", f"c{i+1}") for i in range(9)], "sub string, sup string"
+    )
+    it = spark.createDataFrame([("x", "c0")], "inst string, cls string")
+    out = graph.infer_types(it, sc, max_depth=16)
+    inferred = {r["cls"] for r in out.filter(~F.col("asserted")).collect()}
+    assert inferred == {f"c{i}" for i in range(1, 10)}
+
+
+def test_infer_types_does_not_duplicate_asserted(spark):
+    # asserted type that is ALSO entailed stays a single asserted row
+    it = spark.createDataFrame(
+        [("x", "exec_op"), ("x", "operation")], "inst string, cls string"
+    )
+    sc = spark.createDataFrame(
+        [("exec_op", "operation")], "sub string, sup string"
+    )
+    out = graph.infer_types(it, sc)
+    rows = [(r["inst"], r["cls"], r["asserted"]) for r in out.collect()]
+    assert sorted(rows) == [("x", "exec_op", True), ("x", "operation", True)]
+
+
+# --- N-Triples --------------------------------------------------------------
+def test_ntriples_escape_chain(spark):
+    t = _triples(spark, [("s1", "p", 'a"b\\c\nd\te\rf')])
+    line = export.to_ntriples(t).collect()[0]["ntriple"]
+    assert line == '<urn:kg:s1> <urn:kg:p> "a\\"b\\\\c\\nd\\te\\rf" .'
+
+
+def test_ntriples_plain_row_shape(spark):
+    t = _triples(spark, [("doc/1@HEAD", "engine", "spark")])
+    line = export.to_ntriples(t).collect()[0]["ntriple"]
+    assert line == '<urn:kg:doc/1@HEAD> <urn:kg:engine> "spark" .'
