@@ -18,6 +18,7 @@ from gliner_transbronchialbiopsy_spark.functions import spark_fns
 from gliner_transbronchialbiopsy_spark.operators import (
     decontam,
     dedup,
+    dsir,
     graph,
     mixture,
     packing,
@@ -1292,6 +1293,24 @@ _SUBCLASS_EDGES = [
 _SUBCLASS_VALUES_SQL = ", ".join(f"('{a}', '{b}')" for a, b in _SUBCLASS_EDGES)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-unigram importance weights (operators/dsir):
+    every document scored against the non-English slice as the target
+    distribution — Σ_tokens [lp_target(bucket) − lp_raw(bucket)] in
+    exact fixed-point over 256 portable hash buckets (α=1 smoothing).
+    The bucket model is n_buckets rows and broadcasts; the corpus text
+    never shuffles. Production hashing is xxhash64; the contract runs
+    the portable sha256 family the oracle restates."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.filter(F.col("lang") != "en").select("doc_id", "text")
+    return dsir.dsir_weights(
+        docs.select("doc_id", "text"),
+        target,
+        n_buckets=256,
+        portable_hash=True,
+    )
+
+
 def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles (operators/quantiles.group_quantiles,
     Spark `percentile` = linear interpolation at rank p*(n-1), the
@@ -1466,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "kg_constraint_violations": q_kg_constraint_violations,
         "kg_bgp_match": q_kg_bgp_match,
+        "dsir_weights": q_dsir_weights,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
         "kg_ntriples": q_kg_ntriples,
@@ -2900,6 +2920,45 @@ def oracle_sql() -> dict[str, str]:
               HAVING count(DISTINCT obj) > 1
             )
             SELECT * FROM shape UNION ALL SELECT * FROM card
+        """,
+        "dsir_weights": r"""
+            WITH toks AS MATERIALIZED (
+              SELECT d.doc_id, d.lang,
+                     CAST(concat('0x', substr(sha256(u.token), 1, 15))
+                          AS BIGINT) % 256 AS bucket
+              FROM documents d, LATERAL unnest(
+                CASE WHEN trim(d.text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(d.text)), '\s+')
+                END) u(token)
+            ),
+            rc AS (SELECT bucket, count(*) AS c_raw FROM toks GROUP BY bucket),
+            tc AS (SELECT bucket, count(*) AS c_tgt FROM toks
+                   WHERE lang <> 'en' GROUP BY bucket),
+            rt AS (SELECT sum(c_raw) AS t_raw FROM rc),
+            tt AS (SELECT coalesce(sum(c_tgt), 0) AS t_tgt FROM tc),
+            model AS (
+              SELECT rc.bucket,
+                     CAST(floor(ln((coalesce(tc.c_tgt, 0) + 1)
+                          / CAST(tt.t_tgt + 256 AS DOUBLE)) * 1000000000)
+                          AS BIGINT)
+                   - CAST(floor(ln((rc.c_raw + 1)
+                          / CAST(rt.t_raw + 256 AS DOUBLE)) * 1000000000)
+                          AS BIGINT) AS lr_fp
+              FROM rc LEFT JOIN tc USING (bucket), rt, tt
+            ),
+            pd AS (
+              SELECT toks.doc_id, count(*) AS n_tokens,
+                     CAST(sum(model.lr_fp) AS BIGINT) AS w_fp
+              FROM toks JOIN model USING (bucket)
+              GROUP BY toks.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(pd.n_tokens, 0) AS n_tokens,
+                   coalesce(pd.w_fp, 0) AS w_fp,
+                   CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
+                        ELSE round(pd.w_fp / pd.n_tokens / 1000000000.0, 4)
+                   END AS avg_w
+            FROM documents d LEFT JOIN pd USING (doc_id)
         """,
         "kg_bgp_match": f"""
             WITH t AS MATERIALIZED (

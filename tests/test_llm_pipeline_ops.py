@@ -577,3 +577,64 @@ def test_incremental_dedup_near_dup_off(spark):
     )
     out = dedup.incremental_dedup(new, seen, near_dup=False).collect()
     assert out[0]["reject_reason"] is None
+
+
+# --- dsir (hashed unigram importance weights) -------------------------------
+def test_dsir_weights_ranks_target_like_docs_higher(spark):
+    from gliner_transbronchialbiopsy_spark.operators import dsir
+
+    raw = _docs(
+        spark,
+        [
+            "chat chat chat chat",          # pure target-style
+            "news news news news",          # pure raw-majority style
+            "chat news chat news",          # mixed
+            "",                              # empty -> 0
+        ],
+    )
+    target = _docs(spark, ["chat chat chat chat chat"])
+    out = dsir.dsir_weights(raw, target, n_buckets=64)
+    w = {r["doc_id"]: (r["n_tokens"], r["w_fp"], r["avg_w"]) for r in out.collect()}
+    assert set(w) == {0, 1, 2, 3}
+    assert w[3] == (0, 0, 0.0)                 # empty doc
+    assert w[0][2] > w[2][2] > w[1][2]         # target-like > mixed > off-target
+    # exact long arithmetic: mixed doc = average of the two pure docs
+    assert w[2][1] * 2 == w[0][1] + w[1][1]
+
+
+def test_dsir_portable_and_production_agree_on_ranking(spark):
+    from gliner_transbronchialbiopsy_spark.operators import dsir
+
+    raw = _docs(spark, ["chat chat", "news news", "chat news"])
+    target = _docs(spark, ["chat chat chat"])
+    rank = []
+    for portable in (False, True):
+        out = dsir.dsir_weights(raw, target, n_buckets=4096, portable_hash=portable)
+        rank.append(
+            [r["doc_id"] for r in out.orderBy(F.desc("w_fp"), "doc_id").collect()]
+        )
+    # hash family changes bucket values, not the induced ordering
+    # (no collisions at 4096 buckets over a 2-type vocab)
+    assert rank[0] == rank[1] == [0, 2, 1]
+
+
+def test_dsir_select_top_n_deterministic(spark):
+    from gliner_transbronchialbiopsy_spark.operators import dsir
+
+    raw = _docs(spark, ["chat chat", "news news", "chat news", "chat"])
+    target = _docs(spark, ["chat"])
+    top = dsir.dsir_select(raw, target, n=2, n_buckets=64)
+    ids = sorted(r["doc_id"] for r in top.collect())
+    assert ids == [0, 3]  # the two pure-chat docs, tie broken by id
+
+
+def test_dsir_empty_target_is_uniform_smoothing_only(spark):
+    from gliner_transbronchialbiopsy_spark.operators import dsir
+
+    raw = _docs(spark, ["a a", "b b"])
+    target = _docs(spark, [])
+    out = dsir.dsir_weights(raw, target, n_buckets=64)
+    rows = {r["doc_id"]: r["w_fp"] for r in out.collect()}
+    # with an empty target every bucket gets the same smoothed target
+    # lp; both docs have 2 tokens of one type -> equal weights
+    assert rows[0] == rows[1]

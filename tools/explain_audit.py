@@ -107,6 +107,29 @@ AUDIT = {
     # barrier, so no Python appears downstream); cardinality agg is
     # the only wide shuffle
     "kg_constraint_violations": ("BroadcastHashJoin", "!InPandas"),
+    # DSIR importance weights: the n_buckets-row log-ratio model
+    # broadcasts onto the exploded raw token stream (corpus text never
+    # shuffles for the scoring join); count aggs partial-combine; JVM
+    "dsir_weights": ("BroadcastHashJoin", "HashAggregate", "!InPandas"),
+    # BGP matcher: every pattern scan reads the checkpointed triple RDD
+    # (detection behind the barrier), pattern constants become plain
+    # Filter operators above it, the variable joins are hash joins —
+    # never a nested loop (the patterns share ?doc)
+    "kg_bgp_match": (
+        "Scan ExistingRDD",
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+    ),
+    # bounded BFS: each round ends in an eager localCheckpoint, so the
+    # visible plan aggregates the checkpointed visited RDD only —
+    # iterations never stack; zero Python
+    "kg_reachability": ("Scan ExistingRDD", "!InPandas"),
+    # RDFS entailment: the closed (tiny) ontology broadcasts onto the
+    # instance scan — instances shuffle only for their own distinct
+    "kg_type_inference": ("BroadcastHashJoin", "!InPandas"),
+    # N-Triples sink: one pure string projection, no shuffle at all
+    # after the triple dedup, no Python
+    "kg_ntriples": ("Project", "!InPandas", "!SortMergeJoin"),
 }
 
 
