@@ -1293,6 +1293,42 @@ _SUBCLASS_EDGES = [
 _SUBCLASS_VALUES_SQL = ", ".join(f"('{a}', '{b}')" for a, b in _SUBCLASS_EDGES)
 
 
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (operators/graph.label_propagation) over the part-supplier graph:
+    3 rounds, election by (neighbor-label count DESC, label ASC) — a
+    total order, so communities are bit-identical at any parallelism
+    and the oracle restates the rounds as chained CTEs. Top 20
+    communities by size."""
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    rel = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    labels = graph.label_propagation(rel, iterations=3)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.desc("n_members"), F.col("label").asc())
+        .limit(20)
+    )
+
+
+def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot KG diff (operators/kgvalidate.triple_diff):
+    the 'old' build extracted docs with doc_id % 7 != 0, the 'new'
+    build docs with doc_id % 5 != 0 — so the diff carries both added
+    and removed assertions. Set semantics on the full (subj, pred,
+    obj) key; two left_anti hash joins, diff-sized output."""
+    from gliner_transbronchialbiopsy_spark.operators import kgvalidate
+
+    t = q_kg_triples(spark, sf_dir)
+    did = F.regexp_extract(F.col("subj"), r"/(\d+)@", 1).cast("long")
+    old = t.filter(did % 7 != 0)
+    new = t.filter(did % 5 != 0)
+    return kgvalidate.triple_diff(old, new)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed-unigram importance weights (operators/dsir):
     every document scored against the non-English slice as the target
@@ -1486,6 +1522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_constraint_violations": q_kg_constraint_violations,
         "kg_bgp_match": q_kg_bgp_match,
         "dsir_weights": q_dsir_weights,
+        "graph_communities": q_graph_communities,
+        "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
         "kg_ntriples": q_kg_ntriples,
@@ -1631,6 +1669,40 @@ _CURATION_ND_CTE_SQL = _CURATION_CTE_SQL + r"""
               SELECT node FROM nd_cc
               GROUP BY node HAVING min(label) <> node)
 """
+
+
+def _lpa_sql(iterations: int = 3) -> str:
+    """DuckDB restatement of graph.label_propagation over the
+    part-supplier graph: one chained CTE per synchronous round, the
+    same (count DESC, label ASC) total-order election as the Spark
+    loop."""
+    head = """
+        WITH und AS MATERIALIZED (
+          SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS u,
+                 's:' || CAST(l_suppkey AS VARCHAR) AS v
+          FROM lineitem),
+        sym AS MATERIALIZED (
+          SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+        l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)"""
+    step = """
+        l{i} AS (
+          SELECT node, label FROM (
+            SELECT s.u AS node, l.label,
+                   row_number() OVER (
+                     PARTITION BY s.u
+                     ORDER BY count(*) DESC, l.label ASC) AS rn
+            FROM sym s JOIN l{prev} l ON s.v = l.node
+            GROUP BY s.u, l.label)
+          WHERE rn = 1)"""
+    tail = """
+        SELECT label, count(*) AS n_members
+        FROM l{last} GROUP BY label
+        ORDER BY n_members DESC, label ASC LIMIT 20"""
+    steps = [step.format(i=i, prev=i - 1) for i in range(1, iterations + 1)]
+    return head + "," + ",".join(steps) + tail.format(last=iterations)
+
+
+_LPA_SQL = _lpa_sql(3)
 
 
 def _pagerank_sql(iterations: int = 5) -> str:
@@ -2921,6 +2993,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM shape UNION ALL SELECT * FROM card
         """,
+        "graph_communities": _LPA_SQL,
+        "kg_diff": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT d.doc_id,
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            o AS (SELECT DISTINCT subj, pred, obj FROM t WHERE doc_id % 7 <> 0),
+            n AS (SELECT DISTINCT subj, pred, obj FROM t WHERE doc_id % 5 <> 0)
+            SELECT n.subj, n.pred, n.obj, 'added' AS change
+            FROM n WHERE NOT EXISTS (
+              SELECT 1 FROM o WHERE o.subj = n.subj AND o.pred = n.pred
+                AND o.obj = n.obj)
+            UNION ALL
+            SELECT o.subj, o.pred, o.obj, 'removed' AS change
+            FROM o WHERE NOT EXISTS (
+              SELECT 1 FROM n WHERE n.subj = o.subj AND n.pred = o.pred
+                AND n.obj = o.obj)
+        """.format(kw_values=kw_values),
         "dsir_weights": r"""
             WITH toks AS MATERIALIZED (
               SELECT d.doc_id, d.lang,

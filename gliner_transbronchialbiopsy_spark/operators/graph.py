@@ -331,3 +331,61 @@ def infer_types(
         .withColumn("asserted", F.lit(False))
     )
     return it.withColumn("asserted", F.lit(True)).unionAll(inferred)
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007, the LPA variant GraphFrames ships) — community detection
+    over the canonicalized entity graph.
+
+    Why this exact variant: async LPA (update in visitation order) is
+    not reproducible on a cluster — the result depends on partitioning.
+    Here every round is synchronous and the election rule is a total
+    order (neighbor-label count DESC, then label ASC), so the labels
+    after k rounds are a pure function of the graph: bit-identical at
+    any parallelism, restatable in DuckDB as k chained CTEs.
+
+    Per round: one join of the (symmetric, deduped) edge list onto the
+    current label table, one count aggregate on (node, label), one
+    row_number window electing the winner — all hash-shuffles on node
+    ids; localCheckpoint per round keeps the plan O(1) deep. Isolated
+    source nodes never appear in the edge list and keep their own id
+    as label (they are their own singleton community by definition).
+
+    Returns (node, label) with label = the elected community
+    representative's node id after ``iterations`` rounds (initial
+    label = own id).
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iterations):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        elected = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        labels = elected.localCheckpoint(eager=True)
+    return labels

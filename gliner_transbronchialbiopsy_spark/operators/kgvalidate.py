@@ -79,3 +79,37 @@ def constraint_violations(
         )
     )
     return shape.unionAll(card)
+
+
+def triple_diff(
+    old: DataFrame,
+    new: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Snapshot-to-snapshot KG diff: which assertions appeared and
+    which disappeared between two pipeline runs (backfill audits,
+    extractor-version regression checks — the KG analogue of the
+    reference's corrections timeline, operators/corrections.py).
+
+    Set semantics on (subj, pred, obj): duplicates within a snapshot
+    collapse, so the diff is assertion-level, not row-level. Output is
+    (subj, pred, obj, change) with change in {'added', 'removed'} —
+    diff-sized, never snapshot-sized.
+
+    Plan shape: two left_anti hash joins on the full triple key, each
+    a single shuffle of the (already deduped) snapshots; at 10^12
+    triples both sides hash-partition on the same key so AQE can
+    co-plan them. No window, no Python.
+    """
+    o = old.select(
+        F.col(subj).alias("subj"), F.col(pred).alias("pred"), F.col(obj).alias("obj")
+    ).distinct()
+    n = new.select(
+        F.col(subj).alias("subj"), F.col(pred).alias("pred"), F.col(obj).alias("obj")
+    ).distinct()
+    key = ["subj", "pred", "obj"]
+    added = n.join(o, key, "left_anti").withColumn("change", F.lit("added"))
+    removed = o.join(n, key, "left_anti").withColumn("change", F.lit("removed"))
+    return added.unionAll(removed)

@@ -186,3 +186,67 @@ def test_ntriples_plain_row_shape(spark):
     t = _triples(spark, [("doc/1@HEAD", "engine", "spark")])
     line = export.to_ntriples(t).collect()[0]["ntriple"]
     assert line == '<urn:kg:doc/1@HEAD> <urn:kg:engine> "spark" .'
+
+
+# --- label propagation -------------------------------------------------------
+def test_lpa_two_triangles_two_communities(spark):
+    e = _edges(
+        spark,
+        [("1", "2"), ("2", "3"), ("1", "3"), ("a", "b"), ("b", "c"), ("a", "c")],
+    )
+    out = graph.label_propagation(e, iterations=3)
+    lab = {r["node"]: r["label"] for r in out.collect()}
+    assert lab == {"1": "1", "2": "1", "3": "1", "a": "a", "b": "a", "c": "a"}
+
+
+def test_lpa_deterministic_tie_break_min_label(spark):
+    # star: center x with leaves l1, l2 — each leaf sees only x, x sees
+    # a tie between the leaf labels and must elect the min
+    e = _edges(spark, [("x", "l1"), ("x", "l2")])
+    out = graph.label_propagation(e, iterations=1)
+    lab = {r["node"]: r["label"] for r in out.collect()}
+    assert lab == {"x": "l1", "l1": "x", "l2": "x"}
+
+
+def test_lpa_dedups_parallel_and_reverse_edges(spark):
+    # the duplicate/reverse edges must NOT double the neighbor count
+    # (else 'm' would elect 'a' over the 2-vote majority 'z')
+    e = _edges(
+        spark,
+        [("m", "a"), ("m", "a"), ("a", "m"), ("m", "z1"), ("m", "z2"),
+         ("z1", "z"), ("z2", "z")],
+    )
+    out = graph.label_propagation(e, iterations=2)
+    lab = {r["node"]: r["label"] for r in out.collect()}
+    # round 1: z1, z2 both elect min(m, z) = m?  no: z1 sees {m, z} tie
+    # -> min label 'm'; m sees {a, z1, z2} all cnt 1 -> 'a'
+    # round 2: m sees labels {m(from a? a saw only m -> 'm'), 'm', 'm'}
+    assert lab["m"] == "m"
+
+
+# --- triple diff -------------------------------------------------------------
+def test_triple_diff_added_removed(spark):
+    from gliner_transbronchialbiopsy_spark.operators import kgvalidate
+
+    old = _triples(spark, [("s1", "p", "a"), ("s2", "p", "b")])
+    new = _triples(spark, [("s1", "p", "a"), ("s3", "p", "c")])
+    out = kgvalidate.triple_diff(old, new)
+    rows = {(r["subj"], r["change"]) for r in out.collect()}
+    assert rows == {("s3", "added"), ("s2", "removed")}
+
+
+def test_triple_diff_set_semantics(spark):
+    from gliner_transbronchialbiopsy_spark.operators import kgvalidate
+
+    old = _triples(spark, [("s1", "p", "a")] * 3)
+    new = _triples(spark, [("s1", "p", "a"), ("s1", "p", "a"), ("s2", "p", "b")])
+    out = kgvalidate.triple_diff(old, new)
+    rows = [(r["subj"], r["change"]) for r in out.collect()]
+    assert rows == [("s2", "added")]
+
+
+def test_triple_diff_identical_snapshots_empty(spark):
+    from gliner_transbronchialbiopsy_spark.operators import kgvalidate
+
+    t = _triples(spark, [("s1", "p", "a"), ("s2", "q", "b")])
+    assert kgvalidate.triple_diff(t, t).count() == 0

@@ -111,6 +111,12 @@ AUDIT = {
     # broadcasts onto the exploded raw token stream (corpus text never
     # shuffles for the scoring join); count aggs partial-combine; JVM
     "dsir_weights": ("BroadcastHashJoin", "HashAggregate", "!InPandas"),
+    # synchronous LPA: rounds end in localCheckpoint, so the visible
+    # plan aggregates the checkpointed label RDD only; zero Python
+    "graph_communities": ("Scan ExistingRDD", "!InPandas"),
+    # KG snapshot diff: two left_anti hash joins on the triple key —
+    # never a nested loop; output diff-sized
+    "kg_diff": ("LeftAnti", "!BroadcastNestedLoopJoin", "!InPandas"),
     # BGP matcher: every pattern scan reads the checkpointed triple RDD
     # (detection behind the barrier), pattern constants become plain
     # Filter operators above it, the variable joins are hash joins —
