@@ -1293,6 +1293,26 @@ _SUBCLASS_EDGES = [
 _SUBCLASS_VALUES_SQL = ", ".join(f"('{a}', '{b}')" for a, b in _SUBCLASS_EDGES)
 
 
+def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL over the BGP matcher (operators/bgp.bgp_match
+    optional=...): docs whose engine binding is the ground term
+    'vector', left-joined to their exec_op bindings — unmatched docs
+    keep a NULL op (the OPTIONAL contract). Summarized per op so the
+    row count stays catalog-sized."""
+    from gliner_transbronchialbiopsy_spark.operators import bgp
+
+    triples = q_kg_triples(spark, sf_dir)
+    b = bgp.bgp_match(
+        triples,
+        [("?doc", "engine", "vector")],
+        optional=[("?doc", "exec_op", "?op")],
+    )
+    return b.groupBy("op").agg(
+        F.countDistinct("doc").alias("n_docs"),
+        F.count("*").alias("n_bindings"),
+    )
+
+
 def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation
     (operators/graph.label_propagation) over the part-supplier graph:
@@ -1522,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_constraint_violations": q_kg_constraint_violations,
         "kg_bgp_match": q_kg_bgp_match,
         "dsir_weights": q_dsir_weights,
+        "kg_bgp_optional": q_kg_bgp_optional,
         "graph_communities": q_graph_communities,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
@@ -2993,6 +3014,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM shape UNION ALL SELECT * FROM card
         """,
+        "kg_bgp_optional": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            req AS (SELECT DISTINCT subj AS doc FROM t
+                    WHERE pred = 'engine' AND obj = 'vector'),
+            opt AS (SELECT DISTINCT subj AS doc, obj AS op FROM t
+                    WHERE pred = 'exec_op')
+            SELECT o.op,
+                   count(DISTINCT r.doc) AS n_docs,
+                   count(*) AS n_bindings
+            FROM req r LEFT JOIN opt o USING (doc)
+            GROUP BY o.op
+        """.format(kw_values=kw_values),
         "graph_communities": _LPA_SQL,
         "kg_diff": f"""
             WITH t AS MATERIALIZED (

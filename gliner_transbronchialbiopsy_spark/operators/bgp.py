@@ -76,12 +76,21 @@ def bgp_match(
     pred: str = "pred",
     obj: str = "obj",
     allow_cartesian: bool = False,
+    optional: list[tuple] | None = None,
 ) -> DataFrame:
     """Match a conjunctive pattern list against ``triples``.
 
     Returns one row per binding of the pattern variables, one column
     per variable (set semantics — duplicate triples don't multiply).
     Raises on a disconnected pattern unless ``allow_cartesian``.
+
+    ``optional`` patterns are SPARQL OPTIONAL semantics: each is
+    left-joined onto the required bindings in order, its fresh
+    variables NULL where unmatched. An optional pattern must share at
+    least one variable with the required block (a disconnected
+    OPTIONAL is a cross product and raises). Optional-only variables
+    may chain: a later optional may join on an earlier optional's
+    variable.
     """
     if not patterns:
         raise ValueError("empty pattern list")
@@ -117,6 +126,16 @@ def bgp_match(
             acc = acc.join(df, on=shared, how="inner")
         else:
             acc = acc.crossJoin(df)
+        bound |= vs
+    for p in optional or []:
+        df, vs = _scan(t, p)
+        shared = sorted(vs & bound)
+        if not shared:
+            raise ValueError(
+                f"optional pattern {p!r} shares no variable with the "
+                "bound set — a disconnected OPTIONAL is a cross product"
+            )
+        acc = acc.join(df, on=shared, how="left")
         bound |= vs
     if "_ask" in acc.columns and len(acc.columns) > 1:
         acc = acc.drop("_ask")

@@ -250,3 +250,44 @@ def test_triple_diff_identical_snapshots_empty(spark):
 
     t = _triples(spark, [("s1", "p", "a"), ("s2", "q", "b")])
     assert kgvalidate.triple_diff(t, t).count() == 0
+
+
+# --- OPTIONAL patterns -------------------------------------------------------
+def test_bgp_optional_keeps_unmatched_with_null(spark):
+    t = _triples(
+        spark,
+        [
+            ("d1", "engine", "vector"),
+            ("d1", "exec_op", "join"),
+            ("d2", "engine", "vector"),  # no exec_op -> NULL op
+        ],
+    )
+    out = bgp.bgp_match(
+        t, [("?doc", "engine", "vector")], optional=[("?doc", "exec_op", "?op")]
+    )
+    rows = {(r["doc"], r["op"]) for r in out.collect()}
+    assert rows == {("d1", "join"), ("d2", None)}
+
+
+def test_bgp_optional_disconnected_raises(spark):
+    t = _triples(spark, [("d1", "p", "x")])
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        bgp.bgp_match(t, [("?a", "p", "?b")], optional=[("?c", "q", "?d")])
+
+
+def test_bgp_optional_chains_on_optional_var(spark):
+    t = _triples(
+        spark,
+        [
+            ("d1", "engine", "vector"),
+            ("d1", "exec_op", "join"),
+            ("join", "data_noun", "table"),
+        ],
+    )
+    out = bgp.bgp_match(
+        t,
+        [("?doc", "engine", "vector")],
+        optional=[("?doc", "exec_op", "?op"), ("?op", "data_noun", "?n")],
+    )
+    rows = {(r["doc"], r["op"], r["n"]) for r in out.collect()}
+    assert rows == {("d1", "join", "table")}
