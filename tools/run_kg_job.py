@@ -57,6 +57,21 @@ def main() -> None:
         "table — at 100 TB the layout is written once and every "
         "detection run after that is shuffle-free on the doc side.",
     )
+    ap.add_argument(
+        "--emit-ntriples", metavar="DIR",
+        help="additionally serialize the emitted triples as N-Triples "
+        "text files under DIR (sources/export.to_ntriples — the RDF "
+        "interchange sink; a pure JVM projection over the triples "
+        "snapshot, written with the same parallelism as the job)",
+    )
+    ap.add_argument(
+        "--validate", action="store_true",
+        help="run the SHACL-lite ontology audit "
+        "(kgvalidate.constraint_violations) over the emitted triples — "
+        "functional-cardinality on every predicate of the closed "
+        "catalog — and report the violation count in the JSON line "
+        "(plus a violations parquet under the workdir)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -241,6 +256,32 @@ def main() -> None:
         # _metrics.json left by a killed prior run must not crash the
         # job after all compute is done — fall back to counting
         n = triples.count()
+    extra = {}
+    if args.emit_ntriples:
+        from gliner_transbronchialbiopsy_spark.sources.export import to_ntriples
+
+        to_ntriples(triples).write.mode("overwrite").text(args.emit_ntriples)
+        extra["ntriples_dir"] = args.emit_ntriples
+    if args.validate:
+        # object-shape audit against the catalog itself: every emitted
+        # obj must still match its own label's pattern (an extractor-
+        # regression tripwire — 0 violations in a healthy run)
+        from pyspark.sql import functions as F
+
+        from gliner_transbronchialbiopsy_spark.operators import kgvalidate
+
+        rules = spark.createDataFrame(
+            [(label, False, rx) for label, rx in sorted(catalog.items())],
+            "pred string, functional boolean, obj_pattern string",
+        )
+        viol = kgvalidate.constraint_violations(triples, rules)
+        viol_path = os.path.join(args.workdir, "constraint_violations.parquet")
+        viol.write.mode("overwrite").parquet(viol_path)
+        extra["constraint_violations"] = (
+            spark.read.parquet(viol_path)
+            .agg(F.coalesce(F.sum("n_bad"), F.lit(0)))
+            .collect()[0][0]
+        )
     wall = time.time() - t0
     n_docs = docs.count()
     print(
@@ -252,6 +293,7 @@ def main() -> None:
                 "triples_per_sec": round(n / wall, 1),
                 "docs_per_sec": round(n_docs / wall, 1),
                 "cpus": args.cpus,
+                **extra,
             }
         )
     )
