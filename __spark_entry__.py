@@ -1293,6 +1293,24 @@ _SUBCLASS_EDGES = [
 _SUBCLASS_VALUES_SQL = ", ".join(f"('{a}', '{b}')" for a, b in _SUBCLASS_EDGES)
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round-0 pair statistics (operators/bpe.pair_counts): the
+    adjacent character-pair counts weighted by word frequency — the
+    reduction every BPE training round runs, here over the initial
+    char segmentation. One text pass builds the (word, cnt) vocab;
+    the pair explode is vocab-sized, never corpus-sized. Top 20 by
+    (count DESC, pair ASC) — an exact-long total order."""
+    from gliner_transbronchialbiopsy_spark.operators import bpe
+
+    docs = _read(spark, sf_dir, "documents").select("text")
+    w = bpe.word_counts(docs)
+    return (
+        bpe.pair_counts(w)
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
 def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL OPTIONAL over the BGP matcher (operators/bgp.bgp_match
     optional=...): docs whose engine binding is the ground term
@@ -1543,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_match": q_kg_bgp_match,
         "dsir_weights": q_dsir_weights,
         "kg_bgp_optional": q_kg_bgp_optional,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "graph_communities": q_graph_communities,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
@@ -3013,6 +3032,26 @@ def oracle_sql() -> dict[str, str]:
               HAVING count(DISTINCT obj) > 1
             )
             SELECT * FROM shape UNION ALL SELECT * FROM card
+        """,
+        "bpe_pair_counts": r"""
+            WITH w AS (
+              SELECT u.word, count(*) AS cnt
+              FROM documents d, LATERAL unnest(
+                CASE WHEN trim(d.text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(d.text)), '\s+')
+                END) u(word)
+              GROUP BY u.word
+            ),
+            p AS (
+              SELECT substr(w.word, i.i, 1) || ' ' || substr(w.word, i.i + 1, 1)
+                       AS pair,
+                     w.cnt
+              FROM w, LATERAL unnest(range(1, length(w.word))) i(i)
+              WHERE length(w.word) >= 2
+            )
+            SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+            FROM p GROUP BY pair
+            ORDER BY n DESC, pair ASC LIMIT 20
         """,
         "kg_bgp_optional": f"""
             WITH t AS MATERIALIZED (

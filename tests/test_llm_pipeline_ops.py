@@ -638,3 +638,98 @@ def test_dsir_empty_target_is_uniform_smoothing_only(spark):
     # with an empty target every bucket gets the same smoothed target
     # lp; both docs have 2 tokens of one type -> equal weights
     assert rows[0] == rows[1]
+
+
+# --- BPE tokenizer induction -------------------------------------------------
+def _bpe_reference(word_cnt: dict, n_merges: int):
+    """Pure-python BPE with the same total-order tie-break."""
+    seg = {w: list(w) for w in word_cnt}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in seg.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_cnt[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < 2:
+            break
+        merges.append((a, b, n))
+        for w, syms in seg.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seg[w] = out
+    return merges, seg
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    from gliner_transbronchialbiopsy_spark.operators import bpe
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low widest wide",
+        "wider wide low newer",
+    ]
+    docs = _docs(spark, texts)
+    merges, seg = bpe.bpe_train(docs, 8)
+
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    ref_merges, ref_seg = _bpe_reference(wc, 8)
+    assert merges == ref_merges
+    got_seg = {r["word"]: r["syms"] for r in seg.collect()}
+    assert got_seg == ref_seg
+
+
+def test_bpe_train_early_stop_when_no_repeated_pair(spark):
+    from gliner_transbronchialbiopsy_spark.operators import bpe
+
+    docs = _docs(spark, ["ab cd ef"])  # every pair occurs once
+    merges, seg = bpe.bpe_train(docs, 10)
+    assert merges == []
+    assert {tuple(r["syms"]) for r in seg.collect()} == {
+        ("a", "b"), ("c", "d"), ("e", "f")
+    }
+
+
+def test_bpe_apply_matches_trained_segmentation(spark):
+    from gliner_transbronchialbiopsy_spark.operators import bpe
+
+    docs = _docs(spark, ["banana bandana", "ban ban banana"])
+    merges, seg = bpe.bpe_train(docs, 4)
+    enc = bpe.bpe_apply(docs, merges)
+    seg_map = {r["word"]: r["syms"] for r in seg.collect()}
+    for row in enc.select("doc_id", "text", "bpe_tokens").collect():
+        expect = [s for w in row["text"].split() for s in seg_map[w]]
+        assert row["bpe_tokens"] == expect
+
+
+def test_bpe_apply_guards_oversized_merge_lists(spark):
+    from gliner_transbronchialbiopsy_spark.operators import bpe
+
+    docs = _docs(spark, ["x"])
+    with pytest.raises(ValueError, match="pandas UDF"):
+        bpe.bpe_apply(docs, [("a", "b")] * 65)
+
+
+def test_bpe_merge_overlapping_run_is_left_greedy(spark):
+    from gliner_transbronchialbiopsy_spark.operators import bpe
+    from pyspark.sql import functions as F2
+
+    # 'aaaa' + merge (a,a) -> [aa, aa]; 'aaa' -> [aa, a]
+    df = spark.createDataFrame([("aaaa", 1), ("aaa", 1)], "word string, cnt long")
+    seg = df.select(
+        "word", bpe._merge_fold(F2.split(F2.col("word"), ""), "a", "a").alias("syms")
+    )
+    got = {r["word"]: r["syms"] for r in seg.collect()}
+    assert got == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"]}

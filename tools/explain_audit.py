@@ -111,6 +111,13 @@ AUDIT = {
     # broadcasts onto the exploded raw token stream (corpus text never
     # shuffles for the scoring join); count aggs partial-combine; JVM
     "dsir_weights": ("BroadcastHashJoin", "HashAggregate", "!InPandas"),
+    # BPE pair stats: both aggs partial-combine (word build + pair
+    # reduce), the pair explode is a JVM HOF, top-k via TakeOrdered
+    "bpe_pair_counts": (
+        "HashAggregate",
+        "TakeOrderedAndProject",
+        "!InPandas",
+    ),
     # synchronous LPA: rounds end in localCheckpoint, so the visible
     # plan aggregates the checkpointed label RDD only; zero Python
     "graph_communities": ("Scan ExistingRDD", "!InPandas"),
