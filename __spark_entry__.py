@@ -1293,6 +1293,21 @@ _SUBCLASS_EDGES = [
 _SUBCLASS_VALUES_SQL = ", ".join(f"('{a}', '{b}')" for a, b in _SUBCLASS_EDGES)
 
 
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KG negative sampling (operators/negsample): 2
+    corrupted objects per distinct triple, drawn by hashing (subj,
+    pred, obj, i) mod the predicate's object-pool size and resolved
+    via equi-joins on an indexed pool table (never a driver-side
+    array). Collisions shift to the next pool slot, so every negative
+    is guaranteed != the positive. Portable sha256 family so DuckDB
+    restates the draw bit-exactly; production default is seed-first
+    xxhash64."""
+    from gliner_transbronchialbiopsy_spark.operators import negsample
+
+    triples = q_kg_triples(spark, sf_dir)
+    return negsample.negative_samples(triples, k=2, portable_hash=True)
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE round-0 pair statistics (operators/bpe.pair_counts): the
     adjacent character-pair counts weighted by word frequency — the
@@ -1562,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "kg_bgp_optional": q_kg_bgp_optional,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "kg_negative_samples": q_kg_negative_samples,
         "graph_communities": q_graph_communities,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
@@ -3033,6 +3049,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM shape UNION ALL SELECT * FROM card
         """,
+        "kg_negative_samples": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            o AS (
+              SELECT pred, obj AS pool_obj,
+                     row_number() OVER (PARTITION BY pred ORDER BY obj) - 1 AS idx
+              FROM (SELECT DISTINCT pred, obj FROM t)
+            ),
+            n AS (SELECT pred, count(*) AS n_obj FROM o GROUP BY pred),
+            b AS (
+              SELECT t.subj, t.pred, t.obj, n.n_obj, i.i,
+                     CAST(concat('0x', substr(sha256(
+                       t.subj || chr(31) || t.pred || chr(31) || t.obj
+                       || chr(31) || CAST(i.i AS VARCHAR)), 1, 15))
+                       AS BIGINT) % n.n_obj AS idx0
+              FROM t JOIN n USING (pred), LATERAL unnest([0, 1]) i(i)
+              WHERE n.n_obj > 1
+            ),
+            c0 AS (
+              SELECT b.*, o.pool_obj AS obj0
+              FROM b JOIN o ON o.pred = b.pred AND o.idx = b.idx0
+            ),
+            c1 AS (
+              SELECT c0.*, o.pool_obj AS obj1
+              FROM c0 JOIN o ON o.pred = c0.pred
+                AND o.idx = (c0.idx0 + 1) % c0.n_obj
+            )
+            SELECT subj, pred, obj, i,
+                   CASE WHEN obj0 = obj THEN obj1 ELSE obj0 END AS neg_obj
+            FROM c1
+        """.format(kw_values=kw_values),
         "bpe_pair_counts": r"""
             WITH w AS (
               SELECT u.word, count(*) AS cnt

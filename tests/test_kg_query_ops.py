@@ -291,3 +291,46 @@ def test_bgp_optional_chains_on_optional_var(spark):
     )
     rows = {(r["doc"], r["op"], r["n"]) for r in out.collect()}
     assert rows == {("d1", "join", "table")}
+
+
+# --- negative sampling -------------------------------------------------------
+def test_negative_samples_never_equal_positive_and_deterministic(spark):
+    from gliner_transbronchialbiopsy_spark.operators import negsample
+
+    t = _triples(
+        spark,
+        [(f"d{i}", "p", o) for i, o in enumerate(["a", "b", "c", "a", "b"])],
+    )
+    for portable in (False, True):
+        out1 = negsample.negative_samples(t, k=3, portable_hash=portable)
+        rows1 = sorted(tuple(r) for r in out1.collect())
+        rows2 = sorted(
+            tuple(r)
+            for r in negsample.negative_samples(
+                t, k=3, portable_hash=portable
+            ).collect()
+        )
+        assert rows1 == rows2                      # deterministic
+        assert len(rows1) == 5 * 3                 # k per distinct triple
+        for _, pred, obj, _, neg in rows1:
+            assert neg != obj and neg in {"a", "b", "c"}
+
+
+def test_negative_samples_single_object_pred_drops(spark):
+    from gliner_transbronchialbiopsy_spark.operators import negsample
+
+    t = _triples(
+        spark,
+        [("d1", "only", "x"), ("d2", "only", "x"), ("d1", "multi", "a"),
+         ("d2", "multi", "b")],
+    )
+    out = negsample.negative_samples(t, k=1)
+    assert {r["pred"] for r in out.collect()} == {"multi"}
+
+
+def test_negative_samples_k_validation(spark):
+    from gliner_transbronchialbiopsy_spark.operators import negsample
+
+    t = _triples(spark, [("d1", "p", "a")])
+    with pytest.raises(ValueError, match="k must be"):
+        negsample.negative_samples(t, k=0)

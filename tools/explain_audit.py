@@ -111,6 +111,14 @@ AUDIT = {
     # broadcasts onto the exploded raw token stream (corpus text never
     # shuffles for the scoring join); count aggs partial-combine; JVM
     "dsir_weights": ("BroadcastHashJoin", "HashAggregate", "!InPandas"),
+    # negative sampling: the pool draws resolve via (pred, idx) hash
+    # joins against the indexed object table — never a nested loop,
+    # never a driver-side array; the pool window is vocab-sized
+    "kg_negative_samples": (
+        "Window",
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+    ),
     # BPE pair stats: both aggs partial-combine (word build + pair
     # reduce), the pair explode is a JVM HOF, top-k via TakeOrdered
     "bpe_pair_counts": (
