@@ -1293,6 +1293,27 @@ _SUBCLASS_EDGES = [
 _SUBCLASS_VALUES_SQL = ", ".join(f"('{a}', '{b}')" for a, b in _SUBCLASS_EDGES)
 
 
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style random walks
+    (operators/graph.random_walks): 2 walks of length 3 from every
+    node of the symmetric part-supplier graph, next step drawn by
+    hashing (cur, walk, step) mod outdeg and resolved via equi-joins
+    on the indexed adjacency — no RNG, no driver arrays; bit-identical
+    at any parallelism. Portable sha256 draw so DuckDB restates each
+    step as a chained CTE."""
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    rel = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    sym = rel.unionAll(
+        rel.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return graph.random_walks(
+        sym, walk_length=3, walks_per_node=2, portable_hash=True
+    )
+
+
 def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic KG negative sampling (operators/negsample): 2
     corrupted objects per distinct triple, drawn by hashing (subj,
@@ -1578,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": q_kg_bgp_optional,
         "bpe_pair_counts": q_bpe_pair_counts,
         "kg_negative_samples": q_kg_negative_samples,
+        "graph_random_walks": q_graph_random_walks,
         "graph_communities": q_graph_communities,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
@@ -1759,6 +1781,47 @@ def _lpa_sql(iterations: int = 3) -> str:
 
 
 _LPA_SQL = _lpa_sql(3)
+
+
+def _walks_sql(walk_length: int = 3, walks_per_node: int = 2) -> str:
+    """DuckDB restatement of graph.random_walks over the symmetric
+    part-supplier graph: one chained CTE per step, the same sha256
+    draw arithmetic as the Spark loop (the graph is symmetric, so no
+    dead-end branch is needed in SQL)."""
+    walk_ids = ", ".join(str(i) for i in range(walks_per_node))
+    head = f"""
+        WITH und AS MATERIALIZED (
+          SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS u,
+                 's:' || CAST(l_suppkey AS VARCHAR) AS v
+          FROM lineitem),
+        sym AS MATERIALIZED (
+          SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+        adj AS MATERIALIZED (
+          SELECT u, v AS nxt,
+                 row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx
+          FROM sym),
+        deg AS MATERIALIZED (SELECT u, count(*) AS n_out FROM adj GROUP BY u),
+        s0 AS (
+          SELECT n.u AS start, w.w AS walk, n.u AS cur, n.u AS path
+          FROM (SELECT DISTINCT u FROM sym) n,
+          LATERAL unnest([{walk_ids}]) w(w))"""
+    step = """
+        s{i} AS (
+          SELECT s.start, s.walk, a.nxt AS cur,
+                 s.path || '>' || a.nxt AS path
+          FROM s{prev} s
+          JOIN deg d ON d.u = s.cur
+          JOIN adj a ON a.u = s.cur AND a.idx =
+            CAST(concat('0x', substr(sha256(
+              s.cur || chr(31) || CAST(s.walk AS VARCHAR)
+              || chr(31) || '{i}'), 1, 15)) AS BIGINT) % d.n_out)"""
+    tail = """
+        SELECT start, walk, path FROM s{last}"""
+    steps = [step.format(i=i, prev=i - 1) for i in range(1, walk_length + 1)]
+    return head + "," + ",".join(steps) + tail.format(last=walk_length)
+
+
+_WALKS_SQL = _walks_sql(3, 2)
 
 
 def _pagerank_sql(iterations: int = 5) -> str:
@@ -3049,6 +3112,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM shape UNION ALL SELECT * FROM card
         """,
+        "graph_random_walks": _WALKS_SQL,
         "kg_negative_samples": f"""
             WITH t AS MATERIALIZED (
               SELECT DISTINCT

@@ -389,3 +389,97 @@ def label_propagation(
         )
         labels = elected.localCheckpoint(eager=True)
     return labels
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int,
+    walks_per_node: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Deterministic uniform random walks — the DeepWalk/node2vec
+    training-data generator (Perozzi et al. KDD'14), reproducible at
+    any parallelism.
+
+    The draw is a hash, not an RNG (the same discipline as
+    negsample/mixture): at step s a walk at node v takes out-edge
+    index H(v, walk_id, s) mod outdeg(v), resolved by an equi-join on
+    the indexed adjacency (src, idx) -> dst — one vocab-sized
+    row_number window builds the index, each step is one hash join,
+    never a per-row Python call or a driver-side array. Walks that
+    reach a node with no out-edges stop early and keep their prefix.
+
+    Known property of hash-draws: two walks co-located at (v, walk_id,
+    s) take the same edge — starts are decorrelated by walk_id and
+    step, which is what embedding corpora need; crank walks_per_node
+    for more coverage, exactly like seeds in an RNG walker.
+
+    Returns (start, walk, path) with path the '>'-joined node string
+    (walk_length+1 nodes at most). Production hash is seed-first
+    xxhash64; portable_hash=True uses the sha256 family so the draw
+    restates in DuckDB.
+    """
+    from . import linking
+
+    if walk_length < 1 or walks_per_node < 1:
+        raise ValueError("walk_length and walks_per_node must be >= 1")
+    adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy("v")
+    idx = adj.select(
+        "u", F.col("v").alias("nxt"), (F.row_number().over(w) - 1).alias("idx")
+    ).localCheckpoint(eager=True)
+    deg = idx.groupBy("u").agg(F.count("*").alias("n_out"))
+
+    state = (
+        adj.select(F.col("u").alias("start"))
+        .distinct()
+        .withColumn(
+            "walk", F.explode(F.array(*[F.lit(i) for i in range(walks_per_node)]))
+        )
+        .select(
+            "start", "walk", F.col("start").alias("cur"), F.col("start").alias("path")
+        )
+        .localCheckpoint(eager=True)
+    )
+    finished = []
+    for step in range(1, walk_length + 1):
+        st = state.join(deg, state["cur"] == deg["u"], "left")
+        dead = st.filter(F.col("n_out").isNull()).select("start", "walk", "path")
+        finished.append(dead)
+        live = st.filter(F.col("n_out").isNotNull())
+        if portable_hash:
+            h = linking.portable_hash60(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("cur"),
+                    F.col("walk").cast("string"),
+                    F.lit(str(step)),
+                )
+            )
+        else:
+            h = F.xxhash64(F.lit(step), F.col("walk"), F.col("cur"))
+        live = live.select(
+            "start", "walk", "cur", "path",
+            F.pmod(h, F.col("n_out")).alias("pick"),
+        )
+        state = (
+            live.join(
+                idx,
+                (live["cur"] == idx["u"]) & (live["pick"] == idx["idx"]),
+            )
+            .select(
+                "start",
+                "walk",
+                F.col("nxt").alias("cur"),
+                F.concat_ws(">", "path", "nxt").alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = state.select("start", "walk", "path")
+    for d in finished:
+        out = out.unionAll(d)
+    return out

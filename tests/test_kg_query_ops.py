@@ -334,3 +334,45 @@ def test_negative_samples_k_validation(spark):
     t = _triples(spark, [("d1", "p", "a")])
     with pytest.raises(ValueError, match="k must be"):
         negsample.negative_samples(t, k=0)
+
+
+# --- random walks ------------------------------------------------------------
+def test_random_walks_shape_and_determinism(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")])
+    for portable in (False, True):
+        out1 = sorted(
+            tuple(r)
+            for r in graph.random_walks(
+                e, walk_length=3, walks_per_node=2, portable_hash=portable
+            ).collect()
+        )
+        out2 = sorted(
+            tuple(r)
+            for r in graph.random_walks(
+                e, walk_length=3, walks_per_node=2, portable_hash=portable
+            ).collect()
+        )
+        assert out1 == out2
+        assert len(out1) == 3 * 2  # every node x walks_per_node
+        for start, walk, path in out1:
+            nodes = path.split(">")
+            assert nodes[0] == start and len(nodes) == 4
+            # every hop is a real edge
+            edges = {("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")}
+            for u, v in zip(nodes, nodes[1:]):
+                assert (u, v) in edges
+
+
+def test_random_walks_dead_end_stops_early(spark):
+    e = _edges(spark, [("a", "b"), ("b", "t")])  # t has no out-edges
+    out = graph.random_walks(e, walk_length=5, walks_per_node=1)
+    paths = {r["start"]: r["path"] for r in out.collect()}
+    assert paths["a"] == "a>b>t"
+    assert paths["b"] == "b>t"
+    assert "t" not in paths  # t never appears in the edge-src node set
+
+
+def test_random_walks_validation(spark):
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError, match="walk_length"):
+        graph.random_walks(e, walk_length=0)

@@ -111,6 +111,9 @@ AUDIT = {
     # broadcasts onto the exploded raw token stream (corpus text never
     # shuffles for the scoring join); count aggs partial-combine; JVM
     "dsir_weights": ("BroadcastHashJoin", "HashAggregate", "!InPandas"),
+    # random walks: steps end in localCheckpoint (plan reads the
+    # checkpointed walk-state RDD), every draw resolves via hash joins
+    "graph_random_walks": ("Scan ExistingRDD", "!InPandas"),
     # negative sampling: the pool draws resolve via (pred, idx) hash
     # joins against the indexed object table — never a nested loop,
     # never a driver-side array; the pool window is vocab-sized
