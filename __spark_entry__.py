@@ -1293,6 +1293,25 @@ _SUBCLASS_EDGES = [
 _SUBCLASS_VALUES_SQL = ", ".join(f"('{a}', '{b}')" for a, b in _SUBCLASS_EDGES)
 
 
+def q_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 temporal state table (operators/ranges.state_intervals):
+    the per-user event stream collapsed into event_type validity
+    intervals (consecutive same-state rows merge; each interval closed
+    by the next one's start, last open). Deterministic (ts, event_id)
+    ordering; both window passes share one sort."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    iv = ranges.state_intervals(ev, "user_id", "event_type", "ts", tie="event_id")
+    return iv.select(
+        F.col("key").alias("user_id"),
+        "state",
+        "valid_from",
+        "valid_to",
+        "n_events",
+    )
+
+
 def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk-style random walks
     (operators/graph.random_walks): 2 walks of length 3 from every
@@ -1600,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "kg_negative_samples": q_kg_negative_samples,
         "graph_random_walks": q_graph_random_walks,
+        "state_intervals": q_state_intervals,
         "graph_communities": q_graph_communities,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
@@ -3111,6 +3131,32 @@ def oracle_sql() -> dict[str, str]:
               HAVING count(DISTINCT obj) > 1
             )
             SELECT * FROM shape UNION ALL SELECT * FROM card
+        """,
+        "state_intervals": """
+            WITH r AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                          IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+            ),
+            r2 AS (
+              SELECT user_id, event_type, ts,
+                     sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS _run
+              FROM r
+            ),
+            iv AS (
+              SELECT user_id, _run, event_type AS state,
+                     min(ts) AS valid_from, count(*) AS n_events
+              FROM r2 GROUP BY user_id, _run, event_type
+            )
+            SELECT user_id, state, valid_from,
+                   lead(valid_from) OVER (
+                     PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+                   n_events
+            FROM iv
         """,
         "graph_random_walks": _WALKS_SQL,
         "kg_negative_samples": f"""

@@ -22,7 +22,7 @@ match.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -73,4 +73,56 @@ def time_window_pairs(
         # no distinct needed: the left row's 3 candidate buckets are 3
         # DISTINCT keys and the right row carries exactly one bucket,
         # so any (left, right) pair can join at most once
+    )
+
+
+def state_intervals(
+    df: DataFrame,
+    key: str,
+    state: str,
+    ts: str,
+    tie: str | None = None,
+) -> DataFrame:
+    """SCD2-style temporal state table: collapse an event stream into
+    per-key validity intervals — consecutive rows with the SAME state
+    merge into one interval (gaps-and-islands), each interval closed
+    by the next one's start (the last stays open, valid_to NULL).
+
+    This is the per-entity history materialization a KG needs when
+    assertions change over time (extractor-version transitions,
+    corrections timelines — the interval form of last_writer_wins):
+    "which state held at time T" becomes a plain range predicate on
+    the interval table.
+
+    Determinism: ordering is (ts, tie) — pass a unique tiebreaker when
+    timestamps can collide, exactly like last_writer_wins. Plan shape:
+    two window passes over the SAME (key, ts, tie) sort order —
+    Catalyst reuses one Exchange+Sort for the lag/run-sum and the
+    interval-close lead runs on the (already smaller) interval rows.
+    Output is interval-sized, never event-sized, when states repeat.
+
+    Returns (key, state, valid_from, valid_to, n_events).
+    """
+    order = [F.col(ts).asc()] + ([F.col(tie).asc()] if tie else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    changed = (
+        F.lag(F.col(state)).over(w).isNull()
+        | (F.lag(F.col(state)).over(w) != F.col(state))
+    ).cast("long")
+    runs = df.select(
+        F.col(key).alias("key"),
+        F.col(state).alias("state"),
+        F.col(ts).alias("ts"),
+        F.sum(changed).over(w).alias("_run"),
+    )
+    iv = runs.groupBy("key", "_run", "state").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    w2 = Window.partitionBy("key").orderBy(F.col("valid_from").asc())
+    return iv.select(
+        "key",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
     )

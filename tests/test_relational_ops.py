@@ -213,3 +213,42 @@ def test_kg_constraints_unruled_pred_open_world(spark):
     t = _triples(spark, [("d1", "site", "x"), ("d1", "site", "y")])
     r = _rules(spark, [("grade", True, None)])
     assert kgvalidate.constraint_violations(t, r).count() == 0
+
+
+# --- SCD2 state intervals ----------------------------------------------------
+def test_state_intervals_collapses_runs_and_closes(spark):
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10, 0),
+            (1, "a", 20, 1),   # same state -> merges into the first run
+            (1, "b", 30, 2),
+            (1, "a", 40, 3),   # state returns -> NEW interval, not merged
+            (2, "x", 15, 4),
+        ],
+        "k long, s string, t long, e long",
+    )
+    out = ranges.state_intervals(df, "k", "s", "t", tie="e")
+    rows = sorted(
+        (r["key"], r["state"], r["valid_from"], r["valid_to"], r["n_events"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "a", 10, 30, 2),
+        (1, "a", 40, None, 1),
+        (1, "b", 30, 40, 1),
+        (2, "x", 15, None, 1),
+    ]
+
+
+def test_state_intervals_tiebreak_orders_equal_timestamps(spark):
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+
+    df = spark.createDataFrame(
+        [(1, "b", 10, 2), (1, "a", 10, 1)], "k long, s string, t long, e long"
+    )
+    out = ranges.state_intervals(df, "k", "s", "t", tie="e")
+    rows = sorted((r["state"], r["n_events"]) for r in out.collect())
+    # e=1 ('a') sorts first, then 'b': two intervals, one event each
+    assert rows == [("a", 1), ("b", 1)]

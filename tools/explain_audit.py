@@ -111,6 +111,10 @@ AUDIT = {
     # broadcasts onto the exploded raw token stream (corpus text never
     # shuffles for the scoring join); count aggs partial-combine; JVM
     "dsir_weights": ("BroadcastHashJoin", "HashAggregate", "!InPandas"),
+    # SCD2 intervals: the lag + run-sum windows share one
+    # Exchange+Sort on (key, ts, tie); the interval-close lead runs on
+    # the (smaller) interval rows; all JVM
+    "state_intervals": ("Window", "!InPandas"),
     # random walks: steps end in localCheckpoint (plan reads the
     # checkpointed walk-state RDD), every draw resolves via hash joins
     "graph_random_walks": ("Scan ExistingRDD", "!InPandas"),
