@@ -3142,19 +3142,21 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ),
             r2 AS (
-              SELECT user_id, event_type, ts,
+              SELECT user_id, event_type, ts, event_id,
                      sum(chg) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id) AS _run
               FROM r
             ),
             iv AS (
               SELECT user_id, _run, event_type AS state,
-                     min(ts) AS valid_from, count(*) AS n_events
+                     min(ts) AS valid_from, count(*) AS n_events,
+                     min(event_id) AS _tie0
               FROM r2 GROUP BY user_id, _run, event_type
             )
             SELECT user_id, state, valid_from,
                    lead(valid_from) OVER (
-                     PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+                     PARTITION BY user_id
+                     ORDER BY valid_from, _tie0) AS valid_to,
                    n_events
             FROM iv
         """,

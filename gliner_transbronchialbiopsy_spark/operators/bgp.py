@@ -84,13 +84,17 @@ def bgp_match(
     per variable (set semantics — duplicate triples don't multiply).
     Raises on a disconnected pattern unless ``allow_cartesian``.
 
-    ``optional`` patterns are SPARQL OPTIONAL semantics: each is
-    left-joined onto the required bindings in order, its fresh
-    variables NULL where unmatched. An optional pattern must share at
-    least one variable with the required block (a disconnected
-    OPTIONAL is a cross product and raises). Optional-only variables
-    may chain: a later optional may join on an earlier optional's
-    variable.
+    ``optional`` patterns are left-joined onto the required bindings in
+    order, their fresh variables NULL where unmatched (the common
+    OPTIONAL case). An optional pattern must share at least one
+    variable with the bound set (a disconnected OPTIONAL is a cross
+    product and raises). A later optional may join on an earlier
+    optional's variable, with one documented divergence from full
+    SPARQL LeftJoin semantics: the chain join is NULL-rejecting, so a
+    row whose earlier optional came up unbound stays NULL through the
+    chain — SPARQL's compatible-mapping rule would instead let the
+    later pattern bind the variable fresh. Order optionals so chains
+    hang off required variables when that distinction matters.
     """
     if not patterns:
         raise ValueError("empty pattern list")
@@ -99,19 +103,35 @@ def bgp_match(
     )
     scans = [_scan(t, p) for p in patterns]
 
+    # fully-ground (ASK-style) patterns bind no variables: they are
+    # pure existence filters — applied LAST as crossJoins with their
+    # <=1-row relations so they never seed the greedy order (seeding
+    # with an empty bound set would spuriously disconnect every
+    # variable pattern)
+    ask = [i for i in range(len(scans)) if not scans[i][1]]
+    var_idx = [i for i in range(len(scans)) if scans[i][1]]
+    if not var_idx:
+        if optional:
+            raise ValueError(
+                "optional patterns cannot attach to a variable-free "
+                "(ASK-style) required block"
+            )
+        acc = scans[ask[0]][0]
+        for i in ask[1:]:
+            acc = acc.crossJoin(scans[i][0].select(F.lit(1).alias(f"_ask{i}")))
+        # stable one-column existence relation regardless of arity
+        return acc.select("_ask")
+
     # greedy order: most-constant pattern first, then connected-first
     order = sorted(
-        range(len(scans)),
+        var_idx,
         key=lambda i: (-sum(not _is_var(x) for x in patterns[i]), i),
     )
     pending = list(order)
     first = pending.pop(0)
     acc, bound = scans[first]
     while pending:
-        nxt = next(
-            (i for i in pending if scans[i][1] & bound or not scans[i][1]),
-            None,
-        )
+        nxt = next((i for i in pending if scans[i][1] & bound), None)
         if nxt is None:
             if not allow_cartesian:
                 raise ValueError(
@@ -127,6 +147,11 @@ def bgp_match(
         else:
             acc = acc.crossJoin(df)
         bound |= vs
+    for n, i in enumerate(ask):
+        acc = acc.crossJoin(
+            scans[i][0].select(F.lit(1).alias(f"_ask{n}"))
+        )
+        acc = acc.drop(f"_ask{n}")
     for p in optional or []:
         df, vs = _scan(t, p)
         shared = sorted(vs & bound)
@@ -137,6 +162,4 @@ def bgp_match(
             )
         acc = acc.join(df, on=shared, how="left")
         bound |= vs
-    if "_ask" in acc.columns and len(acc.columns) > 1:
-        acc = acc.drop("_ask")
     return acc

@@ -35,19 +35,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _words(text_col, lowercase: bool):
+    """Word array under the shared tokenizer contract
+    (textstats.word_tokens); lowercase=False keeps case but the same
+    trim/split/empty-guard shape."""
+    from .textstats import word_tokens
+
+    if lowercase:
+        return word_tokens(F.col(text_col))
+    t = F.trim(F.col(text_col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
 def word_counts(
     docs: DataFrame, text_col: str = "text", lowercase: bool = True
 ) -> DataFrame:
     """One pass over the corpus -> (word, cnt). The only text scan in
     BPE training; everything after is vocab-sized."""
-    t = F.trim(F.col(text_col))
-    if lowercase:
-        t = F.lower(t)
-    arr = F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
     return (
-        docs.select(F.explode(arr).alias("word"))
+        docs.select(F.explode(_words(text_col, lowercase)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
@@ -163,12 +171,7 @@ def bpe_apply(
             f"merge lists (got {len(merges)}); encode production vocabs "
             "with an Arrow-batched pandas UDF tokenizer kernel"
         )
-    t = F.trim(F.col(text_col))
-    if lowercase:
-        t = F.lower(t)
-    words = F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    words = _words(text_col, lowercase)
 
     def encode(word):
         syms = F.split(word, "")

@@ -36,15 +36,14 @@ from pyspark.sql import functions as F
 
 from . import linking
 from .termstats import SCALE, quantize_ln
+from .textstats import word_tokens
 
 
 def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    # same tokenizer contract as termstats._tokens (lower + \s+ split)
-    t = F.trim(F.lower(F.col(text_col)))
-    arr = F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+    # the one shared tokenizer contract (textstats.word_tokens)
+    return df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("token")
     )
-    return df.select(F.col(id_col), F.explode(arr).alias("token"))
 
 
 def _bucket(col, n_buckets: int, portable: bool):

@@ -368,8 +368,13 @@ def label_propagation(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    sym = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.localCheckpoint(eager=True)
+    # distinct AFTER symmetrizing: an edge present in both orientations
+    # in the input must not double that neighbor's vote
+    sym = (
+        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

@@ -105,20 +105,29 @@ def state_intervals(
     """
     order = [F.col(ts).asc()] + ([F.col(tie).asc()] if tie else [])
     w = Window.partitionBy(key).orderBy(*order)
+    # null-safe (IS DISTINCT FROM): consecutive NULL states merge into
+    # one run, and the first row of a group always opens one
     changed = (
-        F.lag(F.col(state)).over(w).isNull()
-        | (F.lag(F.col(state)).over(w) != F.col(state))
+        ~F.col(state).eqNullSafe(F.lag(F.col(state)).over(w))
     ).cast("long")
     runs = df.select(
         F.col(key).alias("key"),
         F.col(state).alias("state"),
         F.col(ts).alias("ts"),
+        *([F.col(tie).alias("_tie")] if tie else []),
         F.sum(changed).over(w).alias("_run"),
     )
     iv = runs.groupBy("key", "_run", "state").agg(
-        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+        *([F.min("_tie").alias("_tie0")] if tie else []),
     )
-    w2 = Window.partitionBy("key").orderBy(F.col("valid_from").asc())
+    # close intervals in the SAME total order the runs were built in —
+    # equal valid_from (same-timestamp events) falls back to the tie
+    order2 = [F.col("valid_from").asc()] + (
+        [F.col("_tie0").asc()] if tie else []
+    )
+    w2 = Window.partitionBy("key").orderBy(*order2)
     return iv.select(
         "key",
         "state",

@@ -84,6 +84,43 @@ def test_bgp_var_to_var_chain(spark):
     assert rows == [("a", "b", "c"), ("b", "c", "d")]
 
 
+def test_bgp_ask_pattern_mixed_with_variables(spark):
+    # regression: a fully-ground (ASK-style) pattern must act as a pure
+    # existence filter, never seed the greedy join order (which would
+    # spuriously report the variable patterns as disconnected)
+    t = _triples(
+        spark,
+        [("d1", "engine", "spark"), ("d1", "exec_op", "join"),
+         ("d2", "exec_op", "sort")],
+    )
+    out = bgp.bgp_match(
+        t, [("d1", "engine", "spark"), ("?d", "exec_op", "?op")]
+    )
+    rows = sorted(tuple(r) for r in out.select("d", "op").collect())
+    assert rows == [("d1", "join"), ("d2", "sort")]
+    # absent ground pattern -> existence filter empties the result
+    empty = bgp.bgp_match(
+        t, [("d1", "engine", "duckdb"), ("?d", "exec_op", "?op")]
+    )
+    assert empty.count() == 0
+
+
+def test_bgp_all_ground_ask(spark):
+    t = _triples(spark, [("d1", "engine", "spark"), ("d1", "exec_op", "join")])
+    yes = bgp.bgp_match(
+        t, [("d1", "engine", "spark"), ("d1", "exec_op", "join")]
+    )
+    assert yes.columns == ["_ask"] and yes.count() == 1
+    no = bgp.bgp_match(
+        t, [("d1", "engine", "spark"), ("d1", "exec_op", "sort")]
+    )
+    assert no.count() == 0
+    with pytest.raises(ValueError, match="variable-free"):
+        bgp.bgp_match(
+            t, [("d1", "engine", "spark")], optional=[("?d", "exec_op", "?o")]
+        )
+
+
 # --- reachability -----------------------------------------------------------
 def _edges(spark, pairs):
     return spark.createDataFrame(pairs, "src string, dst string")

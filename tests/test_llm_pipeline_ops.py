@@ -722,6 +722,24 @@ def test_bpe_apply_guards_oversized_merge_lists(spark):
         bpe.bpe_apply(docs, [("a", "b")] * 65)
 
 
+def test_bpe_word_counts_follows_shared_tokenizer_contract(spark):
+    # regression: BPE's text scan must use the one shared tokenizer
+    # (textstats.word_tokens) — tabs/newlines/runs of spaces split,
+    # blank text yields no words, lowercase=False keeps case
+    from gliner_transbronchialbiopsy_spark.operators import bpe
+
+    docs = _docs(spark, ["  Foo\tbar\n\nfoo  ", "   ", ""])
+    lower = {
+        r["word"]: r["cnt"] for r in bpe.word_counts(docs).collect()
+    }
+    assert lower == {"foo": 2, "bar": 1}
+    kept = {
+        r["word"]: r["cnt"]
+        for r in bpe.word_counts(docs, lowercase=False).collect()
+    }
+    assert kept == {"Foo": 1, "foo": 1, "bar": 1}
+
+
 def test_bpe_merge_overlapping_run_is_left_greedy(spark):
     from gliner_transbronchialbiopsy_spark.operators import bpe
     from pyspark.sql import functions as F2

@@ -252,3 +252,40 @@ def test_state_intervals_tiebreak_orders_equal_timestamps(spark):
     rows = sorted((r["state"], r["n_events"]) for r in out.collect())
     # e=1 ('a') sorts first, then 'b': two intervals, one event each
     assert rows == [("a", 1), ("b", 1)]
+
+
+def test_state_intervals_equal_ts_valid_to_uses_tie(spark):
+    # regression: the interval-close lead must order by (valid_from,
+    # tie) — with two intervals opening at the same timestamp, plain
+    # valid_from ordering leaves valid_to nondeterministic
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+
+    df = spark.createDataFrame(
+        [(1, "a", 10, 1), (1, "b", 10, 2), (1, "c", 20, 3)],
+        "k long, s string, t long, e long",
+    )
+    out = ranges.state_intervals(df, "k", "s", "t", tie="e")
+    rows = sorted(
+        (r["state"], r["valid_from"], r["valid_to"]) for r in out.collect()
+    )
+    assert rows == [("a", 10, 10), ("b", 10, 20), ("c", 20, None)]
+
+
+def test_state_intervals_null_states_merge(spark):
+    # regression: consecutive NULL states are ONE run (null-safe
+    # change detection), and a NULL->value transition opens a new one
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+
+    df = spark.createDataFrame(
+        [(1, None, 10, 1), (1, None, 20, 2), (1, "a", 30, 3)],
+        "k long, s string, t long, e long",
+    )
+    out = ranges.state_intervals(df, "k", "s", "t", tie="e")
+    rows = sorted(
+        (
+            (r["state"], r["valid_from"], r["valid_to"], r["n_events"])
+            for r in out.collect()
+        ),
+        key=lambda x: x[1],
+    )
+    assert rows == [(None, 10, 30, 2), ("a", 30, None, 1)]
