@@ -1280,6 +1280,74 @@ def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export.to_ntriples(triples)
 
 
+def q_kg_property_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property path (operators/paths.path_edges) —
+    ``(engine|exec_op|data_noun)/a/subclass_of*`` over the emitted KG
+    extended with type links (surface a label) and the demo subclass
+    ontology: every class each document's mentions entail, including
+    the zero-length step (the direct label itself). alt = set union of
+    three pred-pruned scans, seq = endpoint equi-joins, the subclass
+    closure is path-doubled over the 6-row ontology (the only relation
+    ``plus`` is FOR — instance-scale closures raise and route through
+    graph.reachable). Summarized as distinct docs per entailed class;
+    DuckDB restates the closure as a recursive CTE."""
+    from gliner_transbronchialbiopsy_spark.operators import paths
+
+    triples = q_kg_triples(spark, sf_dir)
+    types = triples.select(
+        F.col("obj").alias("subj"),
+        F.lit("a").alias("pred"),
+        F.col("pred").alias("obj"),
+    ).distinct()
+    onto = spark.createDataFrame(
+        _SUBCLASS_EDGES, "subj string, obj string"
+    ).select("subj", F.lit("subclass_of").alias("pred"), "obj")
+    # materialize the extended graph once: five path atoms + the node
+    # universe all scan it (measured 3x at sf0.01). This is the view
+    # analogue of what production gets for free from a pred-partitioned
+    # triples SNAPSHOT — atoms there are pruned file scans, no recompute
+    t = triples.unionByName(types).unionByName(onto).localCheckpoint(eager=True)
+    spec = (
+        "seq",
+        ("alt", ("pred", "engine"), ("pred", "exec_op"), ("pred", "data_noun")),
+        ("pred", "a"),
+        ("opt", ("plus", ("pred", "subclass_of"))),
+    )
+    pairs = paths.path_edges(t, spec)
+    return pairs.groupBy(F.col("dst").alias("cls")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def q_kg_domain_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS domain/range entailment saturated through the subclass
+    lattice (operators/graph.infer_domain_range -> infer_types, the
+    full RDFS-lite materialization): broadcast (pred, kind, cls) rules
+    type the subjects (rdfs2) and objects (rdfs3) of the emitted
+    triples, then rdfs9 lifts the memberships through subClassOf.
+    Instance rows shuffle once (the membership distinct); both
+    ontologies stay broadcast. Summarized as members per (cls,
+    asserted) — 'asserted' here means derived directly by a
+    domain/range rule rather than by subclass lifting."""
+    triples = q_kg_triples(spark, sf_dir)
+    rules = spark.createDataFrame(
+        [
+            ("engine", "domain", "document"),
+            ("engine", "range", "system"),
+            ("exec_op", "domain", "document"),
+            ("exec_op", "range", "operation"),
+            ("data_noun", "range", "artifact"),
+        ],
+        "pred string, kind string, cls string",
+    )
+    memb = graph.infer_domain_range(triples, rules)
+    sc = spark.createDataFrame(_SUBCLASS_EDGES, "sub string, sup string")
+    full = graph.infer_types(memb, sc)
+    return full.groupBy("cls", "asserted").agg(
+        F.count("*").alias("n_members")
+    )
+
+
 #: tiny demo ontology over the keyword-catalog labels, shared by the
 #: Spark query and the DuckDB oracle (rendered into SQL VALUES below)
 _SUBCLASS_EDGES = [
@@ -1625,6 +1693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
         "kg_ntriples": q_kg_ntriples,
+        "kg_property_path": q_kg_property_path,
+        "kg_domain_range": q_kg_domain_range,
         "quantiles_exact": q_quantiles_exact,
         "winsorized_stats": q_winsorized_stats,
         "fuzzy_match_blocked": q_fuzzy_match_blocked,
@@ -3383,6 +3453,84 @@ def oracle_sql() -> dict[str, str]:
                    || '" .' AS ntriple
             FROM t
         """.format(kw_values=kw_values),
+        "kg_property_path": f"""
+            WITH RECURSIVE t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            -- alt of the three label atoms, then seq with the 'a' type
+            -- link (surface -> its label-as-class)
+            s1 AS (SELECT DISTINCT subj AS src, obj AS dst FROM t
+                   WHERE pred IN ('engine', 'exec_op', 'data_noun')),
+            ty AS (SELECT DISTINCT obj AS src, pred AS dst FROM t),
+            s2 AS (SELECT DISTINCT s1.src, ty.dst
+                   FROM s1 JOIN ty ON ty.src = s1.dst),
+            sc(sub, sup) AS (VALUES {{subclass_values}}),
+            cl AS (
+              SELECT sub, sup FROM sc
+              UNION
+              SELECT cl.sub, sc.sup FROM cl JOIN sc ON cl.sup = sc.sub
+            ),
+            -- subclass_of* : zero-length step keeps the direct class,
+            -- the closure adds every ancestor. Explicit DISTINCT: in a
+            -- WITH RECURSIVE block DuckDB 1.0 does NOT dedupe a
+            -- top-level UNION inside a non-self-referencing CTE
+            paths AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM s2
+                UNION ALL
+                SELECT s2.src, cl.sup AS dst FROM s2 JOIN cl ON cl.sub = s2.dst
+              )
+            )
+            SELECT dst AS cls, count(*) AS n_docs FROM paths GROUP BY dst
+        """.format(kw_values=kw_values, subclass_values=_SUBCLASS_VALUES_SQL),
+        "kg_domain_range": f"""
+            WITH RECURSIVE t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            rules(pred, kind, cls) AS (VALUES
+              ('engine', 'domain', 'document'),
+              ('engine', 'range', 'system'),
+              ('exec_op', 'domain', 'document'),
+              ('exec_op', 'range', 'operation'),
+              ('data_noun', 'range', 'artifact')
+            ),
+            memb AS (
+              SELECT DISTINCT
+                     CASE WHEN r.kind = 'domain' THEN t.subj ELSE t.obj END AS inst,
+                     r.cls AS cls
+              FROM t JOIN rules r ON r.pred = t.pred
+            ),
+            sc(sub, sup) AS (VALUES {{subclass_values}}),
+            cl AS (
+              SELECT sub, sup FROM sc
+              UNION
+              SELECT cl.sub, sc.sup FROM cl JOIN sc ON cl.sup = sc.sub
+            ),
+            full_memb AS (
+              SELECT inst, cls, TRUE AS asserted FROM memb
+              UNION ALL
+              SELECT DISTINCT m.inst, cl.sup AS cls, FALSE AS asserted
+              FROM memb m JOIN cl ON m.cls = cl.sub
+              WHERE NOT EXISTS (
+                SELECT 1 FROM memb m2
+                WHERE m2.inst = m.inst AND m2.cls = cl.sup
+              )
+            )
+            SELECT cls, asserted, count(*) AS n_members
+            FROM full_memb GROUP BY cls, asserted
+        """.format(kw_values=kw_values, subclass_values=_SUBCLASS_VALUES_SQL),
         "quantiles_exact": """
             SELECT l_returnflag, l_linestatus,
                    round(quantile_cont(l_extendedprice, 0.25), 4) AS q_25,

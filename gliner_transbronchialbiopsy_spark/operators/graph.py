@@ -333,6 +333,54 @@ def infer_types(
     return it.withColumn("asserted", F.lit(True)).unionAll(inferred)
 
 
+def infer_domain_range(
+    triples: DataFrame,
+    rules: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """RDFS domain/range entailment (rdfs2/rdfs3, the other half of
+    the RDFS-lite profile next to :func:`infer_types`' rdfs9/rdfs11):
+    a triple (s, p, o) under a rule (p, 'domain', C) entails s a C; a
+    rule (p, 'range', C) entails o a C.
+
+    ``rules(pred, kind, cls)`` with kind in {'domain', 'range'} is the
+    ontology — schema-sized, broadcast onto the single triple scan, so
+    the instance side shuffles once (the closing distinct) and only
+    carrying (inst, cls) pairs, never the full triple width. Unknown
+    ``kind`` values raise rather than silently dropping rules. Output
+    is the distinct (inst, cls) membership set — feed it (optionally
+    unioned with asserted types) into :func:`infer_types` to saturate
+    through the subclass lattice; the composition is the full RDFS-lite
+    materialization a KG store runs.
+    """
+    r = rules.select(
+        F.col(rules.columns[0]).alias("_pred"),
+        F.col(rules.columns[1]).alias("_kind"),
+        F.col(rules.columns[2]).alias("_cls"),
+    )
+    bad = r.filter(~F.col("_kind").isin("domain", "range")).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"infer_domain_range: unknown rule kind {bad[0]['_kind']!r} "
+            "(expected 'domain' or 'range')"
+        )
+    t = triples.select(
+        F.col(subj).alias("_s"), F.col(pred).alias("_p"), F.col(obj).alias("_o")
+    )
+    joined = t.join(
+        F.broadcast(r), t["_p"] == r["_pred"]
+    )
+    dom = joined.filter(F.col("_kind") == "domain").select(
+        F.col("_s").alias("inst"), F.col("_cls").alias("cls")
+    )
+    rng = joined.filter(F.col("_kind") == "range").select(
+        F.col("_o").alias("inst"), F.col("_cls").alias("cls")
+    )
+    return dom.unionAll(rng).distinct()
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 3,

@@ -413,3 +413,137 @@ def test_random_walks_validation(spark):
     e = _edges(spark, [("a", "b")])
     with pytest.raises(ValueError, match="walk_length"):
         graph.random_walks(e, walk_length=0)
+
+
+# --- property paths ----------------------------------------------------------
+def test_path_pred_inv_seq_alt(spark):
+    from gliner_transbronchialbiopsy_spark.operators import paths
+
+    t = _triples(
+        spark,
+        [
+            ("d1", "engine", "spark"),
+            ("d2", "engine", "spark"),
+            ("d2", "uses", "arrow"),
+            ("d3", "uses", "arrow"),
+        ],
+    )
+    # engine/^engine : doc -> engine surface -> docs sharing it
+    spec = ("seq", ("pred", "engine"), ("inv", ("pred", "engine")))
+    got = {
+        (r["src"], r["dst"])
+        for r in paths.path_edges(t, spec).collect()
+    }
+    assert got == {
+        ("d1", "d1"), ("d1", "d2"), ("d2", "d1"), ("d2", "d2"),
+    }
+    # alt: engine|uses
+    alt = paths.path_edges(t, ("alt", ("pred", "engine"), ("pred", "uses")))
+    assert alt.count() == 4
+
+
+def test_path_plus_closure_and_star(spark):
+    from gliner_transbronchialbiopsy_spark.operators import paths
+
+    t = _triples(
+        spark,
+        [("a", "sub", "b"), ("b", "sub", "c"), ("c", "sub", "d")],
+    )
+    plus = {
+        (r["src"], r["dst"])
+        for r in paths.path_edges(t, ("plus", ("pred", "sub"))).collect()
+    }
+    assert plus == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    }
+    star = {
+        (r["src"], r["dst"])
+        for r in paths.path_edges(
+            t, ("opt", ("plus", ("pred", "sub")))
+        ).collect()
+    }
+    # zero-length: every graph term relates to itself
+    assert star == plus | {(x, x) for x in "abcd"}
+
+
+def test_path_plus_converges_on_cycle(spark):
+    from gliner_transbronchialbiopsy_spark.operators import paths
+
+    t = _triples(spark, [("a", "p", "b"), ("b", "p", "a")])
+    got = {
+        (r["src"], r["dst"])
+        for r in paths.path_edges(t, ("plus", ("pred", "p"))).collect()
+    }
+    assert got == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")}
+
+
+def test_path_closure_cap_raises_on_instance_scale(spark):
+    from gliner_transbronchialbiopsy_spark.operators import paths
+
+    t = _triples(spark, [(f"n{i}", "p", f"n{i+1}") for i in range(20)])
+    with pytest.raises(ValueError, match="schema-sized"):
+        paths.path_edges(t, ("plus", ("pred", "p")), max_closure_rows=5)
+
+
+def test_path_spec_validation(spark):
+    from gliner_transbronchialbiopsy_spark.operators import paths
+
+    t = _triples(spark, [("a", "p", "b")])
+    with pytest.raises(ValueError, match="non-empty tuple"):
+        paths.path_edges(t, "p")
+    with pytest.raises(ValueError, match="unknown path operator"):
+        paths.path_edges(t, ("star", ("pred", "p")))
+    with pytest.raises(ValueError, match=">=2 sub-paths"):
+        paths.path_edges(t, ("seq", ("pred", "p")))
+
+
+# --- domain/range inference --------------------------------------------------
+def test_infer_domain_range_types_both_ends(spark):
+    t = _triples(
+        spark,
+        [("d1", "engine", "spark"), ("d1", "uses", "arrow"),
+         ("d2", "engine", "hash")],
+    )
+    rules = spark.createDataFrame(
+        [("engine", "domain", "document"), ("engine", "range", "system")],
+        "pred string, kind string, cls string",
+    )
+    got = {
+        (r["inst"], r["cls"])
+        for r in graph.infer_domain_range(t, rules).collect()
+    }
+    # 'uses' has no rule -> contributes nothing
+    assert got == {
+        ("d1", "document"), ("d2", "document"),
+        ("spark", "system"), ("hash", "system"),
+    }
+
+
+def test_infer_domain_range_rejects_unknown_kind(spark):
+    t = _triples(spark, [("d1", "engine", "spark")])
+    rules = spark.createDataFrame(
+        [("engine", "codomain", "x")], "pred string, kind string, cls string"
+    )
+    with pytest.raises(ValueError, match="unknown rule kind"):
+        graph.infer_domain_range(t, rules)
+
+
+def test_domain_range_composes_with_subclass_saturation(spark):
+    t = _triples(spark, [("d1", "exec_op", "join")])
+    rules = spark.createDataFrame(
+        [("exec_op", "range", "operation")],
+        "pred string, kind string, cls string",
+    )
+    memb = graph.infer_domain_range(t, rules)
+    sc = spark.createDataFrame(
+        [("operation", "kg_term")], "sub string, sup string"
+    )
+    full = {
+        (r["inst"], r["cls"], r["asserted"])
+        for r in graph.infer_types(memb, sc).collect()
+    }
+    assert full == {
+        ("join", "operation", True),
+        ("join", "kg_term", False),
+    }

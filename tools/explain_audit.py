@@ -158,6 +158,14 @@ AUDIT = {
     # N-Triples sink: one pure string projection, no shuffle at all
     # after the triple dedup, no Python
     "kg_ntriples": ("Project", "!InPandas", "!SortMergeJoin"),
+    # property path: the subclass closure is path-doubled behind eager
+    # localCheckpoints (schema-sized by contract), so the visible plan
+    # joins the checkpointed closure RDD; atoms are pred-pruned scans,
+    # zero Python
+    "kg_property_path": ("Scan ExistingRDD", "!InPandas"),
+    # rdfs2/rdfs3: the (pred, kind, cls) rule table broadcasts onto the
+    # one triple scan; instances shuffle only for the closing distinct
+    "kg_domain_range": ("BroadcastHashJoin", "!InPandas"),
 }
 
 
