@@ -1348,6 +1348,47 @@ def q_kg_domain_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_linkpred_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction ranking metrics (operators/kgeval) under the
+    Bordes et al. filtered protocol: every distinct emitted triple is
+    a positive, negsample corrupts its object twice (portable hash
+    family), and a deterministic hash surrogate scores positive +
+    corruptions — rank = 1 + negatives strictly ahead under (score
+    DESC, candidate ASC), MRR in exact fixed-point (scale div rank),
+    Hits@{1,3,10} as long counts. One window pass, one aggregate; the
+    oracle restates the draw, the surrogate score, and the window
+    bit-for-bit."""
+    from gliner_transbronchialbiopsy_spark.operators import (
+        kgeval,
+        linking,
+        negsample,
+    )
+
+    triples = q_kg_triples(spark, sf_dir)
+    neg = negsample.negative_samples(triples, k=2, portable_hash=True)
+    pos = (
+        neg.select("subj", "pred", "obj")
+        .distinct()
+        .select(
+            "subj", "pred", "obj",
+            F.col("obj").alias("candidate"),
+            F.lit(True).alias("is_pos"),
+        )
+    )
+    negs = neg.select(
+        "subj", "pred", "obj",
+        F.col("neg_obj").alias("candidate"),
+        F.lit(False).alias("is_pos"),
+    )
+    scored = pos.unionByName(negs).withColumn(
+        "score",
+        linking.portable_hash60(
+            F.concat_ws("\x1f", "subj", "pred", "candidate")
+        ) % 1000,
+    )
+    return kgeval.link_prediction_metrics(scored)
+
+
 #: tiny demo ontology over the keyword-catalog labels, shared by the
 #: Spark query and the DuckDB oracle (rendered into SQL VALUES below)
 _SUBCLASS_EDGES = [
@@ -1695,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ntriples": q_kg_ntriples,
         "kg_property_path": q_kg_property_path,
         "kg_domain_range": q_kg_domain_range,
+        "kg_linkpred_metrics": q_kg_linkpred_metrics,
         "quantiles_exact": q_quantiles_exact,
         "winsorized_stats": q_winsorized_stats,
         "fuzzy_match_blocked": q_fuzzy_match_blocked,
@@ -3268,6 +3310,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, pred, obj, i,
                    CASE WHEN obj0 = obj THEN obj1 ELSE obj0 END AS neg_obj
             FROM c1
+        """.format(kw_values=kw_values),
+        "kg_linkpred_metrics": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            o AS (
+              SELECT pred, obj AS pool_obj,
+                     row_number() OVER (PARTITION BY pred ORDER BY obj) - 1 AS idx
+              FROM (SELECT DISTINCT pred, obj FROM t)
+            ),
+            n AS (SELECT pred, count(*) AS n_obj FROM o GROUP BY pred),
+            b AS (
+              SELECT t.subj, t.pred, t.obj, n.n_obj, i.i,
+                     CAST(concat('0x', substr(sha256(
+                       t.subj || chr(31) || t.pred || chr(31) || t.obj
+                       || chr(31) || CAST(i.i AS VARCHAR)), 1, 15))
+                       AS BIGINT) % n.n_obj AS idx0
+              FROM t JOIN n USING (pred), LATERAL unnest([0, 1]) i(i)
+              WHERE n.n_obj > 1
+            ),
+            c0 AS (
+              SELECT b.*, o.pool_obj AS obj0
+              FROM b JOIN o ON o.pred = b.pred AND o.idx = b.idx0
+            ),
+            neg AS (
+              SELECT c0.subj, c0.pred, c0.obj,
+                     CASE WHEN c0.obj0 = c0.obj THEN o.pool_obj
+                          ELSE c0.obj0 END AS neg_obj
+              FROM c0 JOIN o ON o.pred = c0.pred
+                AND o.idx = (c0.idx0 + 1) % c0.n_obj
+            ),
+            cand AS (
+              SELECT subj, pred, obj, obj AS candidate, TRUE AS is_pos
+              FROM (SELECT DISTINCT subj, pred, obj FROM neg)
+              UNION ALL
+              SELECT subj, pred, obj, neg_obj AS candidate, FALSE AS is_pos
+              FROM neg
+            ),
+            scored AS (
+              SELECT *,
+                     CAST(concat('0x', substr(sha256(
+                       subj || chr(31) || pred || chr(31) || candidate),
+                       1, 15)) AS BIGINT) % 1000 AS score
+              FROM cand
+            ),
+            ranked AS (
+              SELECT is_pos,
+                     1 + coalesce(sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY subj, pred, obj
+                             ORDER BY score DESC, candidate ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS rank
+              FROM scored
+            )
+            SELECT count(*) AS n_pos,
+                   CAST(sum(1000000000 // rank) // count(*) AS BIGINT) AS mrr_fp,
+                   CAST(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_1,
+                   CAST(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits_3,
+                   CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits_10
+            FROM ranked WHERE is_pos
         """.format(kw_values=kw_values),
         "bpe_pair_counts": r"""
             WITH w AS (

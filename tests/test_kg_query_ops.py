@@ -547,3 +547,58 @@ def test_domain_range_composes_with_subclass_saturation(spark):
         ("join", "operation", True),
         ("join", "kg_term", False),
     }
+
+
+# --- link-prediction metrics -------------------------------------------------
+def _cands(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, candidate string, "
+              "is_pos boolean, score long"
+    )
+
+
+def test_linkpred_filtered_ranks_and_fixed_point_mrr(spark):
+    from gliner_transbronchialbiopsy_spark.operators import kgeval
+
+    rows = [
+        # g1: neg ahead -> rank 2
+        ("s1", "p", "o1", "o1", True, 10),
+        ("s1", "p", "o1", "a", False, 20),
+        ("s1", "p", "o1", "b", False, 5),
+        # g2: positive on top -> rank 1
+        ("s2", "p", "o2", "o2", True, 30),
+        ("s2", "p", "o2", "a", False, 10),
+        ("s2", "p", "o2", "b", False, 5),
+        # g3: two positives, one neg between them (filtered: the other
+        # positive never depresses the rank)
+        ("s3", "p", "o3", "p1", True, 10),
+        ("s3", "p", "o3", "p2", True, 8),
+        ("s3", "p", "o3", "n", False, 9),
+    ]
+    out = kgeval.link_prediction_metrics(_cands(spark, rows)).collect()[0]
+    assert out["n_pos"] == 4
+    # rr: 1/2, 1, 1, 1/2 -> sum 3e9, mrr = 3e9 div 4
+    assert out["mrr_fp"] == 750_000_000
+    assert out["hits_1"] == 2
+    assert out["hits_3"] == 4
+    assert out["hits_10"] == 4
+
+
+def test_linkpred_score_tie_breaks_on_candidate(spark):
+    from gliner_transbronchialbiopsy_spark.operators import kgeval
+
+    rows = [
+        ("s", "p", "o", "b", True, 10),
+        ("s", "p", "o", "a", False, 10),  # ties, 'a' < 'b' -> ahead
+        ("s", "p", "o", "c", False, 10),  # ties, 'c' > 'b' -> behind
+    ]
+    out = kgeval.link_prediction_metrics(_cands(spark, rows)).collect()[0]
+    assert out["n_pos"] == 1 and out["hits_1"] == 0 and out["hits_3"] == 1
+    assert out["mrr_fp"] == 500_000_000  # rank 2
+
+
+def test_linkpred_ks_validation(spark):
+    from gliner_transbronchialbiopsy_spark.operators import kgeval
+
+    with pytest.raises(ValueError, match="ks"):
+        kgeval.link_prediction_metrics(_cands(spark, []), ks=(0,))

@@ -166,6 +166,10 @@ AUDIT = {
     # rdfs2/rdfs3: the (pred, kind, cls) rule table broadcasts onto the
     # one triple scan; instances shuffle only for the closing distinct
     "kg_domain_range": ("BroadcastHashJoin", "!InPandas"),
+    # filtered link-prediction ranking: one window pass over k+1-row
+    # groups, then one global aggregate — no joins after the candidate
+    # build, no Python
+    "kg_linkpred_metrics": ("Window", "HashAggregate", "!InPandas"),
 }
 
 
