@@ -1389,6 +1389,36 @@ def q_kg_linkpred_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kgeval.link_prediction_metrics(scored)
 
 
+def q_kg_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest paths (operators/graph.
+    shortest_paths): the customer-nation -> supplier-nation trade graph
+    (edge weight = lineitem count, parallel edges pre-min'd inside the
+    operator), Bellman-Ford frontier relaxation from nation 0, max 3
+    hops. Integer weight sums are exact, so distances are bit-identical
+    at any parallelism; DuckDB restates the bounded relaxation as a
+    recursive CTE with a min(dist) roll-up."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    sources = (
+        _read(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") == 0)
+        .select(F.col("n_nationkey").cast("long").alias("node"))
+    )
+    return graph.shortest_paths(edges, sources, max_hops=3, weight="w")
+
+
 #: tiny demo ontology over the keyword-catalog labels, shared by the
 #: Spark query and the DuckDB oracle (rendered into SQL VALUES below)
 _SUBCLASS_EDGES = [
@@ -1737,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_property_path": q_kg_property_path,
         "kg_domain_range": q_kg_domain_range,
         "kg_linkpred_metrics": q_kg_linkpred_metrics,
+        "kg_weighted_paths": q_kg_weighted_paths,
         "quantiles_exact": q_quantiles_exact,
         "winsorized_stats": q_winsorized_stats,
         "fuzzy_match_blocked": q_fuzzy_match_blocked,
@@ -3311,6 +3342,28 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN obj0 = obj THEN obj1 ELSE obj0 END AS neg_obj
             FROM c1
         """.format(kw_values=kw_values),
+        "kg_weighted_paths": """
+            WITH RECURSIVE e AS MATERIALIZED (
+              SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+                     CAST(s.s_nationkey AS BIGINT) AS dst,
+                     count(*) AS w
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT CAST(n_nationkey AS BIGINT) AS node,
+                     CAST(0 AS BIGINT) AS dist, 0 AS hops
+              FROM nation WHERE n_nationkey = 0
+              UNION
+              SELECT e.dst AS node, r.dist + e.w AS dist, r.hops + 1 AS hops
+              FROM r JOIN e ON e.src = r.node
+              WHERE r.hops < 3
+            )
+            SELECT node, min(dist) AS dist FROM r GROUP BY node
+        """,
         "kg_linkpred_metrics": f"""
             WITH t AS MATERIALIZED (
               SELECT DISTINCT

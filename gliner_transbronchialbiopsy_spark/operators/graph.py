@@ -333,6 +333,79 @@ def infer_types(
     return it.withColumn("asserted", F.lit(True)).unionAll(inferred)
 
 
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    node: str = "node",
+) -> DataFrame:
+    """Hop-bounded weighted shortest distances: for every node
+    reachable from ``sources`` within ``max_hops`` directed edges, the
+    minimum total edge weight over such paths (weight=None treats
+    every edge as 1, reducing to :func:`reachable`'s BFS distance).
+
+    This is Bellman-Ford with the frontier discipline of the module's
+    other loops: per round, ONLY nodes whose distance improved last
+    round rejoin the edge table; a min-aggregate per destination and a
+    strictly-less join against the running best keep the frontier
+    shrinking toward a fixed point, with early exit when a round
+    improves nothing. Hop-bounding makes the semantics total on ANY
+    long weights (negative edges included — a negative cycle cannot
+    loop because paths are capped at max_hops edges), and integer
+    sums keep results bit-identical at any parallelism and in the
+    DuckDB oracle's recursive CTE.
+
+    Returns (node, dist) with dist a long; sources sit at dist 0
+    unless a shorter (negative) path overtakes them within the bound.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = (
+        edges.select(
+            F.col(src).alias("_e_src"), F.col(dst).alias("_e_dst"), w.alias("_w")
+        )
+        # parallel edges: only the lightest can ever win a min-sum
+        .groupBy("_e_src", "_e_dst")
+        .agg(F.min("_w").alias("_w"))
+    )
+    best = (
+        sources.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = best
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(e, frontier["node"] == e["_e_src"])
+            .select(
+                F.col("_e_dst").alias("node"),
+                (F.col("dist") + F.col("_w")).alias("_cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("_cand").alias("_cand"))
+        )
+        improved = (
+            cand.join(best, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("_cand") < F.col("dist")))
+            .select("node", F.col("_cand").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        best = (
+            best.join(improved.select("node"), "node", "left_anti")
+            .unionAll(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return best
+
+
 def infer_domain_range(
     triples: DataFrame,
     rules: DataFrame,

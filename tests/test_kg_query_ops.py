@@ -602,3 +602,48 @@ def test_linkpred_ks_validation(spark):
 
     with pytest.raises(ValueError, match="ks"):
         kgeval.link_prediction_metrics(_cands(spark, []), ks=(0,))
+
+
+# --- weighted shortest paths -------------------------------------------------
+def _wedges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, w long")
+
+
+def test_shortest_paths_prefers_cheaper_longer_route(spark):
+    e = _wedges(spark, [("a", "b", 1), ("b", "c", 1), ("a", "c", 5)])
+    out = graph.shortest_paths(e, _sources(spark, ["a"]), max_hops=2, weight="w")
+    dist = {r["node"]: r["dist"] for r in out.collect()}
+    assert dist == {"a": 0, "b": 1, "c": 2}
+    # hop bound 1 can only take the direct edge
+    out1 = graph.shortest_paths(e, _sources(spark, ["a"]), max_hops=1, weight="w")
+    assert {r["node"]: r["dist"] for r in out1.collect()} == {
+        "a": 0, "b": 1, "c": 5,
+    }
+
+
+def test_shortest_paths_unweighted_matches_bfs(spark):
+    e = _wedges(spark, [("a", "b", 9), ("b", "c", 9), ("a", "c", 9)])
+    out = graph.shortest_paths(e, _sources(spark, ["a"]), max_hops=3)
+    assert {r["node"]: r["dist"] for r in out.collect()} == {
+        "a": 0, "b": 1, "c": 1,
+    }
+
+
+def test_shortest_paths_negative_edges_hop_bounded(spark):
+    # hop bound makes negative edges total: the a->b->a loop (-4) may
+    # overtake the source's 0 exactly once within 2 hops
+    e = _wedges(spark, [("a", "b", 1), ("b", "a", -5)])
+    out = graph.shortest_paths(e, _sources(spark, ["a"]), max_hops=2, weight="w")
+    assert {r["node"]: r["dist"] for r in out.collect()} == {"a": -4, "b": 1}
+
+
+def test_shortest_paths_parallel_edges_take_min(spark):
+    e = _wedges(spark, [("a", "b", 7), ("a", "b", 3)])
+    out = graph.shortest_paths(e, _sources(spark, ["a"]), max_hops=1, weight="w")
+    assert {r["node"]: r["dist"] for r in out.collect()} == {"a": 0, "b": 3}
+
+
+def test_shortest_paths_validation(spark):
+    e = _wedges(spark, [("a", "b", 1)])
+    with pytest.raises(ValueError, match="max_hops"):
+        graph.shortest_paths(e, _sources(spark, ["a"]), max_hops=-1)

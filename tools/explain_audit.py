@@ -170,6 +170,9 @@ AUDIT = {
     # groups, then one global aggregate — no joins after the candidate
     # build, no Python
     "kg_linkpred_metrics": ("Window", "HashAggregate", "!InPandas"),
+    # Bellman-Ford rounds end in eager localCheckpoints, so the visible
+    # plan reads the checkpointed best-distance RDD; zero Python
+    "kg_weighted_paths": ("Scan ExistingRDD", "!InPandas"),
 }
 
 
