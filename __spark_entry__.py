@@ -1389,6 +1389,81 @@ def q_kg_linkpred_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kgeval.link_prediction_metrics(scored)
 
 
+def q_kg_path_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded property-path evaluation (operators/paths.path_reachable)
+    — the instance-scale plan for a path with a bound endpoint: seeds
+    are the documents whose id ends in '7@HEAD', the path is
+    ``(engine|exec_op|data_noun)/a/subclass_of*``, and evaluation is
+    image chaining (node-set joins onto pred-pruned scans; the
+    subclass star runs as a seeded BFS fixed point) — no closure, no
+    (src, dst) relation ever materialized. Returns the entailed class
+    set; the oracle restates the image chain with a recursive CTE for
+    the star step."""
+    from gliner_transbronchialbiopsy_spark.operators import paths
+
+    triples = q_kg_triples(spark, sf_dir)
+    types = triples.select(
+        F.col("obj").alias("subj"),
+        F.lit("a").alias("pred"),
+        F.col("pred").alias("obj"),
+    ).distinct()
+    onto = spark.createDataFrame(
+        _SUBCLASS_EDGES, "subj string, obj string"
+    ).select("subj", F.lit("subclass_of").alias("pred"), "obj")
+    t = triples.unionByName(types).unionByName(onto).localCheckpoint(eager=True)
+    seeds = (
+        triples.filter(F.col("subj").endswith("7@HEAD"))
+        .select(F.col("subj").alias("node"))
+        .distinct()
+    )
+    spec = (
+        "seq",
+        ("alt", ("pred", "engine"), ("pred", "exec_op"), ("pred", "data_noun")),
+        ("pred", "a"),
+        ("opt", ("plus", ("pred", "subclass_of"))),
+    )
+    return paths.path_reachable(t, seeds, spec)
+
+
+def q_kg_sameas_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs-style canonical rewrite of the emitted triples — the
+    consumption-side form of the pipeline's canonicalization stage
+    (components.canonical_map, J5): surfaces equal after
+    lowercase+strip-non-alnum normalization get sameAs edges, the REAL
+    connected-components operator elects min-id canonicals, and every
+    triple's object is rewritten through the map. Because each sameAs
+    group is a clique here, the oracle restates the election as a
+    per-normal-form min — the component result must coincide exactly,
+    which is what makes the CC operator oracle-checkable. Output:
+    (pred, obj_canonical, n_triples, n_variants) per canonical object."""
+    from gliner_transbronchialbiopsy_spark.operators import components
+
+    # assertion-level (set) semantics, like kg_ntriples
+    triples = q_kg_triples(spark, sf_dir).distinct()
+    surf = triples.select(F.col("obj").alias("node")).distinct()
+    norm = surf.withColumn(
+        "_nf", F.regexp_replace(F.lower(F.col("node")), r"[^0-9a-z]+", "")
+    )
+    # sameAs edges: every surface to its normal-form group's min —
+    # star-shaped per group, so CC must elect exactly that min
+    hub = norm.groupBy("_nf").agg(F.min("node").alias("_hub"))
+    edges = (
+        norm.join(hub, "_nf")
+        .filter(F.col("node") != F.col("_hub"))
+        .select(F.col("node").alias("src"), F.col("_hub").alias("dst"))
+    )
+    cmap = components.canonical_map(edges, surf, node_col="node")
+    rewritten = triples.join(
+        cmap.withColumnRenamed("node", "obj"), "obj"
+    )
+    return rewritten.groupBy(
+        "pred", F.col("canonical").alias("obj_canonical")
+    ).agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("obj").alias("n_variants"),
+    )
+
+
 def q_kg_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop-bounded weighted shortest paths (operators/graph.
     shortest_paths): the customer-nation -> supplier-nation trade graph
@@ -1768,6 +1843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_domain_range": q_kg_domain_range,
         "kg_linkpred_metrics": q_kg_linkpred_metrics,
         "kg_weighted_paths": q_kg_weighted_paths,
+        "kg_path_seeded": q_kg_path_seeded,
+        "kg_sameas_rewrite": q_kg_sameas_rewrite,
         "quantiles_exact": q_quantiles_exact,
         "winsorized_stats": q_winsorized_stats,
         "fuzzy_match_blocked": q_fuzzy_match_blocked,
@@ -3342,6 +3419,63 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN obj0 = obj THEN obj1 ELSE obj0 END AS neg_obj
             FROM c1
         """.format(kw_values=kw_values),
+        "kg_sameas_rewrite": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            surf AS (SELECT DISTINCT obj AS node FROM t),
+            norm AS (
+              SELECT node,
+                     regexp_replace(lower(node), '[^0-9a-z]+', '', 'g') AS nf
+              FROM surf
+            ),
+            hub AS (SELECT nf, min(node) AS canonical FROM norm GROUP BY nf),
+            cmap AS (SELECT n.node, h.canonical FROM norm n JOIN hub h USING (nf))
+            SELECT t.pred, c.canonical AS obj_canonical,
+                   count(*) AS n_triples,
+                   count(DISTINCT t.obj) AS n_variants
+            FROM t JOIN cmap c ON t.obj = c.node
+            GROUP BY 1, 2
+        """.format(kw_values=kw_values),
+        "kg_path_seeded": f"""
+            WITH RECURSIVE t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            sc(sub, sup) AS (VALUES {{subclass_values}}),
+            -- image chain: seed docs -> their surfaces -> their classes
+            s1 AS (SELECT DISTINCT obj AS node FROM t
+                   WHERE pred IN ('engine', 'exec_op', 'data_noun')
+                     AND subj LIKE '%7@HEAD'),
+            s2 AS (SELECT DISTINCT t.pred AS node
+                   FROM t JOIN s1 ON t.obj = s1.node),
+            cl AS (
+              SELECT sub, sup FROM sc
+              UNION
+              SELECT cl.sub, sc.sup FROM cl JOIN sc ON cl.sup = sc.sub
+            ),
+            -- star: zero-length keeps s2; DISTINCT-over-UNION-ALL per
+            -- the WITH RECURSIVE non-dedupe quirk
+            img AS (
+              SELECT DISTINCT node FROM (
+                SELECT node FROM s2
+                UNION ALL
+                SELECT cl.sup AS node FROM s2 JOIN cl ON cl.sub = s2.node
+              )
+            )
+            SELECT node FROM img
+        """.format(kw_values=kw_values, subclass_values=_SUBCLASS_VALUES_SQL),
         "kg_weighted_paths": """
             WITH RECURSIVE e AS MATERIALIZED (
               SELECT CAST(c.c_nationkey AS BIGINT) AS src,

@@ -163,6 +163,128 @@ def _eval(t: DataFrame, spec, nodes: DataFrame, max_closure_rows: int) -> DataFr
     raise ValueError(f"unknown path operator {op!r} in {spec!r}")
 
 
+def path_reachable(
+    triples: DataFrame,
+    sources: DataFrame,
+    spec,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    node: str = "node",
+    max_hops: int = 64,
+) -> DataFrame:
+    """Seeded property-path evaluation — THE instance-scale path plan:
+    the image of ``sources`` under the path relation, computed without
+    ever materializing a closure.
+
+    Where :func:`path_edges` builds the full (src, dst) relation a
+    path denotes (right for unseeded analytics over schema-sized
+    relations), a SPARQL query with a bound endpoint only needs the
+    image of a node set, and every algebra operator maps to a node-set
+    transform that stays frontier-sized:
+
+    - ``pred``/``inv``  : one equi-join of the node set onto a
+      pred-pruned scan;
+    - ``seq``           : function composition — image(b, image(a, S));
+    - ``alt``           : union of images;
+    - ``opt``           : seeds union one application (zero-or-one;
+      ``p*`` = ``("opt", ("plus", p))``);
+    - ``plus``          : BFS fixed point over the INNER path's image
+      function (visited-set left_anti, eager localCheckpoint per
+      round, early exit — the loop discipline of graph.reachable),
+      so ``p+`` over a 10^12-triple relation touches O(edges reached),
+      never O(closure).
+
+    Returns the distinct image nodes as a one-column (``node``)
+    DataFrame. ``max_hops`` bounds the plus loops (raises if still
+    growing — a safety rail, not a semantic bound: set semantics make
+    the fixed point finite on any graph)."""
+    t = triples.select(
+        F.col(subj).alias("subj"),
+        F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"),
+    )
+    seeds = sources.select(F.col(node).alias("node")).distinct()
+
+    def img(s: DataFrame, sp) -> DataFrame:
+        if not isinstance(sp, tuple) or not sp:
+            raise ValueError(f"path spec must be a non-empty tuple, got {sp!r}")
+        op, args = sp[0], sp[1:]
+        if op == "pred":
+            (name,) = args
+            return (
+                s.join(t.filter(F.col("pred") == F.lit(name)),
+                       s["node"] == F.col("subj"))
+                .select(F.col("obj").alias("node"))
+                .distinct()
+            )
+        if op == "inv":
+            (inner,) = args
+            if inner[0] == "pred":
+                return (
+                    s.join(t.filter(F.col("pred") == F.lit(inner[1])),
+                           s["node"] == F.col("obj"))
+                    .select(F.col("subj").alias("node"))
+                    .distinct()
+                )
+            # ^(complex path): push the inversion inward
+            return img(s, _invert(inner))
+        if op == "seq":
+            acc = s
+            for sub in args:
+                acc = img(acc, sub)
+            return acc
+        if op == "alt":
+            accs = [img(s, sub) for sub in args]
+            out = accs[0]
+            for a in accs[1:]:
+                out = out.unionAll(a)
+            return out.distinct()
+        if op == "opt":
+            # zero-or-ONE: the seeds themselves union one application
+            (inner,) = args
+            return s.unionAll(img(s, inner)).distinct()
+        if op == "plus":
+            (inner,) = args
+            frontier = img(s, inner).localCheckpoint(eager=True)
+            visited = frontier
+            for _ in range(max_hops):
+                if frontier.isEmpty():
+                    return visited
+                nxt = (
+                    img(frontier, inner)
+                    .join(visited, "node", "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.isEmpty():
+                    return visited
+                visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+                frontier = nxt
+            raise ValueError(
+                f"plus image still growing after {max_hops} rounds"
+            )
+        raise ValueError(f"unknown path operator {op!r} in {sp!r}")
+
+    return img(seeds, spec)
+
+
+def _invert(sp):
+    """Rewrite a path spec to its inverse: ^(a/b) = ^b/^a,
+    ^(a|b) = ^a|^b, ^(p+) = (^p)+, ^^p = p."""
+    op, args = sp[0], sp[1:]
+    if op == "pred":
+        return ("inv", sp)
+    if op == "inv":
+        return args[0]
+    if op == "seq":
+        return ("seq", *[_invert(a) for a in reversed(args)])
+    if op == "alt":
+        return ("alt", *[_invert(a) for a in args])
+    if op in ("plus", "opt"):
+        return (op, _invert(args[0]))
+    raise ValueError(f"unknown path operator {op!r} in {sp!r}")
+
+
 def path_edges(
     triples: DataFrame,
     spec,

@@ -647,3 +647,89 @@ def test_shortest_paths_validation(spark):
     e = _wedges(spark, [("a", "b", 1)])
     with pytest.raises(ValueError, match="max_hops"):
         graph.shortest_paths(e, _sources(spark, ["a"]), max_hops=-1)
+
+
+# --- seeded property-path evaluation ------------------------------------------
+def test_path_reachable_seq_inv_from_seed(spark):
+    from gliner_transbronchialbiopsy_spark.operators import paths
+
+    t = _triples(
+        spark,
+        [("d1", "engine", "spark"), ("d2", "engine", "spark"),
+         ("d3", "engine", "hash"),
+         ("d1", "exec_op", "join"), ("d2", "exec_op", "sort"),
+         ("d3", "exec_op", "filter")],
+    )
+    seeds = _sources(spark, ["spark"])
+    # ^engine/exec_op from the 'spark' surface: ops of spark docs
+    out = paths.path_reachable(
+        t, seeds, ("seq", ("inv", ("pred", "engine")), ("pred", "exec_op"))
+    )
+    assert {r["node"] for r in out.collect()} == {"join", "sort"}
+
+
+def test_path_reachable_plus_and_star_on_chain_with_cycle(spark):
+    from gliner_transbronchialbiopsy_spark.operators import paths
+
+    t = _triples(
+        spark,
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a")],
+    )
+    seeds = _sources(spark, ["a"])
+    plus = paths.path_reachable(t, seeds, ("plus", ("pred", "p")))
+    assert {r["node"] for r in plus.collect()} == {"a", "b", "c"}
+    # star keeps the seed even when it has no edges
+    t2 = _triples(spark, [("x", "p", "y")])
+    star = paths.path_reachable(
+        t2, _sources(spark, ["z"]), ("opt", ("plus", ("pred", "p")))
+    )
+    assert {r["node"] for r in star.collect()} == {"z"}
+
+
+def test_path_reachable_opt_is_zero_or_one(spark):
+    from gliner_transbronchialbiopsy_spark.operators import paths
+
+    t = _triples(spark, [("a", "p", "b"), ("b", "p", "c")])
+    out = paths.path_reachable(t, _sources(spark, ["a"]), ("opt", ("pred", "p")))
+    # NOT transitive: c requires two applications
+    assert {r["node"] for r in out.collect()} == {"a", "b"}
+
+
+def test_path_reachable_inverts_complex_paths(spark):
+    from gliner_transbronchialbiopsy_spark.operators import paths
+
+    t = _triples(spark, [("a", "p", "m"), ("m", "q", "z")])
+    # ^(p/q) from z = ^q/^p -> {a}
+    out = paths.path_reachable(
+        t, _sources(spark, ["z"]),
+        ("inv", ("seq", ("pred", "p"), ("pred", "q"))),
+    )
+    assert {r["node"] for r in out.collect()} == {"a"}
+
+
+def test_path_reachable_agrees_with_path_edges_image(spark):
+    from gliner_transbronchialbiopsy_spark.operators import paths
+
+    t = _triples(
+        spark,
+        [("d1", "engine", "spark"), ("d1", "exec_op", "join"),
+         ("spark", "a", "engine"), ("join", "a", "exec_op"),
+         ("engine", "sub", "system"), ("exec_op", "sub", "operation"),
+         ("system", "sub", "kg_term"), ("operation", "sub", "kg_term")],
+    )
+    spec = (
+        "seq",
+        ("alt", ("pred", "engine"), ("pred", "exec_op")),
+        ("pred", "a"),
+        ("opt", ("plus", ("pred", "sub"))),
+    )
+    seeds = _sources(spark, ["d1"])
+    seeded = {r["node"] for r in paths.path_reachable(t, seeds, spec).collect()}
+    full = {
+        r["dst"]
+        for r in paths.path_edges(t, spec).collect()
+        if r["src"] == "d1"
+    }
+    assert seeded == full == {
+        "engine", "exec_op", "system", "operation", "kg_term",
+    }

@@ -173,6 +173,12 @@ AUDIT = {
     # Bellman-Ford rounds end in eager localCheckpoints, so the visible
     # plan reads the checkpointed best-distance RDD; zero Python
     "kg_weighted_paths": ("Scan ExistingRDD", "!InPandas"),
+    # seeded path image: node-set equi-joins onto the checkpointed
+    # extended graph; the star step's BFS rounds end in checkpoints
+    "kg_path_seeded": ("Scan ExistingRDD", "!InPandas"),
+    # sameAs rewrite: CC election behind its iteration checkpoints,
+    # the triple rewrite is one hash join + one aggregate, no Python
+    "kg_sameas_rewrite": ("HashAggregate", "!InPandas"),
 }
 
 
