@@ -1113,6 +1113,17 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return termstats.tfidf_topk(docs, k=3)
 
 
+def q_colloc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI
+    (operators/termstats.pmi_collocations): unigram + bigram corpus
+    aggregates, the vocab broadcast back onto min_count-filtered
+    bigrams, fixed-point quantized PMI so the top-k cut is
+    engine-portable. min_count=5 keeps the rare-pair PMI variance
+    out of the ranking."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return termstats.pmi_collocations(docs, min_count=5, k=20)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document line dedup (operators/dedup.line_dedup), the
     RefinedWeb boilerplate pass: any 10-token window occurring more
@@ -1729,6 +1740,27 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(edges)
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-core of the customer-supplier trade graph
+    (operators/graph.kcore): iterative synchronous peeling drops every
+    node of degree < 8 each round until the fixed point, leaving the
+    densely-trading core -> (node, degree). The contract query runs
+    rounds=4 — DuckDB-probed convergence is 2 rounds at every SF, so 4
+    is the exact k-core restated by the oracle as 4 chained peel CTEs
+    (peeling past the fixed point is idempotent); a pytest asserts the
+    margin holds. Same bipartite c:/s: edge relation as
+    graph_pagerank."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rel = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return graph.kcore(rel, k=8, rounds=4)
+
+
 def q_range_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized time-range join (operators/ranges.time_window_pairs):
     for every purchase event, count error events within +-10 minutes
@@ -1823,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "lm_perplexity": q_lm_perplexity,
         "tfidf_terms": q_tfidf_terms,
+        "colloc_pmi": q_colloc_pmi,
         "line_dedup": q_line_dedup,
         "graph_pagerank": q_graph_pagerank,
         "dedup_incremental": q_dedup_incremental,
@@ -1849,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats": q_winsorized_stats,
         "fuzzy_match_blocked": q_fuzzy_match_blocked,
         "graph_triangles": q_graph_triangles,
+        "graph_kcore": q_graph_kcore,
         "range_window_join": q_range_window_join,
     }
 
@@ -2842,6 +2876,50 @@ def oracle_sql() -> dict[str, str]:
         # integer TF-IDF: score = (c * floor(ln(N/df)*1e9)) // n_tok —
         # the top-k cut compares exact longs, so both engines elect
         # identical term sets
+        # bigram PMI: the same tokenizer CTE as tfidf_terms, bigrams
+        # as adjacent-token joins, the double argument built in the
+        # identical association order as the Spark expression
+        "colloc_pmi": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\s+')
+                END AS tk
+              FROM documents),
+            e AS (SELECT unnest(tk) AS token FROM t),
+            uni AS (SELECT token, count(*) AS c FROM e GROUP BY token),
+            nu AS (SELECT sum(c) AS n FROM uni),
+            g AS (
+              SELECT unnest(
+                CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(
+                       generate_series(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1])
+                END) AS gram
+              FROM t),
+            bi AS (SELECT gram, count(*) AS c_xy FROM g GROUP BY gram),
+            nb AS (SELECT sum(c_xy) AS n FROM bi),
+            cand AS (
+              SELECT string_split(gram, ' ')[1] AS w1,
+                     string_split(gram, ' ')[2] AS w2, c_xy
+              FROM bi WHERE c_xy >= 5),
+            sc AS (
+              SELECT w1, w2, c_xy,
+                CAST(floor(ln(
+                  (CAST(c_xy AS DOUBLE) * CAST(nu.n AS DOUBLE)
+                     * CAST(nu.n AS DOUBLE))
+                  / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)
+                     * CAST(nb.n AS DOUBLE))
+                ) * 1000000000) AS BIGINT) AS pmi_fp
+              FROM cand
+              JOIN uni u1 ON cand.w1 = u1.token
+              JOIN uni u2 ON cand.w2 = u2.token, nu, nb)
+            SELECT w1, w2, c_xy, pmi_fp,
+                   round(pmi_fp / 1000000000.0, 6) AS pmi
+            FROM sc
+            ORDER BY pmi_fp DESC, w1 ASC, w2 ASC
+            LIMIT 20
+        """,
         "tfidf_terms": r"""
             WITH t AS (
               SELECT doc_id,
@@ -3926,6 +4004,33 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM und) AS n_edges,
                    (SELECT count(*) FROM wedges) AS n_wedges,
                    (SELECT count(*) FROM closed) AS n_triangles
+        """,
+        # k-core by synchronous peeling: 4 chained rounds, each one
+        # degree-filter + two-sided semi-restrict — identical to the
+        # rounds=4 Spark loop (fixed point reached by round 2 at all
+        # SFs; extra rounds are no-ops)
+        "graph_kcore": """
+            WITH rel AS (
+              SELECT DISTINCT 'c:' || o.o_custkey AS a,
+                              's:' || l.l_suppkey AS b
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            r0 AS (SELECT a, b FROM rel UNION SELECT b, a FROM rel),
+            k1 AS (SELECT a FROM r0 GROUP BY a HAVING count(*) >= 8),
+            r1 AS (SELECT c.a, c.b FROM r0 c
+                   JOIN k1 x ON c.a = x.a JOIN k1 y ON c.b = y.a),
+            k2 AS (SELECT a FROM r1 GROUP BY a HAVING count(*) >= 8),
+            r2 AS (SELECT c.a, c.b FROM r1 c
+                   JOIN k2 x ON c.a = x.a JOIN k2 y ON c.b = y.a),
+            k3 AS (SELECT a FROM r2 GROUP BY a HAVING count(*) >= 8),
+            r3 AS (SELECT c.a, c.b FROM r2 c
+                   JOIN k3 x ON c.a = x.a JOIN k3 y ON c.b = y.a),
+            k4 AS (SELECT a FROM r3 GROUP BY a HAVING count(*) >= 8),
+            r4 AS (SELECT c.a, c.b FROM r3 c
+                   JOIN k4 x ON c.a = x.a JOIN k4 y ON c.b = y.a)
+            SELECT a AS node, count(*) AS degree
+            FROM r4 GROUP BY a
         """,
         "range_window_join": """
             WITH p AS (

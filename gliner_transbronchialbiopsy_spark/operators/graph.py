@@ -130,6 +130,85 @@ def pagerank_edges_from(
     return e.groupBy("src", "dst").agg(F.count("*").alias("w"))
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = None,
+    max_rounds: int = 200,
+) -> DataFrame:
+    """Nodes of the k-core of the undirected simple graph induced by
+    edges(src, dst) -> (node, degree): iterative synchronous peeling —
+    every round simultaneously drops ALL nodes whose current degree is
+    below k, then restricts the edge set to survivors; at the fixed
+    point every remaining node has within-subgraph degree >= k (the
+    standard KG noise-pruning / dense-region extraction primitive;
+    Seidman 1983). Self-loops are dropped and parallel edges collapse
+    (a simple graph is what core numbers are defined on).
+
+    rounds=None (production) loops to the fixed point — convergence is
+    detected by the surviving-EDGE count, one bounded scalar per round
+    (same budget discipline as components.py; raises past max_rounds
+    rather than looping silently). rounds=R runs exactly R synchronous
+    peels with no convergence scan, which is the engine-portable form
+    the DuckDB oracle restates as R chained CTEs (peeling is
+    deterministic, so R >= the converged round count gives the exact
+    k-core; the contract query's pytest asserts its R converges).
+
+    Distributed shape: each round is one degree aggregate (map-side
+    partial combine) plus two semi-joins restricting the edge list —
+    all shuffles key on node ids, the survivor set never collects to
+    the driver, and a localCheckpoint per round keeps the plan O(1)
+    deep. Degree skew (a hub node) stays inside one HashAggregate key:
+    no row explosion, AQE handles the reduce-side imbalance."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")).filter(
+        F.col("_a") != F.col("_b")
+    )
+    cur = (
+        e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _peel(cur: DataFrame) -> DataFrame:
+        keep = (
+            cur.groupBy("_a")
+            .agg(F.count("*").alias("_d"))
+            .filter(F.col("_d") >= F.lit(int(k)))
+            .select("_a")
+        )
+        return (
+            cur.join(keep, "_a", "left_semi")
+            .join(keep.select(F.col("_a").alias("_b")), "_b", "left_semi")
+            .localCheckpoint()
+        )
+
+    if rounds is not None:
+        for _ in range(int(rounds)):
+            cur = _peel(cur)
+    else:
+        n_edges = cur.count()
+        for _ in range(max_rounds):
+            if n_edges == 0:
+                break
+            cur = _peel(cur)
+            n_next = cur.count()
+            if n_next == n_edges:
+                break
+            n_edges = n_next
+        else:
+            raise RuntimeError(
+                f"kcore did not converge within {max_rounds} rounds"
+            )
+    return (
+        cur.groupBy(F.col("_a").alias("node"))
+        .agg(F.count("*").alias("degree"))
+    )
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

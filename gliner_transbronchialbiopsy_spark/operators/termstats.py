@@ -131,6 +131,96 @@ def tfidf_topk(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information ->
+    (w1, w2, c_xy, pmi_fp, pmi). The classic phrase-mining signal
+    (Church & Hanks 1990) a tokenizer/vocab-curation pass runs before
+    merging multiword units: PMI = ln(p(xy) / (p(x) p(y))) with p(xy)
+    from bigram occurrences and p(x) from unigram occurrences.
+
+    pmi_fp = floor(ln((c_xy * N_uni * N_uni) / (c_x * c_y * N_bi)) *
+    SCALE): the argument is built from exact long counts cast to
+    double in ONE fixed association order, so both engines evaluate
+    the identical IEEE expression tree and quantize_ln's grid-line
+    caveat is the only (fixed-dataset-safe) float exposure. The top-k
+    order (pmi_fp desc, w1 asc, w2 asc) is total — (w1, w2) is the
+    group key — so the cut line is engine-portable.
+
+    Distributed shape: two explode+groupBy aggregates (unigrams,
+    bigrams) with map-side partial combine; the unigram vocab
+    BROADCASTS back onto the min_count-filtered bigram table (twice,
+    once per side) and the two one-row totals crossJoin-broadcast —
+    no driver collect, text never shuffles, and the final top-k is a
+    TakeOrderedAndProject (per-partition heads + driver merge of k
+    rows), not a single-partition sort. min_count prunes the bigram
+    tail BEFORE the joins, which is also the PMI-vs-rare-pair variance
+    guard the literature applies.
+
+    Reference analogue: the label co-occurrence matrix the reference
+    renders (src/streamlit/app/app.py stats tab), generalized from
+    label pairs per document to token pairs per adjacency position."""
+    toks = df.select(textstats.word_tokens(F.col(text_col)).alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("_nu"))
+    bi_all = (
+        toks.select(
+            F.explode(textstats.ngrams_of(F.col("tk"), 2)).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    # total bigram mass over the WHOLE corpus (pre-filter: min_count
+    # prunes candidates, not the probability denominator)
+    n_bi = bi_all.agg(F.sum("c_xy").alias("_nb"))
+    parts = F.split(F.col("g"), " ")
+    cand = (
+        bi_all.filter(F.col("c_xy") >= F.lit(int(min_count)))
+        .select(
+            parts.getItem(0).alias("w1"),
+            parts.getItem(1).alias("w2"),
+            "c_xy",
+        )
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("_cx"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("_cy"))
+    scored = (
+        cand.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    arg = (
+        F.col("c_xy").cast("double")
+        * F.col("_nu").cast("double")
+        * F.col("_nu").cast("double")
+    ) / (
+        F.col("_cx").cast("double")
+        * F.col("_cy").cast("double")
+        * F.col("_nb").cast("double")
+    )
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            "c_xy",
+            quantize_ln(arg).alias("pmi_fp"),
+        )
+        .withColumn("pmi", F.round(F.col("pmi_fp") / F.lit(SCALE), 6))
+        .orderBy(F.desc("pmi_fp"), F.col("w1").asc(), F.col("w2").asc())
+        .limit(int(k))
+    )
+
+
 def perplexity_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -392,6 +392,59 @@ def test_tfidf_topk_exact_scores(spark):
     assert got[(1, "c")] == (1 * idf_c) // 2
 
 
+def _py_pmi(texts, min_count, k):
+    """Pure-python restatement of the fixed-point bigram PMI top-k."""
+    import math
+    from collections import Counter
+
+    toks = [t.strip().lower().split() for t in texts if t.strip()]
+    uni = Counter(tok for tk in toks for tok in tk)
+    bi = Counter(
+        (tk[i], tk[i + 1]) for tk in toks for i in range(len(tk) - 1)
+    )
+    nu, nb = sum(uni.values()), sum(bi.values())
+    rows = []
+    for (w1, w2), c in bi.items():
+        if c < min_count:
+            continue
+        arg = (float(c) * nu * nu) / (
+            float(uni[w1]) * uni[w2] * nb
+        )
+        rows.append((w1, w2, c, math.floor(math.log(arg) * 1_000_000_000)))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:k]
+
+
+def test_pmi_collocations_matches_python_oracle(spark):
+    texts = [
+        "new york is a big city and new york never sleeps",
+        "los angeles and new york host the games",
+        "the cat and the dog and the bird",
+        "machine learning and machine learning again",
+        "",
+        "solo",
+    ]
+    got = [
+        (r["w1"], r["w2"], r["c_xy"], r["pmi_fp"])
+        for r in termstats.pmi_collocations(
+            _docs(spark, texts), min_count=2, k=10
+        ).collect()
+    ]
+    assert got == _py_pmi(texts, 2, 10)
+    # a genuine collocation must outrank a chance pairing of common words
+    ranks = {(w1, w2): i for i, (w1, w2, _, _) in enumerate(got)}
+    assert ranks[("machine", "learning")] < ranks[("and", "the")]
+
+
+def test_pmi_collocations_min_count_prunes(spark):
+    texts = ["alpha beta alpha beta", "gamma delta"]
+    got = termstats.pmi_collocations(
+        _docs(spark, texts), min_count=2, k=10
+    ).collect()
+    # only (alpha, beta) reaches min_count=2; (gamma, delta) et al pruned
+    assert [(r["w1"], r["w2"]) for r in got] == [("alpha", "beta")]
+
+
 # --- dedup.line_dedup -----------------------------------------------------
 def test_line_dedup_removes_cross_doc_boilerplate(spark):
     rows = [

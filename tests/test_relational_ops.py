@@ -128,6 +128,73 @@ def test_triangle_count_star_has_none(spark):
     assert row["n_wedges"] == 0  # leaves have out-degree 1, hub 0
 
 
+# --- k-core ----------------------------------------------------------------
+def test_kcore_k4_plus_tail(spark):
+    """K4 with a pendant path hanging off it: the 2-core is exactly
+    the K4 (every tail node peels — the path end first, then the
+    cascade), and within the core every degree is 3."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tail = [(3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(k4 + tail, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in graph.kcore(edges, k=2).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_whole_graph_peels_to_empty(spark):
+    """A star has no 2-core: the leaves peel in round one, the hub in
+    round two, and the fixed point is the empty graph."""
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    assert graph.kcore(edges, k=2).count() == 0
+
+
+def test_kcore_fixed_rounds_matches_fixed_point(spark):
+    """rounds=R >= convergence gives the exact k-core (idempotent
+    peeling) — the property the contract query's rounds=4 oracle
+    relies on. Also: self-loops and duplicate/reversed edges don't
+    inflate degrees."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    noisy = k4 + [(1, 0), (2, 2), (0, 1), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(noisy, "src long, dst long")
+    exact = sorted(
+        (r["node"], r["degree"]) for r in graph.kcore(edges, k=2).collect()
+    )
+    fixed = sorted(
+        (r["node"], r["degree"])
+        for r in graph.kcore(edges, k=2, rounds=5).collect()
+    )
+    assert exact == fixed == [(0, 3), (1, 3), (2, 3), (3, 3)]
+
+
+def test_kcore_contract_rounds_margin(spark):
+    """The contract query's rounds=4 must be >= the true convergence
+    round count on the test data — assert rounds=4 output equals the
+    fixed-point output at sf0.001."""
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["node"], r["degree"])
+        for r in entry.q_graph_kcore(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    rel = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    want = {
+        (r["node"], r["degree"])
+        for r in graph.kcore(rel, k=8).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 # --- time-range join -------------------------------------------------------
 def _ev(spark, rows):
     return spark.createDataFrame(

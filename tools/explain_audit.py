@@ -39,6 +39,15 @@ AUDIT = {
     "sim_topk_cosine": ("TakeOrderedAndProject", "!InPandas"),  # no full sort
     # two-level agg: partial combine before the shuffle, no Python
     "vocab_topk": ("HashAggregate", "TakeOrderedAndProject", "!InPandas"),
+    # PMI collocations: the unigram vocab broadcasts onto the filtered
+    # bigram table (twice), top-k is a distributed TakeOrdered — never
+    # a single-partition global sort, no shuffle on the join
+    "colloc_pmi": (
+        "BroadcastHashJoin",
+        "TakeOrderedAndProject",
+        "!InPandas",
+        "!SortMergeJoin",
+    ),
     # bounded-slice pair mining: broadcast non-equi join (documented),
     # top-k via TakeOrdered, filter pushed to the scan
     "sim_pairs_topk": (
@@ -81,6 +90,10 @@ AUDIT = {
     # the visible plan reads the checkpointed rank RDD — iterations
     # never stack into one mega-plan; zero Python
     "graph_pagerank": ("Scan ExistingRDD", "!InPandas"),
+    # k-core peeling: each synchronous round ends in a localCheckpoint
+    # (plan stays O(1) deep); the final degree count is a plain
+    # HashAggregate over the checkpointed survivor edges, zero Python
+    "graph_kcore": ("Scan ExistingRDD", "HashAggregate", "!InPandas"),
     # exact group quantiles: single partial+final agg pair (percentile
     # is an ObjectHashAggregate buffer), zero Python, no window
     "quantiles_exact": ("Aggregate", "!InPandas", "!Window"),
