@@ -1102,6 +1102,24 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity triage
+    (operators/termstats.perplexity_buckets): unigram-LM per-token NLL
+    as exact longs, corpus tertile cuts via one mergeable percentile
+    aggregate (measured bit-identical to DuckDB quantile_cont),
+    bucket label as a broadcast projection. Summarized per bucket —
+    the exact long sums hash every underlying doc score."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    b = termstats.perplexity_buckets(docs)
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("m_fp").alias("sum_m_fp"),
+        F.min("m_fp").alias("min_m_fp"),
+        F.max("m_fp").alias("max_m_fp"),
+    )
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document
     (operators/termstats.tfidf_topk): document frequencies from one
@@ -1611,6 +1629,41 @@ def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION + VALUES + FILTER over the BGP matcher
+    (operators/bgp.bgp_union): engine bindings UNION exec_op bindings
+    (bag union of two set-semantic branches), restricted by an inline
+    VALUES table that also tags each term with a family column, then
+    FILTER drops the 'join' term — both applied at group scope, after
+    the union. Summarized per (family, term); n_bindings counts bag
+    multiplicity, so a (doc, term) pair produced by both branches
+    counts twice, exactly SPARQL's multiset UNION."""
+    from gliner_transbronchialbiopsy_spark.operators import bgp
+
+    triples = q_kg_triples(spark, sf_dir)
+    b = bgp.bgp_union(
+        triples,
+        [
+            [("?doc", "engine", "?term")],
+            [("?doc", "exec_op", "?term")],
+        ],
+        values=(
+            ["term", "family"],
+            [
+                ("spark", "eng"),
+                ("hash", "eng"),
+                ("join", "op"),
+                ("scan", "op"),
+            ],
+        ),
+        filters=["term <> 'join'"],
+    )
+    return b.groupBy("family", "term").agg(
+        F.count("*").alias("n_bindings"),
+        F.countDistinct("doc").alias("n_docs"),
+    )
+
+
 def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation
     (operators/graph.label_propagation) over the part-supplier graph:
@@ -1740,6 +1793,45 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(edges)
 
 
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient
+    (operators/graph.clustering_coefficients) over the same sliced
+    part co-purchase graph as graph_triangles: exact per-node triangle
+    counts from the degree-oriented closure, coefficient as integer
+    division of longs (coef_fp = 2*tri*1e9 div deg*(deg-1)) so every
+    row is engine-portable. Summarized as a histogram over coefficient
+    deciles (plus the exact sums) to keep the contract row count
+    O(10) while still hashing every underlying value through the
+    aggregates."""
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    cc = graph.clustering_coefficients(edges)
+    decile = F.expr("(coef_fp * 10) div 1000000000")
+    return (
+        cc.withColumn("decile", F.least(decile, F.lit(9).cast("long")))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("n_tri").alias("sum_tri"),
+            F.sum("deg").alias("sum_deg"),
+            F.sum("coef_fp").alias("sum_coef_fp"),
+        )
+    )
+
+
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-core of the customer-supplier trade graph
     (operators/graph.kcore): iterative synchronous peeling drops every
@@ -1759,6 +1851,25 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
     return graph.kcore(rel, k=8, rounds=4)
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (operators/graph.adamic_adar) over
+    the bipartite customer-supplier trade graph: top-50 non-adjacent
+    pairs by summed 1/ln(deg) over common neighbors, fixed-point longs
+    so the cut is engine-portable. max_center_deg=32 is the documented
+    skew guard (185M uncapped wedges at sf0.1 vs 1.5M capped); scores
+    are lower bounds under the cap, restated identically by the
+    oracle."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rel = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return graph.adamic_adar(rel, max_center_deg=32, k=50)
 
 
 def q_range_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1854,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "mixture_sample": q_mixture_sample,
         "lm_perplexity": q_lm_perplexity,
+        "perplexity_buckets": q_perplexity_buckets,
         "tfidf_terms": q_tfidf_terms,
         "colloc_pmi": q_colloc_pmi,
         "line_dedup": q_line_dedup,
@@ -1863,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_match": q_kg_bgp_match,
         "dsir_weights": q_dsir_weights,
         "kg_bgp_optional": q_kg_bgp_optional,
+        "kg_bgp_union": q_kg_bgp_union,
         "bpe_pair_counts": q_bpe_pair_counts,
         "kg_negative_samples": q_kg_negative_samples,
         "graph_random_walks": q_graph_random_walks,
@@ -1882,7 +1995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats": q_winsorized_stats,
         "fuzzy_match_blocked": q_fuzzy_match_blocked,
         "graph_triangles": q_graph_triangles,
+        "graph_clustering": q_graph_clustering,
         "graph_kcore": q_graph_kcore,
+        "graph_adamic_adar": q_graph_adamic_adar,
         "range_window_join": q_range_window_join,
     }
 
@@ -2873,6 +2988,45 @@ def oracle_sql() -> dict[str, str]:
                    END AS avg_nll
             FROM t LEFT JOIN pd USING (doc_id)
         """,
+        # same LM CTEs as lm_perplexity; m_fp is integer division of
+        # exact longs, the tertile cuts are quantile_cont doubles
+        # (measured bit-identical to Spark percentile on this corpus)
+        "perplexity_buckets": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\s+')
+                END AS tk
+              FROM documents),
+            e AS (SELECT doc_id, unnest(tk) AS token FROM t),
+            v AS (SELECT token, count(*) AS c FROM e GROUP BY token),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM v),
+            lm AS (
+              SELECT token,
+                CAST(floor(ln(c / CAST(tot.s AS DOUBLE)) * 1000000000)
+                     AS BIGINT) AS lp
+              FROM v, tot),
+            pd AS (
+              SELECT e.doc_id, count(*) AS n_tokens,
+                     CAST(-sum(lm.lp) AS BIGINT) AS nll_fp
+              FROM e JOIN lm USING (token) GROUP BY e.doc_id),
+            m AS (
+              SELECT doc_id, n_tokens, nll_fp // n_tokens AS m_fp
+              FROM pd),
+            q AS (SELECT quantile_cont(m_fp, [1.0/3, 2.0/3]) AS qs FROM m),
+            b AS (
+              SELECT m.*, CASE WHEN m.m_fp <= q.qs[1] THEN 'head'
+                               WHEN m.m_fp <= q.qs[2] THEN 'middle'
+                               ELSE 'tail' END AS bucket
+              FROM m, q)
+            SELECT bucket,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(sum(m_fp) AS BIGINT) AS sum_m_fp,
+                   min(m_fp) AS min_m_fp,
+                   max(m_fp) AS max_m_fp
+            FROM b GROUP BY bucket
+        """,
         # integer TF-IDF: score = (c * floor(ln(N/df)*1e9)) // n_tok —
         # the top-k cut compares exact longs, so both engines elect
         # identical term sets
@@ -3682,6 +3836,38 @@ def oracle_sql() -> dict[str, str]:
             FROM req r LEFT JOIN opt o USING (doc)
             GROUP BY o.op
         """.format(kw_values=kw_values),
+        # UNION of two DISTINCT-projected branches is a bag (UNION
+        # ALL), VALUES joins once against the unioned solutions and
+        # extends them with `family`, FILTER is a plain WHERE — the
+        # same group-scoped order as bgp_union
+        "kg_bgp_union": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            b1 AS (SELECT DISTINCT subj AS doc, obj AS term FROM t
+                   WHERE pred = 'engine'),
+            b2 AS (SELECT DISTINCT subj AS doc, obj AS term FROM t
+                   WHERE pred = 'exec_op'),
+            u AS (SELECT doc, term FROM b1
+                  UNION ALL SELECT doc, term FROM b2),
+            v(term, family) AS (VALUES ('spark', 'eng'), ('hash', 'eng'),
+                                       ('join', 'op'), ('scan', 'op')),
+            j AS (
+              SELECT u.doc, u.term, v.family
+              FROM u JOIN v USING (term)
+              WHERE u.term <> 'join'
+            )
+            SELECT family, term,
+                   count(*) AS n_bindings,
+                   count(DISTINCT doc) AS n_docs
+            FROM j GROUP BY family, term
+        """.format(kw_values=kw_values),
         "graph_communities": _LPA_SQL,
         "kg_diff": f"""
             WITH t AS MATERIALIZED (
@@ -4005,6 +4191,67 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM wedges) AS n_wedges,
                    (SELECT count(*) FROM closed) AS n_triangles
         """,
+        # same oriented closure as graph_triangles, then each closed
+        # wedge (tail,b,c) explodes to its three member nodes; coef_fp
+        # and the decile cut are integer division of exact longs
+        "graph_clustering": """
+            WITH und AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM lineitem a
+              JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+              WHERE a.l_orderkey % 3 = 0
+            ),
+            deg AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM und
+                UNION ALL SELECT v AS node FROM und
+              ) GROUP BY node
+            ),
+            oriented AS (
+              SELECT CASE WHEN (d1.deg < d2.deg)
+                            OR (d1.deg = d2.deg AND und.u < und.v)
+                          THEN und.u ELSE und.v END AS tail,
+                     CASE WHEN (d1.deg < d2.deg)
+                            OR (d1.deg = d2.deg AND und.u < und.v)
+                          THEN und.v ELSE und.u END AS head,
+                     CASE WHEN (d1.deg < d2.deg)
+                            OR (d1.deg = d2.deg AND und.u < und.v)
+                          THEN d2.deg ELSE d1.deg END AS head_deg
+              FROM und
+              JOIN deg d1 ON d1.node = und.u
+              JOIN deg d2 ON d2.node = und.v
+            ),
+            closed AS (
+              SELECT e1.tail, e1.head AS b, e2.head AS c
+              FROM oriented e1 JOIN oriented e2 ON e1.tail = e2.tail
+              WHERE ((e1.head_deg < e2.head_deg)
+                 OR (e1.head_deg = e2.head_deg AND e1.head < e2.head))
+                AND EXISTS (SELECT 1 FROM oriented o
+                            WHERE o.tail = e1.head AND o.head = e2.head)
+            ),
+            tri AS (
+              SELECT node, count(*) AS n_tri FROM (
+                SELECT tail AS node FROM closed
+                UNION ALL SELECT b AS node FROM closed
+                UNION ALL SELECT c AS node FROM closed
+              ) GROUP BY node
+            ),
+            cc AS (
+              SELECT d.node, d.deg, coalesce(t.n_tri, 0) AS n_tri,
+                     CASE WHEN d.deg < 2 THEN 0
+                          ELSE (2 * coalesce(t.n_tri, 0) * 1000000000)
+                               // (d.deg * (d.deg - 1))
+                     END AS coef_fp
+              FROM deg d LEFT JOIN tri t USING (node)
+            )
+            SELECT least((coef_fp * 10) // 1000000000, 9) AS decile,
+                   count(*) AS n_nodes,
+                   sum(n_tri) AS sum_tri,
+                   sum(deg) AS sum_deg,
+                   sum(coef_fp) AS sum_coef_fp
+            FROM cc GROUP BY decile
+        """,
         # k-core by synchronous peeling: 4 chained rounds, each one
         # degree-filter + two-sided semi-restrict — identical to the
         # rounds=4 Spark loop (fixed point reached by round 2 at all
@@ -4031,6 +4278,46 @@ def oracle_sql() -> dict[str, str]:
                    JOIN k4 x ON c.a = x.a JOIN k4 y ON c.b = y.a)
             SELECT a AS node, count(*) AS degree
             FROM r4 GROUP BY a
+        """,
+        # Adamic-Adar: centers capped at deg<=32 (skew guard, lower
+        # bound — mirrored exactly), weight_fp = floor(1e9/ln(deg)) is
+        # one IEEE double op both engines, pair sums exact longs
+        "graph_adamic_adar": """
+            WITH rel AS (
+              SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS a,
+                              's:' || CAST(l.l_suppkey AS VARCHAR) AS b
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            und AS (SELECT least(a, b) AS u, greatest(a, b) AS v FROM rel),
+            adj AS (
+              SELECT u AS ctr, v AS nbr FROM und
+              UNION ALL SELECT v AS ctr, u AS nbr FROM und
+            ),
+            ctr AS (
+              SELECT ctr,
+                     CAST(floor(1000000000 /
+                          ln(CAST(count(*) AS DOUBLE))) AS BIGINT)
+                       AS weight_fp
+              FROM adj GROUP BY ctr
+              HAVING count(*) >= 2 AND count(*) <= 32
+            ),
+            pairs AS (
+              SELECT a1.nbr AS u, a2.nbr AS w,
+                     count(*) AS n_common,
+                     CAST(sum(c.weight_fp) AS BIGINT) AS score_fp
+              FROM adj a1
+              JOIN ctr c ON a1.ctr = c.ctr
+              JOIN adj a2 ON a1.ctr = a2.ctr
+              WHERE a1.nbr < a2.nbr
+              GROUP BY a1.nbr, a2.nbr
+            )
+            SELECT p.u, p.w, p.n_common, p.score_fp
+            FROM pairs p
+            WHERE NOT EXISTS (SELECT 1 FROM und e
+                              WHERE e.u = p.u AND e.v = p.w)
+            ORDER BY p.score_fp DESC, p.u ASC, p.w ASC
+            LIMIT 50
         """,
         "range_window_join": """
             WITH p AS (

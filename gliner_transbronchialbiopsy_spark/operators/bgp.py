@@ -69,6 +69,38 @@ def _scan(triples: DataFrame, pattern: tuple) -> tuple[DataFrame, set]:
     return df.select(*proj).distinct(), set(vars_)
 
 
+def _apply_solution_mods(acc: DataFrame, filters, values) -> DataFrame:
+    """Shared FILTER / VALUES tail for bgp_match and bgp_union.
+
+    SPARQL scopes both to the whole group: VALUES joins the inline
+    binding table onto the accumulated solutions (extending them with
+    any fresh columns), then FILTER drops non-satisfying rows. Order
+    matters when a filter references a VALUES-introduced variable."""
+    if values is not None:
+        cols, rows = values
+        if not rows:
+            raise ValueError("VALUES block has no rows")
+        if any(v is None for r in rows for v in r):
+            raise ValueError(
+                "UNDEF (None) in a VALUES row is not supported — "
+                "split the query into UNION branches instead"
+            )
+        vdf = acc.sparkSession.createDataFrame(
+            [tuple(r) for r in rows], list(cols)
+        ).distinct()
+        shared = sorted(set(cols) & set(acc.columns))
+        if not shared:
+            raise ValueError(
+                f"VALUES columns {list(cols)!r} share no variable with "
+                "the bound set — a disconnected VALUES is a cross product"
+            )
+        # inline data is query-literal-sized: always broadcast
+        acc = acc.join(F.broadcast(vdf), on=shared, how="inner")
+    for flt in filters or []:
+        acc = acc.filter(F.expr(flt) if isinstance(flt, str) else flt)
+    return acc
+
+
 def bgp_match(
     triples: DataFrame,
     patterns: list[tuple],
@@ -77,12 +109,23 @@ def bgp_match(
     obj: str = "obj",
     allow_cartesian: bool = False,
     optional: list[tuple] | None = None,
+    filters=None,
+    values: tuple | None = None,
 ) -> DataFrame:
     """Match a conjunctive pattern list against ``triples``.
 
     Returns one row per binding of the pattern variables, one column
     per variable (set semantics — duplicate triples don't multiply).
     Raises on a disconnected pattern unless ``allow_cartesian``.
+
+    ``filters`` (SPARQL FILTER) is a list of Column or SQL-string
+    expressions over the variable columns, applied after all pattern
+    matching (group scope — so a filter sees OPTIONAL columns, NULL
+    where unmatched, matching SPARQL's error-is-false on unbound).
+    ``values`` (SPARQL VALUES) is ``(columns, rows)`` inline data
+    inner-joined (broadcast) onto the solutions via the shared
+    variables; fresh columns extend each solution. UNDEF rows are not
+    supported.
 
     ``optional`` patterns are left-joined onto the required bindings in
     order, their fresh variables NULL where unmatched (the common
@@ -162,4 +205,48 @@ def bgp_match(
             )
         acc = acc.join(df, on=shared, how="left")
         bound |= vs
-    return acc
+    return _apply_solution_mods(acc, filters, values)
+
+
+def bgp_union(
+    triples: DataFrame,
+    branches: list[list[tuple]],
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    allow_cartesian: bool = False,
+    filters=None,
+    values: tuple | None = None,
+) -> DataFrame:
+    """SPARQL UNION: match each branch pattern list independently and
+    bag-union the solutions. Branch variable sets may differ — the
+    output carries the union of all variables, NULL where a branch
+    does not bind one (SPARQL's unbound). Each branch is set-semantic
+    (like bgp_match); the union itself is a bag, so a binding produced
+    by two branches appears twice — exactly SPARQL's multiset UNION
+    over DISTINCT-projected branches, and what `count(*)` aggregates
+    downstream should see.
+
+    ``filters`` / ``values`` apply AFTER the union (SPARQL group
+    scope), not per-branch: a VALUES table joins once against the
+    unioned solutions, and a FILTER referencing a variable one branch
+    leaves unbound evaluates NULL -> dropped, per the error-is-false
+    rule.
+
+    Distributed shape: a union is plan-level concatenation (no
+    shuffle); each branch keeps its own pred-pruned scans and join
+    order, and the optional VALUES join broadcasts. At 10^12 triples a
+    UNION of k branches costs exactly the k branch plans."""
+    if not branches:
+        raise ValueError("empty branch list")
+    sols = [
+        bgp_match(
+            triples, pats, subj=subj, pred=pred, obj=obj,
+            allow_cartesian=allow_cartesian,
+        )
+        for pats in branches
+    ]
+    acc = sols[0]
+    for df in sols[1:]:
+        acc = acc.unionByName(df, allowMissingColumns=True)
+    return _apply_solution_mods(acc, filters, values)

@@ -130,6 +130,88 @@ def pagerank_edges_from(
     return e.groupBy("src", "dst").agg(F.count("*").alias("w"))
 
 
+_AA_SCALE = 1_000_000_000
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_center_deg: int = 32,
+    k: int = 100,
+) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected simple graph ->
+    top-k non-adjacent pairs (u, w, n_common, score_fp): score(u,w) =
+    sum over common neighbors v of 1/ln(deg(v)) (Adamic & Adar 2003),
+    the standard structural KG-completion baseline — rare shared
+    neighbors are strong evidence, boilerplate hubs near-worthless.
+
+    Fixed-point: each center contributes weight_fp =
+    floor(1e9 / ln(deg)) (one IEEE double op, identical in DuckDB),
+    summed as exact longs, so the top-k cut (score_fp DESC, u, w — a
+    total order, the pair is the key) is engine-portable. A common
+    neighbor has deg >= 2 by construction, so ln(deg) > 0 always.
+
+    max_center_deg is the skew guard: only nodes with deg <=
+    max_center_deg enumerate their neighbor pairs. A hub with degree d
+    would emit d^2/2 wedge rows (the probed trade graph: 185M uncapped
+    vs 1.5M at cap 32, sf0.1) while contributing the LEAST per-pair
+    weight (1/ln(d) -> 0), so capping drops the most explosive,
+    least-informative centers first. Scores are therefore lower bounds
+    under the cap — same documented discipline as the n-gram Jaccard
+    document-frequency cap in operators/dedup.py. Already-adjacent
+    pairs are anti-joined out (link prediction proposes NEW edges).
+
+    Plan shape: one distinct, one degree agg, a broadcast-eligible
+    center filter, one self-join keyed on the center (fan-out bounded
+    by max_center_deg^2/2 per key — no skew), one sum agg on the pair
+    key, one left_anti against the edge list, and a
+    TakeOrderedAndProject for the cut. No Python anywhere."""
+    if max_center_deg < 2:
+        raise ValueError("max_center_deg must be >= 2")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("ctr"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("ctr"), F.col("u").alias("nbr"))
+    )
+    centers = (
+        adj.groupBy("ctr")
+        .agg(F.count("*").alias("deg"))
+        .filter(
+            (F.col("deg") >= 2) & (F.col("deg") <= F.lit(int(max_center_deg)))
+        )
+        .select(
+            "ctr",
+            F.floor(F.lit(float(_AA_SCALE)) / F.log(F.col("deg").cast("double")))
+            .cast("long")
+            .alias("weight_fp"),
+        )
+    )
+    a1 = adj.join(centers, "ctr").select("ctr", F.col("nbr").alias("n1"), "weight_fp")
+    a2 = adj.select("ctr", F.col("nbr").alias("n2"))
+    pairs = (
+        a1.join(a2, "ctr")
+        .filter(F.col("n1") < F.col("n2"))
+        .groupBy(F.col("n1").alias("u"), F.col("n2").alias("w"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum("weight_fp").alias("score_fp"),
+        )
+    )
+    fresh = pairs.join(
+        und.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_anti"
+    )
+    return fresh.orderBy(
+        F.desc("score_fp"), F.col("u").asc(), F.col("w").asc()
+    ).limit(int(k))
+
+
 def kcore(
     edges: DataFrame,
     k: int,
@@ -209,30 +291,14 @@ def kcore(
     )
 
 
-def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
-) -> DataFrame:
-    """Exact triangle counting via degree orientation (the standard
-    distributed formulation: Suri & Vassilvitskii WWW'11 "Counting
-    triangles and the curse of the last reducer").
+def _oriented_closure(edges: DataFrame, src: str, dst: str):
+    """Shared degree-orientation core for triangle_count and
+    clustering_coefficients -> (und, deg, wedges, closed).
 
-    Each undirected edge is oriented from its lower endpoint to its
-    higher endpoint under the total order (degree, node id); wedges
-    are enumerated only at each edge's LOWER endpoint, whose oriented
-    out-degree is bounded by O(sqrt(m)) on any graph — that bound is
-    exactly what kills the hot-vertex blowup a naive (join on common
-    neighbor) plan hits on skewed degree distributions: the boilerplate
-    mega-entity that every doc links to (the KG's hot key) gets rank
-    LAST and therefore enumerates no wedges at all.
-
-    Plan shape: one distinct on canonical pairs, one degree agg, two
-    broadcast-eligible joins to attach degrees, one self-join on the
-    wedge tail, one closure semi-join on the oriented pair. Every join
-    key is a node id or node-pair — hash-partitioned, no cartesian.
-    Returns a single row (n_nodes, n_edges, n_wedges, n_triangles);
-    all counts are exact longs, so the result is partitioning- and
-    parallelism-invariant and restatable verbatim in the DuckDB oracle.
-    """
+    `closed` carries one row per triangle as (tail, b, c) — the wedge
+    is enumerated once, at the edge's lowest-ranked endpoint under the
+    total order (degree, node id), so every triangle appears exactly
+    once and the hot vertex enumerates no wedges."""
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -276,6 +342,34 @@ def triangle_count(
         ["b", "c"],
         "left_semi",
     )
+    return und, deg, wedges, closed
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle counting via degree orientation (the standard
+    distributed formulation: Suri & Vassilvitskii WWW'11 "Counting
+    triangles and the curse of the last reducer").
+
+    Each undirected edge is oriented from its lower endpoint to its
+    higher endpoint under the total order (degree, node id); wedges
+    are enumerated only at each edge's LOWER endpoint, whose oriented
+    out-degree is bounded by O(sqrt(m)) on any graph — that bound is
+    exactly what kills the hot-vertex blowup a naive (join on common
+    neighbor) plan hits on skewed degree distributions: the boilerplate
+    mega-entity that every doc links to (the KG's hot key) gets rank
+    LAST and therefore enumerates no wedges at all.
+
+    Plan shape: one distinct on canonical pairs, one degree agg, two
+    broadcast-eligible joins to attach degrees, one self-join on the
+    wedge tail, one closure semi-join on the oriented pair. Every join
+    key is a node id or node-pair — hash-partitioned, no cartesian.
+    Returns a single row (n_nodes, n_edges, n_wedges, n_triangles);
+    all counts are exact longs, so the result is partitioning- and
+    parallelism-invariant and restatable verbatim in the DuckDB oracle.
+    """
+    und, deg, wedges, closed = _oriented_closure(edges, src, dst)
     # one lazy plan, no driver-side actions: four single-row aggregates
     # cross-joined (each side is exactly one row, so the "cross" is a
     # trivial broadcast product, not a real cartesian)
@@ -284,6 +378,55 @@ def triangle_count(
         .crossJoin(und.agg(F.count("*").alias("n_edges")))
         .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
         .crossJoin(closed.agg(F.count("*").alias("n_triangles")))
+    )
+
+
+_COEF_SCALE = 1_000_000_000
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node ->
+    (node, deg, n_tri, coef_fp): the fraction of a node's neighbor
+    pairs that are themselves connected, C(v) = 2*tri(v) /
+    (deg(v)*(deg(v)-1)) — Watts-Strogatz 1998, the standard
+    density-vs-hubness signal a KG audit uses to separate genuinely
+    clustered entities from star-shaped boilerplate hubs (a hub wired
+    to everything has near-zero C despite huge degree).
+
+    Built on the same degree-oriented closure as triangle_count: each
+    triangle row (tail, b, c) is exploded to its three member nodes
+    and counted per node — exact longs, every triangle contributing
+    exactly once per member. coef_fp = (2 * tri * 1e9) div
+    (deg * (deg-1)) is integer division of exact longs, so the column
+    is bit-identical at any parallelism and in DuckDB; degree-<2 nodes
+    (no neighbor pair) emit 0. Max intermediate 2*tri*1e9 stays inside
+    int64 up to ~4.6e9 triangles per node.
+
+    Plan shape: everything from triangle_count plus one explode of the
+    triangle relation (3 rows per triangle — bounded by the closure
+    size, not the degree), a count aggregate keyed on node, and one
+    join back to the degree table. The hot vertex contributes rows
+    only as a wedge HEAD, so the explode inherits the O(sqrt(m))
+    orientation bound."""
+    _, deg, _, closed = _oriented_closure(edges, src, dst)
+    members = (
+        closed.select(F.col("tail").alias("node"))
+        .unionAll(closed.select(F.col("b").alias("node")))
+        .unionAll(closed.select(F.col("c").alias("node")))
+    )
+    tri = members.groupBy("node").agg(F.count("*").alias("n_tri"))
+    out = deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+    )
+    return out.withColumn(
+        "coef_fp",
+        F.when(F.col("deg") < 2, F.lit(0).cast("long")).otherwise(
+            F.expr(f"(2 * n_tri * CAST({_COEF_SCALE} AS BIGINT)) div (deg * (deg - 1))")
+        ),
     )
 
 

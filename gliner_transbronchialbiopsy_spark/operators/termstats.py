@@ -295,3 +295,53 @@ def score_with_lm(
             ),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probs: tuple = (1 / 3, 2 / 3),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020) ->
+    non-empty docs + (n_tokens, m_fp, bucket in head/middle/tail):
+    score every document with the unigram LM (perplexity_score), cut
+    the corpus at the requested quantiles of the per-token NLL, and
+    label the cleanest third 'head', then 'middle', then 'tail' — the
+    standard pretraining-data triage that keeps head/middle and drops
+    or downsamples tail.
+
+    m_fp = nll_fp div n_tokens is an exact long per doc (integer
+    division of the fixed-point NLL sum), so the bucketing input is
+    engine-portable by construction. The two cut points are
+    percentile() interpolations over those longs — measured
+    bit-identical to DuckDB quantile_cont on this corpus (same IEEE
+    inputs, same correctly-rounded interpolation); like quantize_ln's
+    grid lines, a doc whose m_fp sits EXACTLY on a cut is
+    fixed-dataset-safe rather than universally portable. Empty docs
+    carry no perplexity signal and are excluded (a curation pass
+    drops them earlier anyway).
+
+    Distributed shape: perplexity_score's two aggregates, then ONE
+    extra single-row aggregate for both cuts (percentile is a
+    mergeable ObjectHashAggregate — no global sort, no window), which
+    crossJoin-broadcasts back onto the scored docs as a pure
+    projection. The 100 TB path swaps percentile for
+    approx_percentile (same mergeable shape); the exact form is the
+    oracle-checkable contract."""
+    scored = (
+        perplexity_score(df, text_col, id_col)
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("m_fp", F.expr("nll_fp div n_tokens"))
+    )
+    cuts = scored.agg(F.percentile("m_fp", F.lit(list(probs))).alias("_qs"))
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "bucket",
+            F.when(F.col("m_fp") <= F.col("_qs")[0], F.lit("head"))
+            .when(F.col("m_fp") <= F.col("_qs")[1], F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("_qs")
+    )

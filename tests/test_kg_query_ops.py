@@ -330,6 +330,108 @@ def test_bgp_optional_chains_on_optional_var(spark):
     assert rows == {("d1", "join", "table")}
 
 
+# --- FILTER / VALUES / UNION -------------------------------------------------
+def test_bgp_filter_drops_nonmatching_and_null(spark):
+    """FILTER is group-scoped: it sees OPTIONAL columns, and a NULL
+    (unbound) comparison is dropped — SPARQL's error-is-false."""
+    t = _triples(
+        spark,
+        [
+            ("d1", "engine", "vector"),
+            ("d1", "exec_op", "join"),
+            ("d2", "engine", "vector"),  # no exec_op -> NULL op
+        ],
+    )
+    out = bgp.bgp_match(
+        t,
+        [("?doc", "engine", "vector")],
+        optional=[("?doc", "exec_op", "?op")],
+        filters=["op = 'join'"],
+    )
+    assert {(r["doc"], r["op"]) for r in out.collect()} == {("d1", "join")}
+
+
+def test_bgp_values_restricts_and_extends(spark):
+    """VALUES joins on the shared var and appends fresh columns."""
+    t = _triples(
+        spark,
+        [("d1", "engine", "spark"), ("d2", "engine", "hash"),
+         ("d3", "engine", "group")],
+    )
+    out = bgp.bgp_match(
+        t,
+        [("?doc", "engine", "?e")],
+        values=(["e", "family"], [("spark", "jvm"), ("hash", "algo")]),
+    )
+    rows = {(r["doc"], r["e"], r["family"]) for r in out.collect()}
+    assert rows == {("d1", "spark", "jvm"), ("d2", "hash", "algo")}
+
+
+def test_bgp_values_disconnected_raises(spark):
+    t = _triples(spark, [("d1", "engine", "spark")])
+    with pytest.raises(ValueError, match="VALUES"):
+        bgp.bgp_match(
+            t, [("?doc", "engine", "?e")],
+            values=(["zzz"], [("x",)]),
+        )
+    with pytest.raises(ValueError, match="UNDEF"):
+        bgp.bgp_match(
+            t, [("?doc", "engine", "?e")],
+            values=(["e"], [(None,)]),
+        )
+
+
+def test_bgp_union_bag_semantics_and_null_padding(spark):
+    """A binding produced by both branches appears twice (multiset
+    UNION of set-semantic branches); a variable bound by only one
+    branch is NULL in the other's rows."""
+    t = _triples(
+        spark,
+        [
+            ("d1", "engine", "spark"),
+            ("d1", "exec_op", "spark"),   # same (doc, term) via branch 2
+            ("d2", "exec_op", "scan"),
+            ("d2", "data_noun", "table"),
+        ],
+    )
+    out = bgp.bgp_union(
+        t,
+        [
+            [("?doc", "engine", "?term")],
+            [("?doc", "exec_op", "?term"), ("?doc", "data_noun", "?n")],
+        ],
+    )
+    rows = sorted(
+        (r["doc"], r["term"], r["n"]) for r in out.collect()
+    )
+    assert rows == [("d1", "spark", None), ("d2", "scan", "table")]
+    # duplicate across branches WITHOUT the second branch's extra
+    # pattern: d1/spark appears twice
+    out2 = bgp.bgp_union(
+        t,
+        [[("?doc", "engine", "?term")], [("?doc", "exec_op", "?term")]],
+    )
+    assert out2.filter("doc = 'd1'").count() == 2
+
+
+def test_bgp_union_group_scoped_filter_values(spark):
+    """filters/values run once, after the union — not per branch."""
+    t = _triples(
+        spark,
+        [("d1", "engine", "spark"), ("d2", "exec_op", "scan"),
+         ("d3", "exec_op", "join")],
+    )
+    out = bgp.bgp_union(
+        t,
+        [[("?doc", "engine", "?term")], [("?doc", "exec_op", "?term")]],
+        values=(["term", "family"],
+                [("spark", "eng"), ("scan", "op"), ("join", "op")]),
+        filters=["term <> 'join'"],
+    )
+    rows = {(r["doc"], r["term"], r["family"]) for r in out.collect()}
+    assert rows == {("d1", "spark", "eng"), ("d2", "scan", "op")}
+
+
 # --- negative sampling -------------------------------------------------------
 def test_negative_samples_never_equal_positive_and_deterministic(spark):
     from gliner_transbronchialbiopsy_spark.operators import negsample

@@ -342,6 +342,45 @@ def test_perplexity_deterministic_across_partitioning(spark):
     assert a == b  # exact long equality, not approx
 
 
+def test_perplexity_buckets_tertiles(spark):
+    """9 docs with three distinct quality tiers land 3/3/3 in
+    head/middle/tail; empty docs are excluded; buckets ordered by
+    per-token NLL (head = lowest)."""
+    texts = (
+        ["common words only"] * 3          # all high-frequency tokens
+        + ["common words rare%d" % i for i in range(3)]   # one rare each
+        + ["odd%d odd%d odd%d" % (i, i + 10, i + 20) for i in range(3)]
+        + [""]
+    )
+    out = termstats.perplexity_buckets(_docs(spark, texts)).collect()
+    assert len(out) == 9  # empty doc excluded
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["m_fp"])
+    assert {k: len(v) for k, v in by_bucket.items()} == {
+        "head": 3, "middle": 3, "tail": 3
+    }
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    # docs 0-2 are the all-common tier
+    heads = {r["doc_id"] for r in out if r["bucket"] == "head"}
+    assert heads == {0, 1, 2}
+
+
+def test_perplexity_buckets_deterministic_across_partitioning(spark):
+    texts = [f"tok{i % 7} tok{i % 3} shared common words x{i % 5}" for i in range(60)]
+    docs = _docs(spark, texts)
+    a = sorted(
+        (r["doc_id"], r["bucket"], r["m_fp"])
+        for r in termstats.perplexity_buckets(docs.repartition(1)).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["bucket"], r["m_fp"])
+        for r in termstats.perplexity_buckets(docs.repartition(16)).collect()
+    )
+    assert a == b
+
+
 def test_score_with_lm_frozen_reference_and_oov(spark):
     ref = _docs(spark, ["common words common words", "common stuff"])
     toks = ref.select(

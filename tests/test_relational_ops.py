@@ -128,6 +128,100 @@ def test_triangle_count_star_has_none(spark):
     assert row["n_wedges"] == 0  # leaves have out-degree 1, hub 0
 
 
+# --- clustering coefficient ------------------------------------------------
+def test_clustering_coef_k4_is_one(spark):
+    """Every node of K4 has all neighbor pairs connected: C = 1."""
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    rows = graph.clustering_coefficients(edges).collect()
+    assert {(r["node"], r["deg"], r["n_tri"], r["coef_fp"]) for r in rows} == {
+        (n, 3, 3, 1_000_000_000) for n in range(4)
+    }
+
+
+def test_clustering_coef_star_and_pendant(spark):
+    """A star hub has C=0 (no neighbor pair connected); a pendant node
+    (deg 1) has no pair at all and emits 0."""
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(5, 1)], "src long, dst long"
+    )
+    got = {r["node"]: (r["n_tri"], r["coef_fp"]) for r in
+           graph.clustering_coefficients(edges).collect()}
+    assert got[0] == (0, 0)       # hub: 6 pairs, none closed
+    assert got[5] == (0, 0)       # pendant: deg 1
+    assert all(v == (0, 0) for v in got.values())
+
+
+def test_clustering_coef_partial_closure(spark):
+    """Node 0 with neighbors {1,2,3}, only (1,2) connected: C(0) =
+    2*1/(3*2) = 1/3 in fixed point; nodes 1,2 are in one triangle with
+    both their neighbor pairs... deg(1)=2 -> C=1."""
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], "src long, dst long"
+    )
+    got = {r["node"]: (r["deg"], r["n_tri"], r["coef_fp"]) for r in
+           graph.clustering_coefficients(edges).collect()}
+    assert got[0] == (3, 1, 333_333_333)
+    assert got[1] == (2, 1, 1_000_000_000)
+    assert got[2] == (2, 1, 1_000_000_000)
+    assert got[3] == (1, 0, 0)
+
+
+# --- Adamic-Adar -----------------------------------------------------------
+def test_adamic_adar_matches_python_oracle(spark):
+    """Two candidate pairs with different common-neighbor rarity: the
+    rarer shared neighbor scores higher. Existing edges excluded."""
+    import math
+
+    # u1,u2 share v (deg 2); u3,u4 share h (deg 4, also wired to u1,u2)
+    edges = [(1, 10), (2, 10),            # v=10: deg 2
+             (3, 20), (4, 20), (1, 20), (2, 20)]  # h=20: deg 4
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [
+        (r["u"], r["w"], r["n_common"], r["score_fp"])
+        for r in graph.adamic_adar(df, k=100).collect()
+    ]
+    w2 = math.floor(1e9 / math.log(2))
+    w4 = math.floor(1e9 / math.log(4))
+    # expected pairs: all non-adjacent pairs sharing >=1 center
+    exp = {}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v, ns in adj.items():
+        wv = math.floor(1e9 / math.log(len(ns))) if len(ns) >= 2 else None
+        if wv is None or len(ns) > 32:
+            continue
+        ns = sorted(ns)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                u, w = ns[i], ns[j]
+                if w in adj.get(u, ()):
+                    continue
+                c, s = exp.get((u, w), (0, 0))
+                exp[(u, w)] = (c + 1, s + wv)
+    want = sorted(
+        ((u, w, c, s) for (u, w), (c, s) in exp.items()),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )
+    assert got == want
+    # sanity on the rarity ordering: (1,2) share BOTH 10 and 20
+    scores = {(u, w): s for u, w, _, s in got}
+    assert scores[(1, 2)] == w2 + w4
+    assert scores[(3, 4)] == w4 < scores[(1, 2)]
+
+
+def test_adamic_adar_center_cap_drops_hub(spark):
+    """A center above max_center_deg enumerates no pairs."""
+    edges = [(0, i) for i in range(1, 6)]  # hub 0, deg 5
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert graph.adamic_adar(df, max_center_deg=4).count() == 0
+    assert graph.adamic_adar(df, max_center_deg=5).count() == 10
+
+
 # --- k-core ----------------------------------------------------------------
 def test_kcore_k4_plus_tail(spark):
     """K4 with a pendant path hanging off it: the 2-core is exactly

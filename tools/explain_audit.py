@@ -94,6 +94,22 @@ AUDIT = {
     # (plan stays O(1) deep); the final degree count is a plain
     # HashAggregate over the checkpointed survivor edges, zero Python
     "graph_kcore": ("Scan ExistingRDD", "HashAggregate", "!InPandas"),
+    # UNION is plan-level concatenation (no shuffle of its own); the
+    # VALUES inline table joins broadcast; zero Python
+    "kg_bgp_union": ("Union", "BroadcastHashJoin", "!InPandas"),
+    # per-node triangles: the explode is three projections unioned,
+    # counted in one HashAggregate — no window, zero Python
+    "graph_clustering": ("HashAggregate", "!InPandas", "!Window"),
+    # wedge self-join keyed on the center, pair sums partial-combined,
+    # top-k via TakeOrdered — never a global sort; zero Python
+    "graph_adamic_adar": (
+        "TakeOrderedAndProject",
+        "HashAggregate",
+        "!InPandas",
+    ),
+    # tertile cuts are ONE mergeable percentile aggregate broadcast
+    # back as a projection — no window, no global sort, zero Python
+    "perplexity_buckets": ("ObjectHashAggregate", "!InPandas", "!Window"),
     # exact group quantiles: single partial+final agg pair (percentile
     # is an ObjectHashAggregate buffer), zero Python, no window
     "quantiles_exact": ("Aggregate", "!InPandas", "!Window"),
