@@ -1102,6 +1102,44 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision labeling (operators/weaklabel): three
+    programmatic label functions over the documents table — keyword
+    LFs voting 'tech', a short-doc LF voting 'general' — aggregated by
+    weighted majority (lf_kw carries weight 2) with the total-order
+    tie-break (weight DESC, label ASC). Summarized per (label,
+    confidence band) so the contract row count stays O(bands) while
+    the sums hash every per-doc confidence."""
+    from gliner_transbronchialbiopsy_spark.operators import weaklabel
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    lfs = {
+        "lf_kw": F.when(
+            F.col("text").rlike(r"\b(?:spark|query|hash)\b"), F.lit("tech")
+        ),
+        "lf_noun": F.when(
+            F.col("text").rlike(r"\b(?:table|stream)\b"), F.lit("tech")
+        ),
+        "lf_short": F.when(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")) < 30,
+            F.lit("general"),
+        ),
+    }
+    votes = weaklabel.apply_label_functions(docs, lfs)
+    out = weaklabel.vote(votes, weights={"lf_kw": 2})
+    band = F.expr("(confidence_fp * 4) div 1000000001")  # 0..3 quarters
+    return (
+        out.withColumn("band", band)
+        .groupBy("label", "band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_votes").alias("sum_votes"),
+            F.sum("weight").alias("sum_weight"),
+            F.sum("confidence_fp").alias("sum_conf_fp"),
+        )
+    )
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail perplexity triage
     (operators/termstats.perplexity_buckets): unigram-LM per-token NLL
@@ -1182,6 +1220,34 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = graph.pagerank_edges_from(rel, "src", "dst", symmetric=True)
     ranks = graph.pagerank(edges, weight="w", iterations=5)
+    return ranks.orderBy(F.desc("rank_fp"), F.col("node").asc()).limit(20)
+
+
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.pagerank seeds=...):
+    teleport mass concentrated on nation-0 customers, so ranks measure
+    relevance to that seed cohort — the KG related-entities primitive.
+    Same integer recurrence as graph_pagerank (bit-identical at any
+    parallelism), seed membership decided by one pre-loop join; the
+    oracle restates the seeded base/init terms in the same 5 chained
+    CTEs. Top 20 nodes by rank (ties by node id)."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rel = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = graph.pagerank_edges_from(rel, "src", "dst", symmetric=True)
+    seeds = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("node")
+        )
+    )
+    ranks = graph.pagerank(edges, weight="w", iterations=5, seeds=seeds)
     return ranks.orderBy(F.desc("rank_fp"), F.col("node").asc()).limit(20)
 
 
@@ -1664,6 +1730,40 @@ def q_kg_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_rule_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalog-lite rule materialization (operators/rules.materialize):
+    three user-stated rules run to the semi-naive fixed point over the
+    emitted triples — R1 derives (engine runs op) from co-mentions, R2
+    derives (op linked op') from ops sharing a doc, R3 closes `linked`
+    transitively (a RECURSIVE rule: derived facts re-enter evaluation,
+    so the fixpoint needs multiple delta rounds). Returns the inferred
+    triples only — vocabulary-sized (ops x ops + engines x ops) at any
+    SF, while the body joins run over the full corpus-scale KG. The
+    oracle restates R1/R2 as joins and R3 as a recursive CTE."""
+    from gliner_transbronchialbiopsy_spark.operators import rules
+
+    triples = q_kg_triples(spark, sf_dir)
+    rs = [
+        rules.rule(
+            [("?d", "engine", "?e"), ("?d", "exec_op", "?op")],
+            [("?e", "runs", "?op")],
+            name="engine-runs-op",
+        ),
+        rules.rule(
+            [("?d", "exec_op", "?a"), ("?d", "exec_op", "?b")],
+            [("?a", "linked", "?b")],
+            name="co-mentioned-ops",
+        ),
+        rules.rule(
+            [("?a", "linked", "?b"), ("?b", "linked", "?c")],
+            [("?a", "linked", "?c")],
+            name="linked-transitive",
+        ),
+    ]
+    out = rules.materialize(triples, rs)
+    return out.filter(F.col("inferred")).select("subj", "pred", "obj")
+
+
 def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation
     (operators/graph.label_propagation) over the part-supplier graph:
@@ -1966,16 +2066,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "lm_perplexity": q_lm_perplexity,
         "perplexity_buckets": q_perplexity_buckets,
+        "weak_labels": q_weak_labels,
         "tfidf_terms": q_tfidf_terms,
         "colloc_pmi": q_colloc_pmi,
         "line_dedup": q_line_dedup,
         "graph_pagerank": q_graph_pagerank,
+        "graph_ppr": q_graph_ppr,
         "dedup_incremental": q_dedup_incremental,
         "kg_constraint_violations": q_kg_constraint_violations,
         "kg_bgp_match": q_kg_bgp_match,
         "dsir_weights": q_dsir_weights,
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_union": q_kg_bgp_union,
+        "kg_rule_closure": q_kg_rule_closure,
         "bpe_pair_counts": q_bpe_pair_counts,
         "kg_negative_samples": q_kg_negative_samples,
         "graph_random_walks": q_graph_random_walks,
@@ -2261,6 +2364,66 @@ def _pagerank_sql(iterations: int = 5) -> str:
 
 
 _PAGERANK_SQL = _pagerank_sql(5)
+
+
+def _ppr_sql(iterations: int = 5) -> str:
+    """DuckDB restatement of seeded graph.pagerank: identical chained
+    CTEs, but the teleport base and initial mass land only on seed
+    nodes present in the graph (nation-0 customers)."""
+    head = r"""
+        WITH rel AS (
+          SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS cn,
+                 's:' || CAST(l.l_suppkey AS VARCHAR) AS sn
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        ed AS (
+          SELECT cn AS src, sn AS dst, count(*) AS w
+          FROM rel GROUP BY cn, sn
+          UNION ALL
+          SELECT sn AS src, cn AS dst, count(*) AS w
+          FROM rel GROUP BY sn, cn),
+        wt AS (
+          SELECT src, CAST(sum(w) AS BIGINT) AS wtot
+          FROM ed GROUP BY src),
+        ew AS (
+          SELECT ed.src, ed.dst, ed.w, wt.wtot
+          FROM ed JOIN wt USING (src)),
+        nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        seeds AS (
+          SELECT DISTINCT 'c:' || CAST(c_custkey AS VARCHAR) AS node
+          FROM customer WHERE c_nationkey = 0),
+        sn AS (
+          SELECT n.node, (s.node IS NOT NULL) AS is_seed
+          FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+        ns AS (SELECT count(*) AS n FROM sn WHERE is_seed),
+        pr0 AS (
+          SELECT node,
+                 CASE WHEN is_seed
+                      THEN CAST(1000000000 AS BIGINT) // ns.n
+                      ELSE CAST(0 AS BIGINT) END AS rank_fp
+          FROM sn, ns)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+        pr{i} AS (
+          SELECT n.node,
+            CAST(CASE WHEN n.is_seed
+                      THEN (15 * CAST(1000000000 AS BIGINT)) // (100 * ns.n)
+                      ELSE 0 END
+                 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS rank_fp
+          FROM sn n CROSS JOIN ns
+          LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(sum((p.rank_fp * e.w) // e.wtot) AS BIGINT) AS c
+            FROM pr{i-1} p JOIN ew e ON e.src = p.node
+            GROUP BY e.dst) s ON s.node = n.node)""")
+    tail = f"""
+        SELECT node, rank_fp FROM pr{iterations}
+        ORDER BY rank_fp DESC, node ASC LIMIT 20
+    """
+    return head + "," + ",".join(steps) + tail
+
+
+_PPR_SQL = _ppr_sql(5)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2988,6 +3151,47 @@ def oracle_sql() -> dict[str, str]:
                    END AS avg_nll
             FROM t LEFT JOIN pd USING (doc_id)
         """,
+        # three LFs as filtered selects UNION ALL'd into long-form
+        # votes; the winner election is the same total order
+        # (weight DESC, label ASC) via row_number; all integer math
+        "weak_labels": r"""
+            WITH v AS (
+              SELECT doc_id, 'lf_kw' AS lf, 'tech' AS label, 2 AS w
+              FROM documents
+              WHERE regexp_matches(text, '\b(?:spark|query|hash)\b')
+              UNION ALL
+              SELECT doc_id, 'lf_noun', 'tech', 1
+              FROM documents
+              WHERE regexp_matches(text, '\b(?:table|stream)\b')
+              UNION ALL
+              SELECT doc_id, 'lf_short', 'general', 1
+              FROM documents
+              WHERE len(string_split_regex(trim(text), '\s+')) < 30
+            ),
+            pl AS (
+              SELECT doc_id, label, count(*) AS n_votes,
+                     CAST(sum(w) AS BIGINT) AS weight
+              FROM v GROUP BY doc_id, label),
+            tot AS (
+              SELECT doc_id, CAST(sum(n_votes) AS BIGINT) AS n_lfs,
+                     CAST(sum(weight) AS BIGINT) AS wtot
+              FROM pl GROUP BY doc_id),
+            win AS (
+              SELECT pl.*, row_number() OVER (
+                PARTITION BY doc_id ORDER BY weight DESC, label ASC) AS rk
+              FROM pl),
+            lab AS (
+              SELECT w.doc_id, w.label, w.n_votes, w.weight, t.n_lfs,
+                     (w.weight * 1000000000) // t.wtot AS confidence_fp
+              FROM win w JOIN tot t USING (doc_id) WHERE w.rk = 1)
+            SELECT label,
+                   (confidence_fp * 4) // 1000000001 AS band,
+                   count(*) AS n_docs,
+                   CAST(sum(n_votes) AS BIGINT) AS sum_votes,
+                   CAST(sum(weight) AS BIGINT) AS sum_weight,
+                   CAST(sum(confidence_fp) AS BIGINT) AS sum_conf_fp
+            FROM lab GROUP BY label, band
+        """,
         # same LM CTEs as lm_perplexity; m_fp is integer division of
         # exact longs, the tertile cuts are quantile_cont doubles
         # (measured bit-identical to Spark percentile on this corpus)
@@ -3147,6 +3351,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.doc_id, len(l.lines)
         """,
         "graph_pagerank": _PAGERANK_SQL,
+        "graph_ppr": _PPR_SQL,
         # incremental dedup: exact = sha membership in the history;
         # near-dup = the SAME portable MinHash chain as dedup_minhash,
         # but banded asymmetrically (new-survivor side x history side,
@@ -3867,6 +4072,41 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_bindings,
                    count(DISTINCT doc) AS n_docs
             FROM j GROUP BY family, term
+        """.format(kw_values=kw_values),
+        # R1/R2 as joins, R3 (transitive `linked`) as a left-linear
+        # recursive CTE — same fixpoint as the engine's naive closure
+        # rule; derived preds are disjoint from asserted ones, so the
+        # inferred set is exactly runs + closed linked
+        "kg_rule_closure": f"""
+            WITH RECURSIVE t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            eng AS MATERIALIZED (
+              SELECT DISTINCT subj AS d, obj AS e FROM t
+              WHERE pred = 'engine'),
+            op AS MATERIALIZED (
+              SELECT DISTINCT subj AS d, obj AS o FROM t
+              WHERE pred = 'exec_op'),
+            runs AS MATERIALIZED (
+              SELECT DISTINCT eng.e AS s, op.o AS ob
+              FROM eng JOIN op ON eng.d = op.d),
+            l0 AS MATERIALIZED (
+              SELECT DISTINCT o1.o AS a, o2.o AS b
+              FROM op o1 JOIN op o2 ON o1.d = o2.d),
+            lr AS (
+              SELECT a, b FROM l0
+              UNION
+              SELECT lr.a, l0.b FROM lr JOIN l0 ON lr.b = l0.a
+            )
+            SELECT s AS subj, 'runs' AS pred, ob AS obj FROM runs
+            UNION ALL
+            SELECT a AS subj, 'linked' AS pred, b AS obj FROM lr
         """.format(kw_values=kw_values),
         "graph_communities": _LPA_SQL,
         "kg_diff": f"""

@@ -49,6 +49,7 @@ def pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = SCALE,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """edges(src, dst[, weight]) -> (node, rank_fp) after a fixed
     number of synchronous power iterations.
@@ -58,6 +59,17 @@ def pagerank(
     (85 = the classic 0.85) so the blend stays integer. weight=None
     treats every edge as weight 1; parallel edges should be
     pre-aggregated by the caller (pagerank_edges_from does this).
+
+    ``seeds`` (a one-column ``node`` DataFrame) switches to
+    PERSONALIZED PageRank (Haveliwala 2002; Page et al. 1999 §6): the
+    teleport mass — both the initial distribution and the per-round
+    restart term — concentrates uniformly on the seed set instead of
+    all nodes, so ranks measure relevance-to-the-seeds (the KG
+    entity-recommendation / related-entities primitive). Seeds not in
+    the graph are ignored; an empty intersection raises. The seed
+    relation joins once onto the node table before the loop (broadcast
+    when small), the loop body is unchanged — same integer blend, same
+    per-round cost.
 
     Deterministic by construction: same output longs at any
     parallelism — asserted by a pytest that runs the loop at 1 and 32
@@ -79,14 +91,31 @@ def pagerank(
     # per-src total out-weight rides on every edge row; computed once
     wtot = ew.groupBy("_src").agg(F.sum("_w").alias("_wtot"))
     ew = ew.join(wtot, "_src").localCheckpoint()
-    n_nodes = nodes.count()  # one bounded scalar (the node count) —
-    # drives the integer teleport term; the entity graph is the
-    # post-canonicalization KG, not the raw corpus
-    if n_nodes == 0:
+    if seeds is not None:
+        sd = seeds.select(F.col("node")).distinct()
+        nodes = (
+            nodes.join(sd.withColumn("_is_seed", F.lit(True)), "node", "left")
+            .select("node", F.coalesce("_is_seed", F.lit(False)).alias("_is_seed"))
+            .localCheckpoint()
+        )
+        n_teleport = nodes.filter("_is_seed").count()
+        if n_teleport == 0:
+            raise ValueError("no seed node present in the graph")
+    else:
+        nodes = nodes.withColumn("_is_seed", F.lit(True)).localCheckpoint()
+        n_teleport = nodes.count()  # one bounded scalar (the node
+        # count) — drives the integer teleport term; the entity graph
+        # is the post-canonicalization KG, not the raw corpus
+    if n_teleport == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_fp"))
-    base = ((100 - damping_pct) * scale) // (100 * n_nodes)
+    base = ((100 - damping_pct) * scale) // (100 * n_teleport)
+    base_col = F.when(F.col("_is_seed"), F.lit(base)).otherwise(F.lit(0))
     ranks = nodes.select(
-        "node", F.lit(scale // n_nodes).cast("long").alias("rank_fp")
+        "node",
+        F.when(F.col("_is_seed"), F.lit(scale // n_teleport))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_fp"),
     )
     for _ in range(iterations):
         contrib = (
@@ -103,7 +132,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base_col
                     + F.expr(
                         f"({damping_pct} * coalesce(_s, 0L)) div 100"
                     )

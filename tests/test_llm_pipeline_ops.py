@@ -569,6 +569,51 @@ def test_pagerank_star_center_dominates(spark):
     assert sum(ranks.values()) > graph.SCALE * 0.98
 
 
+def test_ppr_mass_concentrates_near_seed(spark):
+    """Barbell: two 3-cliques joined by one bridge. Seeding in clique
+    A ranks A's members above the mirror-image members of clique B —
+    plain PageRank would tie them by symmetry."""
+    a = [("a1", "a2"), ("a1", "a3"), ("a2", "a3")]
+    b = [("b1", "b2"), ("b1", "b3"), ("b2", "b3")]
+    bridge = [("a1", "b1")]
+    e = graph.pagerank_edges_from(
+        spark.createDataFrame(a + b + bridge, "src string, dst string"),
+        "src", "dst", symmetric=True,
+    )
+    seeds = spark.createDataFrame([("a2",)], "node string")
+    ppr = {
+        r["node"]: r["rank_fp"]
+        for r in graph.pagerank(e, weight="w", iterations=8, seeds=seeds).collect()
+    }
+    assert ppr["a2"] > ppr["a1"] or ppr["a2"] > ppr["a3"]
+    assert ppr["a3"] > ppr["b3"] and ppr["a1"] > ppr["b1"]
+    plain = {
+        r["node"]: r["rank_fp"]
+        for r in graph.pagerank(e, weight="w", iterations=8).collect()
+    }
+    assert plain["a3"] == plain["b3"]  # the symmetry PPR breaks
+
+
+def test_ppr_seed_validation(spark):
+    e = graph.pagerank_edges_from(
+        spark.createDataFrame([("x", "y")], "src string, dst string"),
+        "src", "dst", symmetric=True,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seed"):
+        graph.pagerank(
+            e, weight="w", iterations=2,
+            seeds=spark.createDataFrame([("zzz",)], "node string"),
+        )
+    # seeds outside the graph are ignored when at least one is inside
+    ranks = graph.pagerank(
+        e, weight="w", iterations=2,
+        seeds=spark.createDataFrame([("x",), ("zzz",)], "node string"),
+    )
+    assert ranks.count() == 2
+
+
 def test_pagerank_deterministic_across_parallelism(spark):
     import random
 

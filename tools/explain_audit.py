@@ -110,6 +110,15 @@ AUDIT = {
     # tertile cuts are ONE mergeable percentile aggregate broadcast
     # back as a projection — no window, no global sort, zero Python
     "perplexity_buckets": ("ObjectHashAggregate", "!InPandas", "!Window"),
+    # LF evaluation is a projection on the doc scan; the vote is one
+    # partial-combined aggregate pair + a per-doc window on the tiny
+    # per-label relation; zero Python
+    "weak_labels": ("HashAggregate", "!InPandas"),
+    # seeded PageRank: same checkpointed-round shape as graph_pagerank
+    "graph_ppr": ("Scan ExistingRDD", "!InPandas"),
+    # semi-naive fixpoint: rounds end in localCheckpoints; the final
+    # projection reads checkpointed RDDs, zero Python
+    "kg_rule_closure": ("Scan ExistingRDD", "!InPandas"),
     # exact group quantiles: single partial+final agg pair (percentile
     # is an ObjectHashAggregate buffer), zero Python, no window
     "quantiles_exact": ("Aggregate", "!InPandas", "!Window"),
