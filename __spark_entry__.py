@@ -1180,6 +1180,23 @@ def q_colloc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return termstats.pmi_collocations(docs, min_count=5, k=20)
 
 
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG chunking (operators/packing.chunk_sliding):
+    64-token windows at stride 48 (overlap 16), the embedding-index
+    layout — every token in >=1 chunk, short tails kept, empty docs
+    silent. Summarized per chunk_idx; sum of chunk-text lengths pins
+    the sliced content, not just the counts."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = packing.chunk_sliding(docs, chunk_tokens=64, overlap=16)
+    return ch.groupBy("chunk_idx").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tok").alias("sum_n_tok"),
+        F.sum("start_tok").alias("sum_start"),
+        F.sum(F.length("chunk_text")).alias("sum_text_len"),
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document line dedup (operators/dedup.line_dedup), the
     RefinedWeb boilerplate pass: any 10-token window occurring more
@@ -1730,6 +1747,65 @@ def q_kg_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_direct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative relational->RDF mapping (operators/rdfmap): R2RML-
+    style TableMappings turn the customer and orders tables into one
+    graph — IRI templates for subjects, ObjRef templates for the
+    foreign-key edges (customer->nation, order->customer), rdf:type
+    assertions per row, NULL objects absent per the direct-mapping
+    spec. One scan per table, explode fan-out = mapped predicate
+    count, zero joins. Summarized per predicate."""
+    from gliner_transbronchialbiopsy_spark.operators import rdfmap
+
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    g = rdfmap.map_tables(
+        [
+            (
+                cust,
+                rdfmap.TableMapping(
+                    subject_template="cust/{c_custkey}",
+                    predicates={
+                        "name": "c_name",
+                        "mktsegment": "c_mktsegment",
+                        "nation": rdfmap.ObjRef("nation/{c_nationkey}"),
+                    },
+                    subject_class="Customer",
+                ),
+            ),
+            (
+                orders,
+                rdfmap.TableMapping(
+                    subject_template="order/{o_orderkey}",
+                    predicates={
+                        "status": "o_orderstatus",
+                        "customer": rdfmap.ObjRef("cust/{o_custkey}"),
+                    },
+                    subject_class="Order",
+                ),
+            ),
+        ]
+    )
+    return g.groupBy("pred").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+    )
+
+
+def q_kg_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic sets (operators/kgvalidate.characteristic_sets,
+    Neumann-Moerkotte ICDE'11) over the emitted doc KG: subjects
+    grouped by their distinct-predicate set — the structural schema
+    profile of a schemaless triple table, and the statistic a SPARQL
+    optimizer estimates join cardinalities from. Triples deduped first
+    so n_triples counts assertions, not mention multiplicity."""
+    from gliner_transbronchialbiopsy_spark.operators import kgvalidate
+
+    triples = q_kg_triples(spark, sf_dir).distinct()
+    return kgvalidate.characteristic_sets(triples)
+
+
 def q_kg_rule_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datalog-lite rule materialization (operators/rules.materialize):
     three user-stated rules run to the semi-naive fixed point over the
@@ -2063,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "decontam_overlap": q_decontam_overlap,
         "pack_chunks": q_pack_chunks,
+        "chunk_sliding": q_chunk_sliding,
         "mixture_sample": q_mixture_sample,
         "lm_perplexity": q_lm_perplexity,
         "perplexity_buckets": q_perplexity_buckets,
@@ -2079,6 +2156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_union": q_kg_bgp_union,
         "kg_rule_closure": q_kg_rule_closure,
+        "kg_direct_map": q_kg_direct_map,
+        "kg_charsets": q_kg_charsets,
         "bpe_pair_counts": q_bpe_pair_counts,
         "kg_negative_samples": q_kg_negative_samples,
         "graph_random_walks": q_graph_random_walks,
@@ -3076,6 +3155,35 @@ def oracle_sql() -> dict[str, str]:
             FROM tr JOIN ev USING (gram)
             GROUP BY tr.doc_id, tr.n_grams
         """,
+        # per-doc window starts via generate_series at the stride,
+        # slices 1-indexed inclusive on both engines; chunk_idx =
+        # start // stride (starts are exact multiples)
+        "chunk_sliding": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\s+')
+                END AS tk
+              FROM documents),
+            n AS (SELECT doc_id, tk, len(tk) AS nt FROM t WHERE len(tk) > 0),
+            ch AS (
+              SELECT n.doc_id,
+                     gs.s // 48 AS chunk_idx,
+                     gs.s AS start_tok,
+                     least(64, n.nt - gs.s) AS n_tok,
+                     array_to_string(
+                       list_slice(n.tk, gs.s + 1,
+                                  gs.s + least(64, n.nt - gs.s)),
+                       ' ') AS chunk_text
+              FROM n, LATERAL unnest(generate_series(0, n.nt - 1, 48)) gs(s))
+            SELECT chunk_idx,
+                   count(*) AS n_chunks,
+                   count(DISTINCT doc_id) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+                   CAST(sum(start_tok) AS BIGINT) AS sum_start,
+                   CAST(sum(length(chunk_text)) AS BIGINT) AS sum_text_len
+            FROM ch GROUP BY chunk_idx
+        """,
         "pack_chunks": r"""
             WITH t AS (
               SELECT doc_id,
@@ -4072,6 +4180,64 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_bindings,
                    count(DISTINCT doc) AS n_docs
             FROM j GROUP BY family, term
+        """.format(kw_values=kw_values),
+        # direct mapping restated per predicate: each mapped column is
+        # one per-row select (NULL objects filtered), FK edges render
+        # the same IRI templates
+        "kg_direct_map": """
+            WITH g AS (
+              SELECT 'cust/' || CAST(c_custkey AS VARCHAR) AS subj,
+                     'rdf:type' AS pred, 'Customer' AS obj FROM customer
+              UNION ALL
+              SELECT 'cust/' || CAST(c_custkey AS VARCHAR), 'name', c_name
+              FROM customer WHERE c_name IS NOT NULL
+              UNION ALL
+              SELECT 'cust/' || CAST(c_custkey AS VARCHAR), 'mktsegment',
+                     c_mktsegment
+              FROM customer WHERE c_mktsegment IS NOT NULL
+              UNION ALL
+              SELECT 'cust/' || CAST(c_custkey AS VARCHAR), 'nation',
+                     'nation/' || CAST(c_nationkey AS VARCHAR)
+              FROM customer WHERE c_nationkey IS NOT NULL
+              UNION ALL
+              SELECT 'order/' || CAST(o_orderkey AS VARCHAR), 'rdf:type',
+                     'Order' FROM orders
+              UNION ALL
+              SELECT 'order/' || CAST(o_orderkey AS VARCHAR), 'status',
+                     o_orderstatus
+              FROM orders WHERE o_orderstatus IS NOT NULL
+              UNION ALL
+              SELECT 'order/' || CAST(o_orderkey AS VARCHAR), 'customer',
+                     'cust/' || CAST(o_custkey AS VARCHAR)
+              FROM orders WHERE o_custkey IS NOT NULL
+            )
+            SELECT pred, count(*) AS n_triples,
+                   count(DISTINCT subj) AS n_subj,
+                   count(DISTINCT obj) AS n_obj
+            FROM g GROUP BY pred
+        """,
+        # per-subject sorted distinct-pred list as the group key,
+        # n_triples over the deduped assertion set
+        "kg_charsets": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            per_subj AS (
+              SELECT subj,
+                     array_to_string(list_sort(list(DISTINCT pred)), ',') AS cs,
+                     CAST(count(DISTINCT pred) AS BIGINT) AS n_preds,
+                     count(*) AS n_triples
+              FROM t GROUP BY subj)
+            SELECT cs, n_preds,
+                   count(*) AS n_subjects,
+                   CAST(sum(n_triples) AS BIGINT) AS n_triples
+            FROM per_subj GROUP BY cs, n_preds
         """.format(kw_values=kw_values),
         # R1/R2 as joins, R3 (transitive `linked`) as a left-linear
         # recursive CTE — same fixpoint as the engine's naive closure

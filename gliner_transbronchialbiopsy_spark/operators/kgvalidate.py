@@ -113,3 +113,47 @@ def triple_diff(
     added = n.join(o, key, "left_anti").withColumn("change", F.lit("added"))
     removed = o.join(n, key, "left_anti").withColumn("change", F.lit("removed"))
     return added.unionAll(removed)
+
+
+def characteristic_sets(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE'11) ->
+    (cs, n_preds, n_subjects, n_triples): group subjects by the SET of
+    predicates they carry — the structural "schema profile" of a
+    schemaless triple table. The published use is cardinality
+    estimation for SPARQL join ordering; operationally it is also the
+    KG-construction audit that surfaces entity shapes (how many
+    subjects look like a full document record vs a fragment) without
+    any declared schema.
+
+    cs is the sorted distinct predicate list joined with ','
+    (predicates are a closed catalog, so the set is tiny and the
+    string form is a stable, engine-portable group key). Exact counts
+    only — deterministic at any parallelism.
+
+    Plan shape: one distinct on (subj, pred) feeding a per-subject
+    collect_set (bounded by the predicate catalog, NOT the corpus — a
+    subject cannot repeat a predicate after the distinct), one count
+    per subject for n_triples, then a catalog-sized re-aggregation on
+    the cs string. Two shuffles on subj, one on cs."""
+    t = triples.select(F.col(subj).alias("_s"), F.col(pred).alias("_p"))
+    per_subj = (
+        t.groupBy("_s")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("_p"))
+            ).alias("cs"),
+            F.size(F.collect_set("_p")).cast("long").alias("n_preds"),
+            F.count("*").alias("_n_triples"),
+        )
+    )
+    return (
+        per_subj.groupBy("cs", "n_preds")
+        .agg(
+            F.count("*").alias("n_subjects"),
+            F.sum("_n_triples").alias("n_triples"),
+        )
+    )

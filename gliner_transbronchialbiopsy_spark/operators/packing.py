@@ -109,3 +109,72 @@ def pack_chunks(
         .otherwise(last - first + 1)
         .alias("n_chunks"),
     )
+
+
+def chunk_sliding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Per-document sliding-window chunking -> (id_col, chunk_idx,
+    start_tok, n_tok, chunk_text): the RAG/embedding-index layout
+    (fixed-size windows, fixed overlap so no boundary sentence is cut
+    from both sides), complementing pack_chunks' cross-doc concat
+    layout for pretraining.
+
+    Windows start at stride = chunk_tokens - overlap: 0, stride,
+    2*stride, ... while start < n_tokens, each window min(chunk_tokens,
+    n_tokens - start) long — so every token lands in >=1 chunk, the
+    final (possibly short) tail is kept, and an empty doc emits no
+    rows. Whitespace tokenization (textstats.word_tokens) keeps parity
+    with the rest of the suite.
+
+    Distributed shape: pure per-row compute — tokenize, F.sequence for
+    the start offsets, slice + explode. No shuffle, no Python; chunk
+    counts are data-derived, so the explode fan-out is bounded by
+    ceil(n_tokens/stride) per row."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be > 0")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col),
+        textstats.word_tokens(F.col(text_col)).alias("_tk"),
+    ).withColumn("_n", F.size("_tk").cast("long"))
+    starts = F.when(F.col("_n") <= 0, F.array().cast("array<bigint>")).otherwise(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.col("_n") - 1,
+            F.lit(int(stride)).cast("long"),
+        )
+    )
+    out = (
+        toks.select(
+            id_col,
+            "_tk",
+            "_n",
+            F.posexplode(starts).alias("chunk_idx", "start_tok"),
+        )
+        .withColumn(
+            "n_tok",
+            F.least(F.lit(int(chunk_tokens)).cast("long"), F.col("_n") - F.col("start_tok")),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "start_tok",
+            "n_tok",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_tk"),
+                    (F.col("start_tok") + 1).cast("int"),
+                    F.col("n_tok").cast("int"),
+                ),
+            ).alias("chunk_text"),
+        )
+    )
+    return out

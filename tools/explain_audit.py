@@ -110,6 +110,14 @@ AUDIT = {
     # tertile cuts are ONE mergeable percentile aggregate broadcast
     # back as a projection — no window, no global sort, zero Python
     "perplexity_buckets": ("ObjectHashAggregate", "!InPandas", "!Window"),
+    # direct mapping is scan + explode per table, plan-level union —
+    # no join, no shuffle before the summary aggregate, zero Python
+    "kg_direct_map": ("Union", "HashAggregate", "!SortMergeJoin", "!InPandas"),
+    # per-subject pred-set profile: two agg pairs, zero Python
+    "kg_charsets": ("ObjectHashAggregate", "!InPandas"),
+    # sliding chunks: tokenize + sequence + slice + posexplode is a
+    # pure narrow projection — no shuffle before the summary, no Python
+    "chunk_sliding": ("Generate", "!Exchange hashpartitioning(doc_id", "!InPandas"),
     # LF evaluation is a projection on the doc scan; the vote is one
     # partial-combined aggregate pair + a per-doc window on the tiny
     # per-label relation; zero Python
