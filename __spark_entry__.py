@@ -1747,6 +1747,59 @@ def q_kg_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise clustering evaluation of the canonicalization stage
+    (operators/kgeval.clustering_metrics): predicted clusters = the
+    REAL connected-components canonical map over strict-normal-form
+    sameAs cliques (the kg_sameas_rewrite construction); gold = a
+    coarser normal form that also strips digits, so surfaces differing
+    only in digits merge in gold but not in pred. pred is a refinement
+    of gold, so precision is exactly 1.0 and recall measures the
+    refinement gap — all pair counts from cluster-size sums (s*(s-1)/2),
+    never enumerated, the property that makes the metric runnable on a
+    10^9-entity map."""
+    from gliner_transbronchialbiopsy_spark.operators import components, kgeval
+
+    triples = q_kg_triples(spark, sf_dir).distinct()
+    surf = triples.select(F.col("obj").alias("node")).distinct()
+    norm = surf.withColumn(
+        "_nf", F.regexp_replace(F.lower(F.col("node")), r"[^0-9a-z]+", "")
+    )
+    hub = norm.groupBy("_nf").agg(F.min("node").alias("_hub"))
+    edges = (
+        norm.join(hub, "_nf")
+        .filter(F.col("node") != F.col("_hub"))
+        .select(F.col("node").alias("src"), F.col("_hub").alias("dst"))
+    )
+    cmap = components.canonical_map(edges, surf, node_col="node")
+    gold = surf.withColumn(
+        "cluster", F.regexp_replace(F.lower(F.col("node")), r"[^a-z]+", "")
+    )
+    return kgeval.clustering_metrics(
+        cmap.withColumnRenamed("canonical", "cluster"), gold
+    )
+
+
+def q_kg_bgp_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS (operators/bgp.bgp_match minus=): engine bindings
+    with the docs that also mention exec_op 'join' removed — one
+    left_anti join on the shared ?doc variable against the
+    independently-compiled minus group (the SPARQL negation form that
+    a NOT-EXISTS subquery states in SQL). Summarized per engine."""
+    from gliner_transbronchialbiopsy_spark.operators import bgp
+
+    triples = q_kg_triples(spark, sf_dir)
+    b = bgp.bgp_match(
+        triples,
+        [("?doc", "engine", "?e")],
+        minus=[[("?doc", "exec_op", "join")]],
+    )
+    return b.groupBy("e").agg(
+        F.count("*").alias("n_bindings"),
+        F.countDistinct("doc").alias("n_docs"),
+    )
+
+
 def q_kg_direct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative relational->RDF mapping (operators/rdfmap): R2RML-
     style TableMappings turn the customer and orders tables into one
@@ -2155,6 +2208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_union": q_kg_bgp_union,
+        "kg_bgp_minus": q_kg_bgp_minus,
+        "kg_cluster_eval": q_kg_cluster_eval,
         "kg_rule_closure": q_kg_rule_closure,
         "kg_direct_map": q_kg_direct_map,
         "kg_charsets": q_kg_charsets,
@@ -4180,6 +4235,75 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_bindings,
                    count(DISTINCT doc) AS n_docs
             FROM j GROUP BY family, term
+        """.format(kw_values=kw_values),
+        # pairwise P/R from cluster-size sums: pred = per-strict-nf
+        # min (the clique election CC must match), gold = digit-blind
+        # nf; s*(s-1)/2 sums, fixed-point integer division
+        "kg_cluster_eval": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            surf AS (SELECT DISTINCT obj AS node FROM t),
+            m AS (
+              SELECT node,
+                     regexp_replace(lower(node), '[^0-9a-z]+', '', 'g') AS nf,
+                     regexp_replace(lower(node), '[^a-z]+', '', 'g') AS nfc
+              FROM surf),
+            hub AS (SELECT nf, min(node) AS pc FROM m GROUP BY nf),
+            b AS (SELECT m.node, h.pc, m.nfc FROM m JOIN hub h USING (nf)),
+            ni AS (SELECT count(*) AS n_items FROM b),
+            np AS (SELECT CAST(coalesce(sum(s * (s - 1) // 2), 0) AS BIGINT)
+                          AS n_pred_pairs
+                   FROM (SELECT count(*) AS s FROM b GROUP BY pc)),
+            ng AS (SELECT CAST(coalesce(sum(s * (s - 1) // 2), 0) AS BIGINT)
+                          AS n_gold_pairs
+                   FROM (SELECT count(*) AS s FROM b GROUP BY nfc)),
+            nb AS (SELECT CAST(coalesce(sum(s * (s - 1) // 2), 0) AS BIGINT)
+                          AS n_both
+                   FROM (SELECT count(*) AS s FROM b GROUP BY pc, nfc)),
+            r AS (
+              SELECT ni.n_items, np.n_pred_pairs, ng.n_gold_pairs, nb.n_both,
+                     CASE WHEN np.n_pred_pairs > 0
+                          THEN (nb.n_both * 1000000000) // np.n_pred_pairs
+                          ELSE 0 END AS precision_fp,
+                     CASE WHEN ng.n_gold_pairs > 0
+                          THEN (nb.n_both * 1000000000) // ng.n_gold_pairs
+                          ELSE 0 END AS recall_fp
+              FROM ni, np, ng, nb)
+            SELECT *,
+                   CASE WHEN precision_fp + recall_fp > 0
+                        THEN (2 * precision_fp * recall_fp)
+                             // (precision_fp + recall_fp)
+                        ELSE 0 END AS f1_fp
+            FROM r
+        """.format(kw_values=kw_values),
+        # MINUS as NOT EXISTS on the shared variable, branch scans
+        # DISTINCT like every pattern scan
+        "kg_bgp_minus": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            b AS (SELECT DISTINCT subj AS doc, obj AS e FROM t
+                  WHERE pred = 'engine'),
+            m AS (SELECT DISTINCT subj AS doc FROM t
+                  WHERE pred = 'exec_op' AND obj = 'join')
+            SELECT b.e, count(*) AS n_bindings,
+                   count(DISTINCT b.doc) AS n_docs
+            FROM b
+            WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.doc = b.doc)
+            GROUP BY b.e
         """.format(kw_values=kw_values),
         # direct mapping restated per predicate: each mapped column is
         # one per-row select (NULL objects filtered), FK edges render

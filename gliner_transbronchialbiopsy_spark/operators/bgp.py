@@ -111,6 +111,7 @@ def bgp_match(
     optional: list[tuple] | None = None,
     filters=None,
     values: tuple | None = None,
+    minus: list[list[tuple]] | None = None,
 ) -> DataFrame:
     """Match a conjunctive pattern list against ``triples``.
 
@@ -126,6 +127,18 @@ def bgp_match(
     inner-joined (broadcast) onto the solutions via the shared
     variables; fresh columns extend each solution. UNDEF rows are not
     supported.
+
+    ``minus`` (SPARQL MINUS) is a list of pattern groups; solutions
+    compatible with any binding of a group on their SHARED variables
+    are removed — one left_anti join per group, each group's bindings
+    computed with the same compiler. A group sharing NO variable with
+    the solution set removes nothing (the SPARQL disjoint-domain
+    rule). Applied after OPTIONAL, before VALUES/FILTER. One
+    documented divergence: a solution whose shared variable is NULL
+    (an unmatched OPTIONAL) never anti-matches (SQL NULL join
+    semantics) and is kept, whereas SPARQL's compatible-mapping rule
+    would let the unbound variable match anything — anchor MINUS
+    groups on required variables when that distinction matters.
 
     ``optional`` patterns are left-joined onto the required bindings in
     order, their fresh variables NULL where unmatched (the common
@@ -205,6 +218,18 @@ def bgp_match(
             )
         acc = acc.join(df, on=shared, how="left")
         bound |= vs
+    for grp in minus or []:
+        mdf = bgp_match(
+            t.select(
+                F.col("subj"), F.col("pred"), F.col("obj")
+            ),
+            list(grp),
+            allow_cartesian=allow_cartesian,
+        )
+        shared = sorted(set(mdf.columns) & bound)
+        if not shared:
+            continue  # disjoint domains: SPARQL MINUS removes nothing
+        acc = acc.join(mdf.select(*shared).distinct(), on=shared, how="left_anti")
     return _apply_solution_mods(acc, filters, values)
 
 

@@ -86,3 +86,60 @@ def link_prediction_metrics(
         F.expr("_sum_rr div n_pos").cast("long").alias("mrr_fp"),
         *[F.col(f"hits_{k}").cast("long") for k in ks],
     )
+
+
+def clustering_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "node",
+    pred_col: str = "cluster",
+    gold_col: str = "cluster",
+) -> DataFrame:
+    """Pairwise clustering evaluation for entity canonicalization ->
+    one row (n_items, n_pred_pairs, n_gold_pairs, n_both, precision_fp,
+    recall_fp, f1_fp): the standard ER/coreference pairwise metric
+    (Menestrina et al. VLDB'10 survey) — precision = |pairs co-clustered
+    in BOTH| / |pred pairs|, recall = ... / |gold pairs|, over the
+    items present in both assignments.
+
+    The pair counts are computed WITHOUT enumerating pairs: co-cluster
+    pairs of a cluster of size s are s*(s-1)/2, so every count is a
+    size aggregate — n_pred_pairs from pred cluster sizes, n_gold_pairs
+    from gold sizes, and n_both from the sizes of the INTERSECTION
+    partition (group by pred-cluster x gold-cluster). Exact longs; the
+    fixed-point ratios are integer division by SCALE. A 10^9-entity
+    evaluation therefore costs three aggregates — no self-join, no
+    quadratic blow-up, hot clusters stay single aggregation keys.
+    """
+    p = pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_pc"))
+    g = gold.select(F.col(id_col).alias("_id"), F.col(gold_col).alias("_gc"))
+    both = p.join(g, "_id")
+
+    def pairs_of(df, *keys):
+        return df.groupBy(*keys).agg(F.count("*").alias("_s")).agg(
+            F.coalesce(
+                F.sum(F.expr("_s * (_s - 1) div 2")), F.lit(0)
+            ).alias("n")
+        )
+
+    n_items = both.agg(F.count("*").alias("n_items"))
+    np_ = pairs_of(both, "_pc").withColumnRenamed("n", "n_pred_pairs")
+    ng = pairs_of(both, "_gc").withColumnRenamed("n", "n_gold_pairs")
+    nb = pairs_of(both, "_pc", "_gc").withColumnRenamed("n", "n_both")
+    out = n_items.crossJoin(np_).crossJoin(ng).crossJoin(nb)
+    prec = F.when(
+        F.col("n_pred_pairs") > 0,
+        F.expr(f"(n_both * {SCALE}) div n_pred_pairs"),
+    ).otherwise(F.lit(0).cast("long"))
+    rec = F.when(
+        F.col("n_gold_pairs") > 0,
+        F.expr(f"(n_both * {SCALE}) div n_gold_pairs"),
+    ).otherwise(F.lit(0).cast("long"))
+    out = out.withColumn("precision_fp", prec).withColumn("recall_fp", rec)
+    return out.withColumn(
+        "f1_fp",
+        F.when(
+            F.col("precision_fp") + F.col("recall_fp") > 0,
+            F.expr("(2 * precision_fp * recall_fp) div (precision_fp + recall_fp)"),
+        ).otherwise(F.lit(0).cast("long")),
+    )

@@ -414,6 +414,53 @@ def test_bgp_union_bag_semantics_and_null_padding(spark):
     assert out2.filter("doc = 'd1'").count() == 2
 
 
+def test_bgp_minus_removes_compatible_solutions(spark):
+    t = _triples(
+        spark,
+        [
+            ("d1", "engine", "spark"), ("d1", "exec_op", "join"),
+            ("d2", "engine", "hash"),
+            ("d3", "engine", "spark"), ("d3", "exec_op", "scan"),
+        ],
+    )
+    out = bgp.bgp_match(
+        t,
+        [("?doc", "engine", "?e")],
+        minus=[[("?doc", "exec_op", "join")]],
+    )
+    assert {(r["doc"], r["e"]) for r in out.collect()} == {
+        ("d2", "hash"), ("d3", "spark")
+    }
+
+
+def test_bgp_minus_disjoint_domain_keeps_all(spark):
+    t = _triples(spark, [("d1", "engine", "spark"), ("x", "q", "y")])
+    out = bgp.bgp_match(
+        t,
+        [("?doc", "engine", "?e")],
+        minus=[[("?a", "q", "?b")]],  # no shared var -> removes nothing
+    )
+    assert out.count() == 1
+
+
+def test_bgp_minus_null_optional_kept(spark):
+    """Documented divergence: a NULL shared var never anti-matches."""
+    t = _triples(
+        spark,
+        [("d1", "engine", "spark"), ("d1", "exec_op", "join"),
+         ("d2", "engine", "hash"), ("join", "data_noun", "table")],
+    )
+    out = bgp.bgp_match(
+        t,
+        [("?doc", "engine", "?e")],
+        optional=[("?doc", "exec_op", "?op")],
+        minus=[[("?op", "data_noun", "?n")]],
+    )
+    rows = {(r["doc"], r["op"]) for r in out.collect()}
+    # d1's op=join anti-matches; d2's op is NULL -> kept
+    assert rows == {("d2", None)}
+
+
 def test_bgp_union_group_scoped_filter_values(spark):
     """filters/values run once, after the union — not per branch."""
     t = _triples(
@@ -835,3 +882,56 @@ def test_path_reachable_agrees_with_path_edges_image(spark):
     assert seeded == full == {
         "engine", "exec_op", "system", "operation", "kg_term",
     }
+
+
+# --- pairwise clustering evaluation ------------------------------------------
+def test_clustering_metrics_exact_counts(spark):
+    from gliner_transbronchialbiopsy_spark.operators import kgeval
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2), ("d", 2), ("e", 3)],
+        "node string, cluster long",
+    )
+    gold = spark.createDataFrame(
+        [("a", 9), ("b", 9), ("c", 9), ("d", 8), ("e", 8)],
+        "node string, cluster long",
+    )
+    r = kgeval.clustering_metrics(pred, gold).collect()[0]
+    # pred pairs: {a,b},{c,d}; gold pairs: {a,b},{a,c},{b,c},{d,e};
+    # agreed: {a,b}
+    assert (r["n_items"], r["n_pred_pairs"], r["n_gold_pairs"], r["n_both"]) == (
+        5, 2, 4, 1
+    )
+    assert r["precision_fp"] == 500_000_000
+    assert r["recall_fp"] == 250_000_000
+    assert r["f1_fp"] == (2 * 500_000_000 * 250_000_000) // 750_000_000
+
+
+def test_clustering_metrics_perfect_and_empty(spark):
+    from gliner_transbronchialbiopsy_spark.operators import kgeval
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1)], "node string, cluster long"
+    )
+    r = kgeval.clustering_metrics(pred, pred).collect()[0]
+    assert r["precision_fp"] == r["recall_fp"] == r["f1_fp"] == 10**9
+    singletons = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "node string, cluster long"
+    )
+    r2 = kgeval.clustering_metrics(singletons, singletons).collect()[0]
+    # no pairs anywhere: all ratios defined as 0
+    assert (r2["n_pred_pairs"], r2["precision_fp"], r2["f1_fp"]) == (0, 0, 0)
+
+
+def test_clustering_metrics_ignores_items_missing_from_gold(spark):
+    from gliner_transbronchialbiopsy_spark.operators import kgeval
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("z", 1)], "node string, cluster long"
+    )
+    gold = spark.createDataFrame(
+        [("a", 9), ("b", 9)], "node string, cluster long"
+    )
+    r = kgeval.clustering_metrics(pred, gold).collect()[0]
+    # z drops out of the evaluated universe; {a,b} agreed
+    assert (r["n_items"], r["n_pred_pairs"], r["n_both"]) == (2, 1, 1)

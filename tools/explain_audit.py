@@ -110,6 +110,11 @@ AUDIT = {
     # tertile cuts are ONE mergeable percentile aggregate broadcast
     # back as a projection — no window, no global sort, zero Python
     "perplexity_buckets": ("ObjectHashAggregate", "!InPandas", "!Window"),
+    # MINUS compiles to a left_anti hash join on the shared variable
+    "kg_bgp_minus": ("LeftAnti", "!InPandas"),
+    # pair counts from cluster-size sums — aggregates only, no
+    # self-join anywhere in the metric
+    "kg_cluster_eval": ("HashAggregate", "!InPandas"),
     # direct mapping is scan + explode per table, plan-level union —
     # no join, no shuffle before the summary aggregate, zero Python
     "kg_direct_map": ("Union", "HashAggregate", "!SortMergeJoin", "!InPandas"),
