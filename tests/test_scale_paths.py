@@ -536,3 +536,46 @@ def test_minhash_production_family_no_correlated_false_positives(spark):
     # a few stray unlucky estimates are fine; the correlated family's
     # systematic tail (~220 false pairs on this corpus) must fail loudly
     assert false_pos <= 5, f"{false_pos} false-positive near-dup pairs"
+
+
+def test_materialize_rules_job_flag(tmp_path):
+    """--materialize-rules end-to-end: the spark-submit job runs the
+    built-in enrichment rule set (cross-label co-occurrence + the
+    recursive symmetry rule) over the emitted triples and writes the
+    derived graph; derived triples are symmetric and use only the
+    derived predicate."""
+    import json
+    import subprocess
+    import sys
+
+    from gliner_transbronchialbiopsy_spark.sources import corpus
+
+    cdir = tmp_path / "corpus"
+    cdir.mkdir()
+    corpus.write_corpus(str(cdir), n_docs=120, seed=42)
+    out_dir = tmp_path / "derived"
+    proc = subprocess.run(
+        [
+            sys.executable, "tools/run_kg_job.py",
+            "--input", str(cdir / "documents.parquet"),
+            "--workdir", str(tmp_path / "work"),
+            "--cpus", "2", "--catalog", "medical", "--fresh",
+            "--materialize-rules", str(out_dir),
+        ],
+        cwd="/root/repo", capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["derived_triples"] > 0
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT subj, pred, obj FROM read_parquet('{out_dir}/*.parquet')"
+    ).fetchall()
+    assert len(rows) == res["derived_triples"]
+    assert {p for _, p, _ in rows} == {"cooccurs_with"}
+    pairs = {(s, o) for s, p, o in rows}
+    assert all((o, s) in pairs for s, o in pairs)  # symmetry closed

@@ -65,6 +65,15 @@ def main() -> None:
         "snapshot, written with the same parallelism as the job)",
     )
     ap.add_argument(
+        "--materialize-rules", metavar="DIR",
+        help="run the built-in enrichment rule set over the emitted "
+        "triples (operators/rules.materialize, semi-naive fixed point: "
+        "cross-label co-occurrence between the two most frequent "
+        "predicates + a recursive symmetry rule) and write the DERIVED "
+        "triples to DIR as parquet; the derived count lands in the "
+        "JSON line (derived_triples)",
+    )
+    ap.add_argument(
         "--validate", action="store_true",
         help="run the SHACL-lite ontology audit "
         "(kgvalidate.constraint_violations) over the emitted triples — "
@@ -262,6 +271,52 @@ def main() -> None:
 
         to_ntriples(triples).write.mode("overwrite").text(args.emit_ntriples)
         extra["ntriples_dir"] = args.emit_ntriples
+    if args.materialize_rules:
+        from pyspark.sql import functions as F
+
+        from gliner_transbronchialbiopsy_spark.operators import rules as kgrules
+
+        # entity-level graph: canonical objects, slugged preds
+        g = triples.select(
+            "subj", "pred", F.col("canonical_obj").alias("obj")
+        )
+        # anchor the rule set on the two most frequent predicates —
+        # catalog-agnostic (medical slugs or keyword labels alike);
+        # the collect is bounded by the closed catalog size
+        top = [
+            r["pred"]
+            for r in g.groupBy("pred")
+            .count()
+            .orderBy(F.desc("count"), F.asc("pred"))
+            .limit(2)
+            .collect()
+        ]
+        if len(top) == 2:
+            a_l, b_l = top
+            rule_set = [
+                kgrules.rule(
+                    [("?d", a_l, "?x"), ("?d", b_l, "?y")],
+                    [("?x", "cooccurs_with", "?y")],
+                    name="cross-label-cooccurrence",
+                ),
+                # recursive: fires on derived facts in round 2
+                kgrules.rule(
+                    [("?x", "cooccurs_with", "?y")],
+                    [("?y", "cooccurs_with", "?x")],
+                    name="cooccurrence-symmetry",
+                ),
+            ]
+            derived = (
+                kgrules.materialize(g, rule_set)
+                .filter(F.col("inferred"))
+                .drop("inferred")
+            )
+            derived.write.mode("overwrite").parquet(args.materialize_rules)
+            extra["derived_triples"] = (
+                spark.read.parquet(args.materialize_rules).count()
+            )
+        else:
+            extra["derived_triples"] = 0
     if args.validate:
         # object-shape audit against the catalog itself: every emitted
         # obj must still match its own label's pattern (an extractor-
