@@ -103,7 +103,9 @@ def map_table(df: DataFrame, mapping: TableMapping) -> DataFrame:
             F.col("_t.pred").alias("pred"),
             F.col("_t.obj").alias("obj"),
         )
-        .filter(F.col("obj").isNotNull())  # absent property, not a null
+        # NULL object = absent property; NULL subject (a NULL template
+        # column) = no resource to describe — neither emits a triple
+        .filter(F.col("obj").isNotNull() & F.col("subj").isNotNull())
     )
 
 

@@ -89,6 +89,11 @@ def _eval_body(full: DataFrame, delta: DataFrame | None, body: tuple) -> DataFra
     the left_anti diff later drops; correctness needs no more)."""
     if delta is None:
         return _bgp.bgp_match(full, list(body))
+    if all(not any(_bgp._is_var(t) for t in pat) for pat in body):
+        # fully-ground body: no variable bindings to delta-restrict —
+        # evaluate the existence conjunction naively (cheap: <=1 row
+        # per scan after dedup); the left_anti diff keeps idempotence
+        return _bgp.bgp_match(full, list(body))
     variants = []
     for i in range(len(body)):
         scans = [_bgp._scan(delta if j == i else full, p) for j, p in enumerate(body)]

@@ -106,3 +106,13 @@ def test_chunk_sliding_validates_args(spark):
         packing.chunk_sliding(docs, chunk_tokens=0)
     with pytest.raises(ValueError):
         packing.chunk_sliding(docs, chunk_tokens=4, overlap=4)
+
+
+def test_map_table_null_subject_column_emits_nothing(spark):
+    df = spark.createDataFrame(
+        [(None, "ghost")], "id long, name string"
+    )
+    m = rdfmap.TableMapping(
+        "e/{id}", {"name": "name"}, subject_class="Entity"
+    )
+    assert rdfmap.map_table(df, m).count() == 0

@@ -137,3 +137,23 @@ def test_semi_naive_matches_naive_round_count_invariance(spark):
     assert a == b == {
         (f"x{i}", "next", f"x{j}") for i in range(7) for j in range(7)
     }
+
+
+def test_ground_body_rule_survives_delta_rounds(spark):
+    """Regression: a fully-ground body must not crash semi-naive
+    rounds — round 2 (triggered by another rule's derivation) used to
+    hit the no-variable join-order path."""
+    t = _triples(
+        spark, [("d1", "engine", "spark"), ("d1", "exec_op", "join")]
+    )
+    ground = rules.rule(
+        [("d1", "engine", "spark")], [("spark", "rdf:type", "Engine")]
+    )
+    chain = rules.rule(
+        [("?d", "engine", "?e"), ("?d", "exec_op", "?op")],
+        [("?e", "runs", "?op")],
+    )
+    out = rules.materialize(t, [ground, chain])
+    inf = _tset(out, inferred=True)
+    assert ("spark", "rdf:type", "Engine") in inf
+    assert ("spark", "runs", "join") in inf
