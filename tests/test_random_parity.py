@@ -1,0 +1,223 @@
+"""Seeded-random parity: the round-4 operators vs brute-force
+pure-Python references on small random instances (fixed seeds, so the
+cases are deterministic but unbiased by hand-picked fixtures)."""
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from gliner_transbronchialbiopsy_spark.operators import (
+    graph,
+    kgeval,
+    packing,
+    rules,
+)
+
+
+def _rand_edges(seed, n_nodes=12, n_edges=30):
+    rng = random.Random(seed)
+    return list(
+        {
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        }
+    )
+
+
+def test_kcore_matches_python_peeling(spark):
+    for seed in (1, 2, 3):
+        edges = _rand_edges(seed)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["node"], r["degree"])
+            for r in graph.kcore(df, k=3).collect()
+        }
+        # python reference: iterative peeling on the simple graph
+        adj = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, ns in adj.items() if len(ns) < 3]:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+        want = {(n, len(ns)) for n, ns in adj.items() if ns}
+        assert got == want, f"seed {seed}"
+
+
+def test_clustering_coefficients_match_python(spark):
+    for seed in (4, 5):
+        edges = _rand_edges(seed)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["deg"], r["n_tri"], r["coef_fp"])
+            for r in graph.clustering_coefficients(df).collect()
+        }
+        adj = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for n, ns in adj.items():
+            tri = sum(
+                1
+                for x in ns
+                for y in ns
+                if x < y and y in adj[x]
+            )
+            d = len(ns)
+            coef = 0 if d < 2 else (2 * tri * 10**9) // (d * (d - 1))
+            assert got[n] == (d, tri, coef), f"seed {seed} node {n}"
+
+
+def test_adamic_adar_matches_python(spark):
+    for seed in (6, 7):
+        edges = _rand_edges(seed, n_nodes=10, n_edges=22)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = [
+            (r["u"], r["w"], r["n_common"], r["score_fp"])
+            for r in graph.adamic_adar(df, max_center_deg=5, k=1000).collect()
+        ]
+        adj = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        exp = {}
+        for v, ns in adj.items():
+            if not (2 <= len(ns) <= 5):
+                continue
+            wv = math.floor(1e9 / math.log(len(ns)))
+            sns = sorted(ns)
+            for i in range(len(sns)):
+                for j in range(i + 1, len(sns)):
+                    u, w = sns[i], sns[j]
+                    if w in adj.get(u, ()):
+                        continue
+                    c, s = exp.get((u, w), (0, 0))
+                    exp[(u, w)] = (c + 1, s + wv)
+        want = sorted(
+            ((u, w, c, s) for (u, w), (c, s) in exp.items()),
+            key=lambda r: (-r[3], r[0], r[1]),
+        )
+        assert got == want, f"seed {seed}"
+
+
+def _py_datalog(facts, rule_list):
+    known = set(facts)
+    while True:
+        new = set()
+        for body, heads in rule_list:
+            binds = [dict()]
+            for s, p, o in body:
+                nxt = []
+                for b in binds:
+                    for fs, fp, fo in known:
+                        bb = dict(b)
+                        ok = True
+                        for term, val in ((s, fs), (p, fp), (o, fo)):
+                            if term.startswith("?"):
+                                if bb.get(term, val) != val:
+                                    ok = False
+                                    break
+                                bb[term] = val
+                            elif term != val:
+                                ok = False
+                                break
+                        if ok:
+                            nxt.append(bb)
+                binds = nxt
+            for b in binds:
+                for hs, hp, ho in heads:
+                    new.add(
+                        tuple(
+                            b[t] if t.startswith("?") else t
+                            for t in (hs, hp, ho)
+                        )
+                    )
+        if new <= known:
+            return known
+        known |= new
+
+
+def test_rules_fixpoint_matches_python_datalog(spark):
+    for seed in (8, 9):
+        rng = random.Random(seed)
+        nodes = [f"n{i}" for i in range(6)]
+        facts = {
+            (rng.choice(nodes), rng.choice(["p", "q"]), rng.choice(nodes))
+            for _ in range(14)
+        }
+        rule_list = [
+            ([("?a", "p", "?b"), ("?b", "q", "?c")], [("?a", "r", "?c")]),
+            ([("?a", "r", "?b"), ("?b", "r", "?c")], [("?a", "r", "?c")]),
+        ]
+        t = spark.createDataFrame(
+            list(facts), "subj string, pred string, obj string"
+        )
+        rs = [rules.rule(b, h) for b, h in rule_list]
+        got = {
+            (r["subj"], r["pred"], r["obj"])
+            for r in rules.materialize(t, rs).collect()
+        }
+        assert got == _py_datalog(facts, rule_list), f"seed {seed}"
+
+
+def test_clustering_metrics_match_bruteforce_pairs(spark):
+    from itertools import combinations
+
+    for seed in (10, 11):
+        rng = random.Random(seed)
+        items = [f"i{k}" for k in range(15)]
+        pred = [(i, rng.randrange(4)) for i in items]
+        gold = [(i, rng.randrange(3)) for i in items]
+        r = kgeval.clustering_metrics(
+            spark.createDataFrame(pred, "node string, cluster long"),
+            spark.createDataFrame(gold, "node string, cluster long"),
+        ).collect()[0]
+        pd_, gd = dict(pred), dict(gold)
+        pp = {frozenset(p) for p in combinations(items, 2)
+              if pd_[min(p)] == pd_[max(p)]}
+        gp = {frozenset(p) for p in combinations(items, 2)
+              if gd[min(p)] == gd[max(p)]}
+        assert (r["n_pred_pairs"], r["n_gold_pairs"], r["n_both"]) == (
+            len(pp), len(gp), len(pp & gp)
+        ), f"seed {seed}"
+
+
+def test_chunk_sliding_reconstructs_tokens(spark):
+    for seed in (12,):
+        rng = random.Random(seed)
+        texts = [
+            (i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(0, 40))))
+            for i in range(20)
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        rows = packing.chunk_sliding(docs, chunk_tokens=7, overlap=3).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, text in texts:
+            toks = text.split()
+            if not toks:
+                assert i not in by_doc
+                continue
+            chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+            # stride alignment + full coverage + exact slice content
+            for k, r in enumerate(chunks):
+                assert r["start_tok"] == k * 4
+                assert r["chunk_text"].split() == [
+                    t.lower() for t in toks[r["start_tok"]: r["start_tok"] + r["n_tok"]]
+                ]
+            covered = set()
+            for r in chunks:
+                covered |= set(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
+            assert covered == set(range(len(toks)))
