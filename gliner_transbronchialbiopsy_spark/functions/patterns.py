@@ -58,6 +58,21 @@ MEDICAL_PATTERNS: dict[str, str] = {
     ),
 }
 
+# Value shapes for the SHACL-lite audit (kgvalidate / run_kg_job
+# --validate): the shape an EMITTED object value must fullmatch.
+# Defaults to the extraction pattern itself; labels whose pattern is
+# context-dependent (lookaround — the matched span alone cannot
+# re-satisfy the assertion) override with the span's own shape here.
+MEDICAL_VALUE_SHAPES: dict[str, str] = {
+    "Nombre Total De Fragments": r"\d+",
+    "Nombre Total De Fragments Alvéolés": r"\d+",
+}
+
+
+def value_shape(label: str, extraction_pattern: str) -> str:
+    return MEDICAL_VALUE_SHAPES.get(label, extraction_pattern)
+
+
 # Generic keyword catalog for the driver-generated documents table
 # (text is word-soup over these tokens). Label -> regex.
 KEYWORD_TERMS: dict[str, tuple[str, ...]] = {

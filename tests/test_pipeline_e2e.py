@@ -432,3 +432,80 @@ def test_canonicalize_hostile_surface_bytes(spark):
     assert rows[hostile_b]["canonical_text"] == expected
     # the unrelated surface canonicalizes to itself
     assert rows[plain]["canonical_text"] == plain
+
+
+def test_consumption_layer_coherence(pipeline_out):
+    """The KG consumption layer, end-to-end on REAL pipeline triples:
+    BGP / MINUS partition the doc set, the rule engine's symmetric
+    co-occurrence closure holds, characteristic sets account for every
+    subject and assertion, and the catalog's own object shapes audit
+    clean — each layer cross-checked against a directly-computed
+    number, not against itself."""
+    from gliner_transbronchialbiopsy_spark.operators import (
+        bgp,
+        kgvalidate,
+        rules,
+    )
+
+    _, _, triples, _, _ = pipeline_out
+    g = triples.select(
+        "subj", "pred", F.col("canonical_obj").alias("obj")
+    ).distinct()
+    preds = [r["pred"] for r in
+             g.groupBy("pred").count().orderBy(F.desc("count"),
+                                               F.asc("pred")).collect()]
+    a_l, b_l = preds[0], preds[1]
+
+    # BGP + MINUS partition: docs-with-A = (A and B) + (A minus B)
+    both = bgp.bgp_match(
+        g, [("?d", a_l, "?x"), ("?d", b_l, "?y")]
+    ).select("d").distinct().count()
+    only_a = bgp.bgp_match(
+        g, [("?d", a_l, "?x")], minus=[[("?d", b_l, "?y")]]
+    ).select("d").distinct().count()
+    with_a = g.filter(F.col("pred") == a_l).select("subj").distinct().count()
+    assert both + only_a == with_a
+
+    # rule closure: symmetric co-occurrence is closed and disjoint
+    # from the asserted preds
+    rs = [
+        rules.rule([("?d", a_l, "?x"), ("?d", b_l, "?y")],
+                   [("?x", "cooccurs_with", "?y")]),
+        rules.rule([("?x", "cooccurs_with", "?y")],
+                   [("?y", "cooccurs_with", "?x")]),
+    ]
+    derived = rules.materialize(g, rs).filter(F.col("inferred"))
+    pairs = {(r["subj"], r["obj"]) for r in derived.collect()}
+    assert pairs and all((b, a) in pairs for a, b in pairs)
+    assert {r["pred"] for r in derived.select("pred").distinct().collect()} \
+        == {"cooccurs_with"}
+
+    # characteristic sets: subjects and assertions fully accounted
+    cs = kgvalidate.characteristic_sets(g)
+    totals = cs.agg(F.sum("n_subjects"), F.sum("n_triples")).collect()[0]
+    assert totals[0] == g.select("subj").distinct().count()
+    assert totals[1] == g.count()
+
+    # SHACL-lite: every emitted obj fullmatches its label's VALUE
+    # shape (lookaround patterns audit against their span shape) —
+    # and the rules actually engage (the join is not vacuous)
+    from gliner_transbronchialbiopsy_spark import config
+    from gliner_transbronchialbiopsy_spark.functions import patterns as pat
+
+    rules_df = g.sparkSession.createDataFrame(
+        [
+            (
+                config.LABEL_SLUGS.get(label, label),
+                False,
+                pat.value_shape(label, rx),
+            )
+            for label, rx in sorted(pat.MEDICAL_PATTERNS.items())
+        ],
+        "pred string, functional boolean, obj_pattern string",
+    )
+    t3 = triples.select("subj", "pred", "obj")
+    assert t3.join(
+        F.broadcast(rules_df.select("pred")), "pred"
+    ).count() == t3.count()  # every pred is ruled
+    viol = kgvalidate.constraint_violations(t3, rules_df)
+    assert viol.agg(F.coalesce(F.sum("n_bad"), F.lit(0))).collect()[0][0] == 0

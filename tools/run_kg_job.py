@@ -325,8 +325,23 @@ def main() -> None:
 
         from gliner_transbronchialbiopsy_spark.operators import kgvalidate
 
+        from gliner_transbronchialbiopsy_spark import config as _config
+
+        # rule preds must match the EMITTED pred column, which is the
+        # label's slug (materialize_triples maps through LABEL_SLUGS);
+        # keying rules on raw labels made the inner join match nothing
+        # for the medical catalog — a vacuous always-0 audit
+        # value_shape: lookaround extraction patterns can't re-match
+        # their bare span — those labels audit against the span shape
         rules = spark.createDataFrame(
-            [(label, False, rx) for label, rx in sorted(catalog.items())],
+            [
+                (
+                    _config.LABEL_SLUGS.get(label, label),
+                    False,
+                    pat.value_shape(label, rx),
+                )
+                for label, rx in sorted(catalog.items())
+            ],
             "pred string, functional boolean, obj_pattern string",
         )
         viol = kgvalidate.constraint_violations(triples, rules)
