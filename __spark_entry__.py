@@ -1859,6 +1859,23 @@ def q_kg_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kgvalidate.characteristic_sets(triples)
 
 
+def q_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (operators/rules.construct): one-shot template
+    instantiation — every (doc, engine, data_noun) co-mention builds a
+    fresh (engine, processes, noun) triple in the derived graph, set
+    semantics, no fixpoint. The single-rule special case of the rule
+    engine; output is vocabulary-sized at any SF while the body join
+    runs over the corpus-scale KG."""
+    from gliner_transbronchialbiopsy_spark.operators import rules
+
+    triples = q_kg_triples(spark, sf_dir)
+    return rules.construct(
+        triples,
+        [("?d", "engine", "?e"), ("?d", "data_noun", "?n")],
+        [("?e", "processes", "?n")],
+    )
+
+
 def q_kg_rule_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datalog-lite rule materialization (operators/rules.materialize):
     three user-stated rules run to the semi-naive fixed point over the
@@ -2211,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_minus": q_kg_bgp_minus,
         "kg_cluster_eval": q_kg_cluster_eval,
         "kg_rule_closure": q_kg_rule_closure,
+        "kg_construct": q_kg_construct,
         "kg_direct_map": q_kg_direct_map,
         "kg_charsets": q_kg_charsets,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -4362,6 +4380,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_subjects,
                    CAST(sum(n_triples) AS BIGINT) AS n_triples
             FROM per_subj GROUP BY cs, n_preds
+        """.format(kw_values=kw_values),
+        # CONSTRUCT = one distinct join + template projection
+        "kg_construct": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            e AS (SELECT DISTINCT subj AS d, obj AS e FROM t
+                  WHERE pred = 'engine'),
+            n AS (SELECT DISTINCT subj AS d, obj AS n FROM t
+                  WHERE pred = 'data_noun')
+            SELECT DISTINCT e.e AS subj, 'processes' AS pred, n.n AS obj
+            FROM e JOIN n ON e.d = n.d
         """.format(kw_values=kw_values),
         # R1/R2 as joins, R3 (transitive `linked`) as a left-linear
         # recursive CTE — same fixpoint as the engine's naive closure

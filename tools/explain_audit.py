@@ -110,6 +110,8 @@ AUDIT = {
     # tertile cuts are ONE mergeable percentile aggregate broadcast
     # back as a projection — no window, no global sort, zero Python
     "perplexity_buckets": ("ObjectHashAggregate", "!InPandas", "!Window"),
+    # CONSTRUCT: one hash join + template projection, zero Python
+    "kg_construct": ("HashAggregate", "!InPandas"),
     # MINUS compiles to a left_anti hash join on the shared variable
     "kg_bgp_minus": ("LeftAnti", "!InPandas"),
     # pair counts from cluster-size sums — aggregates only, no
