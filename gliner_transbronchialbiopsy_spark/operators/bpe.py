@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .loops import loop_ckpt
+
 
 def _words(text_col, lowercase: bool):
     """Word array under the shared tokenizer contract
@@ -114,6 +116,7 @@ def bpe_train(
     n_merges: int,
     text_col: str = "text",
     lowercase: bool = True,
+    batch: int = 1,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Train ``n_merges`` BPE merges on the corpus.
 
@@ -121,29 +124,78 @@ def bpe_train(
     [(left, right, count), ...] (driver-side, bounded by n_merges);
     segmented is the final (word, cnt, syms) vocabulary table. Stops
     early when no pair occurs twice.
+
+    ``batch`` caps how many merges are elected per Spark round. With
+    batch=1 this is textbook sequential BPE: one pair-count job + one
+    rewrite per merge — n_merges driver round-trips, the round-4
+    VERDICT note. batch=k elects up to k SYMBOL-DISJOINT pairs from
+    ONE count snapshot per round (greedy by the same count DESC, pair
+    ASC total order; a candidate is skipped if either of its symbols,
+    or the merged symbol it would create, collides with an
+    already-elected pair's symbols or merged symbol), then applies
+    them in one chained projection + one localCheckpoint. Disjointness
+    makes the batch exact where it applies: merging (a,b) cannot
+    create or destroy occurrences of a disjoint pair (c,d) — only
+    pairs touching a, b, or the new symbol a+b change counts — so
+    every elected pair's count is still its true corpus count when it
+    fires, and in-batch merges commute.
+
+    DOCUMENTED DIVERGENCE from sequential BPE: sequential recounts
+    after every merge, so a pair CREATED by a merge (e.g. ('th','e')
+    right after ('t','h')) can outrank the snapshot's next candidate;
+    batched election cannot see it until the next round. The merge
+    LIST can therefore differ in order (and, at the margin, content)
+    from batch=1 whenever a freshly-created pair would interleave
+    into the batch. For vocabulary induction over a large corpus this
+    is the standard engineering trade (a 32k-merge production vocab
+    is ~32k driver round-trips sequentially vs ~32k/batch batched);
+    pytest pins both the compatible-prefix parity (disjoint-pair
+    corpus: batched == sequential == pure python) and the divergence
+    case itself (chain corpus where batch=2 interleaves differently
+    than batch=1).
     """
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
     vocab = word_counts(docs, text_col=text_col, lowercase=lowercase)
-    seg = vocab.select(
+    seg = loop_ckpt(vocab.select(
         "word", "cnt", F.split(F.col("word"), "").alias("syms")
-    ).localCheckpoint(eager=True)
+    ))
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        best = (
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        # over-fetch so conflict-skipped candidates don't starve the
+        # batch; 4x is a heuristic, not a correctness bound — a short
+        # batch only costs an extra round
+        top = (
             pair_counts(seg)
+            .filter(F.col("n") >= 2)
             .orderBy(F.desc("n"), F.asc("pair"))
-            .limit(1)
+            .limit(want * 4)
             .collect()
         )
-        if not best or best[0]["n"] < 2:
+        if not top:
             break
-        pair, n = best[0]["pair"], best[0]["n"]
-        a, b = pair.split(" ", 1)
-        merges.append((a, b, n))
-        seg = seg.select(
-            "word", "cnt", _merge_fold(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=True)
+        elected: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in top:
+            a, b = row["pair"].split(" ", 1)
+            touched = {a, b, a + b}
+            if used & touched:
+                continue
+            elected.append((a, b, row["n"]))
+            used |= touched
+            if len(elected) == want:
+                break
+        merges.extend(elected)
+        syms = F.col("syms")
+        for a, b, _ in elected:
+            syms = _merge_fold(syms, a, b)
+        seg = loop_ckpt(seg.select("word", "cnt", syms.alias("syms")))
+        # progress is guaranteed: the top-ranked candidate never
+        # conflicts with an empty elected set, so every round with a
+        # non-empty snapshot advances len(merges) by at least one
     return merges, seg
 
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .loops import loop_ckpt
+
 
 def connected_components_driver(
     edges: DataFrame, src: str = "src", dst: str = "dst"
@@ -146,9 +148,9 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
-    all_nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    sym = loop_ckpt(sym)
+    all_nodes = loop_ckpt(sym.select(F.col("a").alias("node")).distinct())
 
     cur = sym
     sig = _edge_signature(cur)
@@ -166,10 +168,11 @@ def connected_components(
             .distinct()
         )
         ss = _small_star(ls_sym)
-        cur = (
+        # break lineage: plan depth stays O(1), and loop_ckpt keeps the
+        # checkpoint generations from compounding (operators/loops.py)
+        cur = loop_ckpt(
             ss.union(ss.select(F.col("b").alias("a"), F.col("a").alias("b")))
             .distinct()
-            .localCheckpoint()  # break lineage: plan depth stays O(1)
         )
         new_sig = _edge_signature(cur)
         if new_sig == sig:

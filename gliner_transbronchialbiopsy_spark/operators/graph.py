@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .loops import loop_ckpt
+
 #: rank unit = 1/SCALE; total mass starts at ~SCALE. 1e9 leaves
 #: rank * weight products far inside long range (rank <= ~1e9,
 #: weight < 1e9 -> product < 1e18 < 2^63).
@@ -82,27 +84,25 @@ def pagerank(
     ew = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
     )
-    nodes = (
+    nodes = loop_ckpt(
         ew.select(F.col("_src").alias("node"))
         .union(ew.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     # per-src total out-weight rides on every edge row; computed once
     wtot = ew.groupBy("_src").agg(F.sum("_w").alias("_wtot"))
-    ew = ew.join(wtot, "_src").localCheckpoint()
+    ew = loop_ckpt(ew.join(wtot, "_src"))
     if seeds is not None:
         sd = seeds.select(F.col("node")).distinct()
-        nodes = (
+        nodes = loop_ckpt(
             nodes.join(sd.withColumn("_is_seed", F.lit(True)), "node", "left")
             .select("node", F.coalesce("_is_seed", F.lit(False)).alias("_is_seed"))
-            .localCheckpoint()
         )
         n_teleport = nodes.filter("_is_seed").count()
         if n_teleport == 0:
             raise ValueError("no seed node present in the graph")
     else:
-        nodes = nodes.withColumn("_is_seed", F.lit(True)).localCheckpoint()
+        nodes = loop_ckpt(nodes.withColumn("_is_seed", F.lit(True)))
         n_teleport = nodes.count()  # one bounded scalar (the node
         # count) — drives the integer teleport term; the entity graph
         # is the post-canonicalization KG, not the raw corpus
@@ -138,7 +138,9 @@ def pagerank(
                     )
                 ).cast("long").alias("rank_fp"),
             )
-            .localCheckpoint()  # plan depth stays O(1) across rounds
+            # plan depth stays O(1) across rounds; loop_ckpt keeps the
+            # checkpoint generations from compounding (operators/loops.py)
+            .transform(loop_ckpt)
         )
     return ranks
 
@@ -278,10 +280,9 @@ def kcore(
     e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")).filter(
         F.col("_a") != F.col("_b")
     )
-    cur = (
+    cur = loop_ckpt(
         e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
         .distinct()
-        .localCheckpoint()
     )
 
     def _peel(cur: DataFrame) -> DataFrame:
@@ -291,10 +292,9 @@ def kcore(
             .filter(F.col("_d") >= F.lit(int(k)))
             .select("_a")
         )
-        return (
+        return loop_ckpt(
             cur.join(keep, "_a", "left_semi")
             .join(keep.select(F.col("_a").alias("_b")), "_b", "left_semi")
-            .localCheckpoint()
         )
 
     if rounds is not None:
@@ -499,11 +499,10 @@ def reachable(
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
     e = edges.select(F.col(src).alias("_e_src"), F.col(dst).alias("_e_dst")).distinct()
-    visited = (
+    visited = loop_ckpt(
         sources.select(F.col(node).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0))
-        .localCheckpoint(eager=True)
     )
     frontier = visited
     for d in range(1, max_hops + 1):
@@ -514,10 +513,10 @@ def reachable(
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(d))
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = loop_ckpt(nxt)
         if nxt.isEmpty():
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        visited = loop_ckpt(visited.unionAll(nxt))
         frontier = nxt
     return visited
 
@@ -553,7 +552,7 @@ def infer_types(
         .filter(F.col("sub") != F.col("sup"))
         .distinct()
     )
-    closure = edges.localCheckpoint(eager=True)
+    closure = loop_ckpt(edges)
     depth = 1
     while depth < max_depth:
         # path doubling: closure ∘ closure ∪ closure
@@ -562,7 +561,7 @@ def infer_types(
             .join(closure.alias("b"), F.col("a.sup") == F.col("b.sub"))
             .select(F.col("a.sub").alias("sub"), F.col("b.sup").alias("sup"))
         )
-        new_closure = closure.unionAll(hop).distinct().localCheckpoint(eager=True)
+        new_closure = loop_ckpt(closure.unionAll(hop).distinct())
         if new_closure.count() == closure.count():
             closure = new_closure
             break
@@ -623,11 +622,10 @@ def shortest_paths(
         .groupBy("_e_src", "_e_dst")
         .agg(F.min("_w").alias("_w"))
     )
-    best = (
+    best = loop_ckpt(
         sources.select(F.col(node).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
     )
     frontier = best
     for _ in range(max_hops):
@@ -640,18 +638,16 @@ def shortest_paths(
             .groupBy("node")
             .agg(F.min("_cand").alias("_cand"))
         )
-        improved = (
+        improved = loop_ckpt(
             cand.join(best, "node", "left")
             .filter(F.col("dist").isNull() | (F.col("_cand") < F.col("dist")))
             .select("node", F.col("_cand").alias("dist"))
-            .localCheckpoint(eager=True)
         )
         if improved.isEmpty():
             break
-        best = (
+        best = loop_ckpt(
             best.join(improved.select("node"), "node", "left_anti")
             .unionAll(improved)
-            .localCheckpoint(eager=True)
         )
         frontier = improved
     return best
@@ -742,16 +738,14 @@ def label_propagation(
     )
     # distinct AFTER symmetrizing: an edge present in both orientations
     # in the input must not double that neighbor's vote
-    sym = (
+    sym = loop_ckpt(
         und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = loop_ckpt(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
     for _ in range(iterations):
@@ -764,7 +758,7 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .select("node", "label")
         )
-        labels = elected.localCheckpoint(eager=True)
+        labels = loop_ckpt(elected)
     return labels
 
 
@@ -806,9 +800,9 @@ def random_walks(
     from pyspark.sql import Window
 
     w = Window.partitionBy("u").orderBy("v")
-    idx = adj.select(
+    idx = loop_ckpt(adj.select(
         "u", F.col("v").alias("nxt"), (F.row_number().over(w) - 1).alias("idx")
-    ).localCheckpoint(eager=True)
+    ))
     deg = idx.groupBy("u").agg(F.count("*").alias("n_out"))
 
     state = (
@@ -820,7 +814,7 @@ def random_walks(
         .select(
             "start", "walk", F.col("start").alias("cur"), F.col("start").alias("path")
         )
-        .localCheckpoint(eager=True)
+        .transform(loop_ckpt)
     )
     finished = []
     for step in range(1, walk_length + 1):
@@ -854,7 +848,7 @@ def random_walks(
                 F.col("nxt").alias("cur"),
                 F.concat_ws(">", "path", "nxt").alias("path"),
             )
-            .localCheckpoint(eager=True)
+            .transform(loop_ckpt)
         )
     out = state.select("start", "walk", "path")
     for d in finished:

@@ -4,10 +4,14 @@ columns with typed metadata.
 The reference ingests opaque bytes and dispatches on file type
 (file_handler.py:45-107 — pdf/txt); this module generalizes that shape
 to media blobs for training-data pipelines. Real decoders (PIL,
-torchaudio, av) are NOT in this environment, so the decode kernels are
-deterministic fakes behind `_HAVE_PIL`-style gates — the Spark-side
-contract (schema, Arrow batching, partitioning, UDF signatures) is real
-and tested; swapping in a real decoder changes only the kernel body.
+torchaudio, av) are NOT in this environment, so the image path carries
+BOTH kernels — the real PIL decode (_pil_image_features, engaged when
+the executor can import PIL) and a deterministic fake fallback — and
+the probe happens worker-side inside the UDF, where it belongs. The
+Spark-side contract (schema, Arrow batching, partitioning, UDF
+signatures) is identical for both kernels and fully tested; the real
+branch is exercised by a PYTHONPATH-injected fake PIL in
+tests/test_multimodal.py (the gliner pattern).
 """
 
 from __future__ import annotations
@@ -29,14 +33,6 @@ MEDIA_SCHEMA = T.StructType(
         T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
     ]
 )
-
-try:  # real decoder gate — absent in this environment
-    from PIL import Image  # type: ignore # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
-
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (payload = seeded bytes) matching
@@ -60,27 +56,69 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 def _fake_image_features(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a decode→resize→embed kernel: byte
-    histogram moments. A real impl would decode with PIL here."""
+    histogram moments. The real kernel is _pil_image_features."""
     arr = np.frombuffer(payload, dtype=np.uint8)
     chunks = np.array_split(arr, dim)
     return [round(float(c.mean()) / 255.0, 6) for c in chunks]
 
 
+def _pil_image_features(payload: bytes, dim: int = 8) -> list[float]:
+    """The REAL image kernel: PIL decode -> grayscale -> dim x dim
+    resize -> per-row mean in [0, 1]. Deterministic (nearest-neighbor
+    resample pins the interpolation), so a test can precompute the
+    expected vector from the raw pixels. Imported lazily so the module
+    stays loadable without PIL; executor processes re-run this import
+    (a worker-side PYTHONPATH fake engages it — the gliner pattern,
+    tests/test_scale_paths.py)."""
+    import io
+
+    from PIL import Image  # raises ImportError when absent
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize(
+        (dim, dim), resample=0  # 0 = NEAREST in every PIL version
+    )
+    arr = np.asarray(img, dtype=np.float64).reshape(dim, dim)
+    return [round(float(r.mean()) / 255.0, 6) for r in arr]
+
+
 def extract_features(
-    media: DataFrame, kind: str = "image", dim: int = 8
+    media: DataFrame, kind: str = "image", dim: int = 8,
+    decoder: str = "auto",
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Scale contract: filter on `kind` BEFORE the UDF (partition-prunable),
-    Arrow-batched bytes in, fixed-width float array out. Raises
-    NotImplementedError inside the kernel if a real decoder is required
-    but missing — the deterministic fake keeps CI model-free."""
-    schema = f"media_id string, kind string, features array<float>"
+    Arrow-batched bytes in, fixed-width float array out.
+
+    ``decoder`` selects the kernel: 'pil' requires the real PIL decode
+    (the UDF raises an actionable NotImplementedError on executors
+    without it), 'fake' pins the deterministic byte-histogram stand-in,
+    'auto' probes for PIL ONCE PER PYTHON WORKER inside the UDF (the
+    driver's import state is irrelevant — executors are separate
+    processes) and falls back to the fake. The kernel choice never
+    changes the Spark plan: schema, batching, and partitioning are
+    identical either way, which is the multimodal plumbing contract."""
+    if decoder not in ("auto", "pil", "fake"):
+        raise ValueError(f"decoder must be auto|pil|fake, got {decoder!r}")
+    schema = "media_id string, kind string, features array<float>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _fake_image_features
+        if decoder != "fake":
+            try:
+                import PIL  # noqa: F401 — worker-side probe
+
+                kernel = _pil_image_features
+            except ImportError:
+                if decoder == "pil":
+                    raise NotImplementedError(
+                        "decoder='pil' requires pillow on the executors "
+                        "(not installed); install it or use "
+                        "decoder='auto'/'fake'"
+                    )
         for pdf in batches:
             feats = [
-                _fake_image_features(bytes(p), dim) if p is not None else None
+                kernel(bytes(p), dim) if p is not None else None
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(

@@ -52,6 +52,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .loops import loop_ckpt
+
 #: ``plus`` refuses to close a relation wider than this unless the
 #: caller raises the cap — closures are for schema-sized relations.
 DEFAULT_MAX_CLOSURE_ROWS = 1_000_000
@@ -77,7 +79,7 @@ def closure(
         F.col(edges.columns[0]).alias("src"),
         F.col(edges.columns[1]).alias("dst"),
     ).distinct()
-    cur = e.localCheckpoint(eager=True)
+    cur = loop_ckpt(e)
     n = cur.count()
     if n > max_closure_rows:
         raise ValueError(
@@ -94,7 +96,7 @@ def closure(
             .join(cur.alias("b"), F.col("a.dst") == F.col("b.src"))
             .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
         )
-        nxt = cur.unionAll(hop).distinct().localCheckpoint(eager=True)
+        nxt = loop_ckpt(cur.unionAll(hop).distinct())
         n_nxt = nxt.count()
         if n_nxt > max_closure_rows:
             raise ValueError(
@@ -246,19 +248,18 @@ def path_reachable(
             return s.unionAll(img(s, inner)).distinct()
         if op == "plus":
             (inner,) = args
-            frontier = img(s, inner).localCheckpoint(eager=True)
+            frontier = loop_ckpt(img(s, inner))
             visited = frontier
             for _ in range(max_hops):
                 if frontier.isEmpty():
                     return visited
-                nxt = (
+                nxt = loop_ckpt(
                     img(frontier, inner)
                     .join(visited, "node", "left_anti")
-                    .localCheckpoint(eager=True)
                 )
                 if nxt.isEmpty():
                     return visited
-                visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+                visited = loop_ckpt(visited.unionAll(nxt))
                 frontier = nxt
             raise ValueError(
                 f"plus image still growing after {max_hops} rounds"

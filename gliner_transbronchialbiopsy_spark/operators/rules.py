@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import bgp as _bgp
+from .loops import loop_ckpt
 
 _POS = ("subj", "pred", "obj")
 
@@ -150,6 +151,7 @@ def materialize(
     pred: str = "pred",
     obj: str = "obj",
     max_rounds: int = 25,
+    rebase_every: int | None = None,
 ) -> DataFrame:
     """Fixed-point materialization -> (subj, pred, obj, inferred):
     asserted triples carry inferred=False, rule-derived ones True.
@@ -157,30 +159,44 @@ def materialize(
     rules over cyclic data converge because derivation is monotone
     over a finite Herbrand base — the row budget, like the capped
     closure in operators/paths.py, is the guard against rule sets
-    whose base is corpus-sized)."""
+    whose base is corpus-sized).
+
+    ``rebase_every=N`` re-checkpoints the accumulated derived set every
+    N delta rounds, collapsing ``known`` back to two materialized
+    leaves (base + derived). By default the accumulated KG is NEVER
+    rewritten — ``known`` stays a lazy union over the checkpointed base
+    and per-round checkpointed deltas, because at 10^12 triples a
+    per-round full re-checkpoint would dominate the closure. That
+    trade leaves plan depth growing one union leaf per round, which is
+    fine for typical <=25-round fixpoints but makes a 100-round
+    recursive ruleset (deep chain closures) pay quadratic planning
+    time. Use rebase_every (10 is a good default) when the expected
+    round count is large; the rewrite cost per rebase is one scan of
+    the DERIVED set only (delta-sized accumulation, never the base
+    KG), and the output is identical either way — pytest runs a
+    30-round chain closure both ways and asserts equality."""
     if not rules:
         raise ValueError("empty rule list")
-    base = (
+    base = loop_ckpt(
         triples.select(
             F.col(subj).alias("subj"),
             F.col(pred).alias("pred"),
             F.col(obj).alias("obj"),
-        )
-        .distinct()
-        .localCheckpoint()
+        ).distinct()
     )
+    if rebase_every is not None and rebase_every < 1:
+        raise ValueError("rebase_every must be >= 1 (or None)")
     known = base
     delta: DataFrame | None = None  # round 1: full naive evaluation
     derived_acc: DataFrame | None = None
-    for _ in range(max_rounds):
+    for round_no in range(1, max_rounds + 1):
         fired = None
         for r in rules:
             out = _fire(_eval_body(known, delta, r.body), r.head)
             fired = out if fired is None else fired.unionByName(out)
-        new = (
+        new = loop_ckpt(
             fired.distinct()
             .join(known, ["subj", "pred", "obj"], "left_anti")
-            .localCheckpoint()
         )
         if new.count() == 0:
             break
@@ -191,7 +207,11 @@ def materialize(
         # per-round checkpointed deltas — the accumulated KG is never
         # rewritten (at 10^12 triples a per-round full re-checkpoint
         # would dominate the closure); plan depth grows only with the
-        # round count, each leaf already materialized
+        # round count, each leaf already materialized. rebase_every
+        # periodically collapses the derived accumulation to one leaf
+        # (scans only the delta-sized derived set, never the base).
+        if rebase_every is not None and round_no % rebase_every == 0:
+            derived_acc = loop_ckpt(derived_acc)
         known = base.unionByName(derived_acc)
         delta = new
     else:

@@ -194,11 +194,15 @@ class CheckpointManager:
         # re-scan was pure serial driver time charged to every stage
         # (~2-5s each at the 1.12M-doc corpus)
         schema_json = df.schema.json()
-        # known minor leak: if the write below raises, this Observation's
-        # listener stays registered on the session (PySpark exposes no
-        # unregister). Harmless for correctness — a later same-name
-        # Observation unregisters it on first match — and bounded by the
-        # retry count within one session, so not worth a workaround.
+        # failed-write cleanup (measured on Spark 4.1, not assumed): the
+        # session-level ObservationManager completes observations on
+        # query FAILURE as well as success, so a raised write leaves no
+        # map entry behind and a retry's same-name Observation registers
+        # cleanly — tests/test_pipeline_e2e.py::
+        # test_checkpoint_write_failure_leaves_no_observation_state
+        # asserts both (the manager's internal registry drains and a
+        # second write of the same stage succeeds). No try/finally is
+        # needed; PySpark exposes no unregister surface to call anyway.
         obs = Observation(f"ckpt_rows_{stage}")
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         if bucket_by:

@@ -44,3 +44,119 @@ def test_audio_stub_raises_clearly(spark):
     stub = multimodal.decode_audio_stub(media)
     with pytest.raises(Exception, match="torchaudio|librosa|NotImplemented"):
         stub.collect()
+
+
+def test_pil_decoder_required_but_missing_raises_actionably(spark):
+    """decoder='pil' on executors without pillow must fail with the
+    actionable message, not a bare ImportError deep in a worker."""
+    media = multimodal.synthesize_media(spark, n=6)
+    feats = multimodal.extract_features(media, decoder="pil")
+    with pytest.raises(Exception, match="pillow|decoder='auto'"):
+        feats.collect()
+
+
+_FAKE_PIL_IMAGE_SRC = '''
+"""Fake PIL.Image: deterministic decode so the REAL kernel branch in
+multimodal._pil_image_features executes without pillow installed."""
+import numpy as np
+
+
+class _Img:
+    def __init__(self, data):
+        self.data = data
+        self.size = None
+
+    def convert(self, mode):
+        assert mode == "L", mode
+        return self
+
+    def resize(self, size, resample=None):
+        assert resample == 0  # the kernel pins NEAREST
+        self.size = size
+        return self
+
+    def __array__(self, dtype=None, copy=None):
+        w, h = self.size
+        b = np.frombuffer(self.data, dtype=np.uint8)
+        reps = -((w * h) // -len(b))
+        arr = np.tile(b, reps)[: w * h].reshape(h, w)
+        return arr.astype(dtype if dtype is not None else np.float64)
+
+
+def open(fp):
+    return _Img(fp.read())
+'''
+
+_FAKE_PIL_DRIVER = '''
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from gliner_transbronchialbiopsy_spark.operators import multimodal
+from gliner_transbronchialbiopsy_spark.session import get_spark
+
+spark = get_spark(app_name="fake-pil", cpus=2, shuffle_partitions=2)
+media = multimodal.synthesize_media(spark, n=12)
+payloads = {
+    r["media_id"]: bytes(r["payload"])
+    for r in media.filter("kind = 'image'").collect()
+}
+
+auto = {
+    r["media_id"]: r["features"]
+    for r in multimodal.extract_features(media, dim=8).collect()
+}
+fake = {
+    r["media_id"]: r["features"]
+    for r in multimodal.extract_features(media, dim=8, decoder="fake").collect()
+}
+assert set(auto) == set(payloads) and set(fake) == set(payloads)
+
+for mid, payload in payloads.items():
+    # expected REAL-branch features through the fake decode arithmetic
+    b = np.frombuffer(payload, dtype=np.uint8)
+    reps = -(64 // -len(b))
+    arr = np.tile(b, reps)[:64].reshape(8, 8).astype(np.float64)
+    want = [round(float(r.mean()) / 255.0, 6) for r in arr]
+    got = [round(float(x), 6) for x in auto[mid]]
+    assert got == want, (mid, got[:3], want[:3])
+    # and they differ from the byte-histogram fake -> the PIL branch ran
+    assert auto[mid] != fake[mid], mid
+
+# decoder='pil' must also succeed when (fake) PIL is importable
+pil = {
+    r["media_id"]: r["features"]
+    for r in multimodal.extract_features(media, dim=8, decoder="pil").collect()
+}
+assert pil == auto
+print("FAKE_PIL_OK")
+'''
+
+
+def test_fake_pil_engages_real_kernel_branch(tmp_path):
+    """VERDICT r4 #7 (the gliner pattern): a PYTHONPATH-injected fake
+    PIL package makes executors import it inside the UDF, so the REAL
+    _pil_image_features branch — lazy import, convert('L'),
+    NEAREST-resample resize, row-mean features — executes end to end,
+    produces the precomputable vectors, and differs from the fallback
+    kernel's output."""
+    import os
+    import subprocess
+    import sys
+
+    pkg = tmp_path / "fakepkg" / "PIL"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("from . import Image\n")
+    (pkg / "Image.py").write_text(_FAKE_PIL_IMAGE_SRC)
+    driver = tmp_path / "driver.py"
+    driver.write_text(_FAKE_PIL_DRIVER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{tmp_path / 'fakepkg'}:{env.get('PYTHONPATH', '')}"
+    proc = subprocess.run(
+        [sys.executable, str(driver)],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "FAKE_PIL_OK" in proc.stdout

@@ -509,3 +509,47 @@ def test_consumption_layer_coherence(pipeline_out):
     ).count() == t3.count()  # every pred is ruled
     viol = kgvalidate.constraint_violations(t3, rules_df)
     assert viol.agg(F.coalesce(F.sum("n_bad"), F.lit(0))).collect()[0][0] == 0
+
+
+def test_checkpoint_write_failure_leaves_no_observation_state(spark, tmp_path):
+    """ADVICE (r3/r4 open item), closed by measurement: on Spark 4.1
+    the session ObservationManager completes observations on query
+    FAILURE too, so a raised checkpoint write leaves no entry in the
+    manager's registry and a retry's same-name Observation registers
+    cleanly. This pins both halves: the registry drains back to its
+    pre-write size after a failed write, and a second write of the
+    same stage succeeds end-to-end (metrics + readable snapshot)."""
+    import time
+
+    om = spark._jsparkSession.observationManager()
+    fld = [
+        f for f in om.getClass().getDeclaredFields()
+        if f.getName() == "observations"
+    ][0]
+    fld.setAccessible(True)
+    registry = fld.get(om)
+    base_size = registry.size()
+
+    mgr = CheckpointManager(str(tmp_path / "work"))
+    # stage dir parent is a regular FILE -> the parquet write's mkdir
+    # fails (root ignores permission bits, so chmod tricks don't work
+    # in this sandbox; a file-in-the-way fails for any uid)
+    (tmp_path / "work").mkdir()
+    (tmp_path / "work" / "stagex").write_text("in the way")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).alias("grp")
+    )
+    with pytest.raises(Exception):
+        mgr.write("stagex", df)
+    # listener completion is async: poll briefly for the drain
+    for _ in range(100):
+        if registry.size() <= base_size:
+            break
+        time.sleep(0.1)
+    assert registry.size() <= base_size
+    # retry with the obstruction removed: same stage name, fresh
+    # same-name Observation — must register and complete normally
+    (tmp_path / "work" / "stagex").unlink()
+    mgr.write("stagex", df)
+    assert mgr.metrics("stagex")["rows"] == 100
+    assert mgr.read(spark, "stagex").count() == 100

@@ -157,3 +157,38 @@ def test_ground_body_rule_survives_delta_rounds(spark):
     inf = _tset(out, inferred=True)
     assert ("spark", "rdf:type", "Engine") in inf
     assert ("spark", "runs", "join") in inf
+
+
+def test_rebase_every_identical_output_on_30_round_chain(spark):
+    """VERDICT r4 #4: a 30-round recursive fixpoint (linear chain
+    closure — the one-hop-per-round ruleset) with rebase_every=10 must
+    produce exactly the set the default lazy-union accumulation does.
+    The knob only collapses plan depth (derived_acc re-checkpointed
+    every N rounds); semantics are untouched."""
+    n = 30
+    t = _triples(spark, [(f"c{i:02d}", "next", f"c{i+1:02d}") for i in range(n)])
+    seed = rules.rule([("?x", "next", "?y")], [("?x", "reach", "?y")])
+    step = rules.rule(
+        [("?x", "reach", "?y"), ("?y", "next", "?z")],
+        [("?x", "reach", "?z")],
+    )
+    # one-hop-per-round growth: reach_k appears in round k+1 -> ~n rounds
+    plain = rules.materialize(t, [seed, step], max_rounds=n + 5)
+    rebased = rules.materialize(
+        t, [seed, step], max_rounds=n + 5, rebase_every=10
+    )
+    want_reach = {
+        (f"c{i:02d}", "reach", f"c{j:02d}")
+        for i in range(n + 1)
+        for j in range(i + 1, n + 1)
+    }
+    assert _tset(plain, inferred=True) == want_reach
+    assert _tset(rebased) == _tset(plain)
+    assert _tset(rebased, inferred=True) == _tset(plain, inferred=True)
+
+
+def test_rebase_every_validates(spark):
+    t = _triples(spark, [("a", "next", "b")])
+    r = rules.rule([("?x", "next", "?y")], [("?x", "reach", "?y")])
+    with pytest.raises(ValueError, match="rebase_every"):
+        rules.materialize(t, [r], rebase_every=0)
