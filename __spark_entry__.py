@@ -8,6 +8,7 @@ gives the DuckDB-equivalent SQL for every SQL-expressible one.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1392,6 +1393,29 @@ def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export.to_ntriples(triples)
 
 
+def _kg_extended_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The emitted KG extended with type links (surface ``a`` label)
+    and the demo subclass ontology, materialized ONCE — several path
+    atoms plus the node universe all scan it (measured 3x recompute at
+    sf0.01 without the checkpoint). This is the view analogue of what
+    production gets for free from a pred-partitioned triples SNAPSHOT:
+    atoms there are pruned file scans, no recompute. Shared by the
+    property-path, seeded-path, and composed contract queries."""
+    triples = q_kg_triples(spark, sf_dir)
+    types = triples.select(
+        F.col("obj").alias("subj"),
+        F.lit("a").alias("pred"),
+        F.col("pred").alias("obj"),
+    ).distinct()
+    onto = spark.createDataFrame(
+        _SUBCLASS_EDGES, "subj string, obj string"
+    ).select("subj", F.lit("subclass_of").alias("pred"), "obj")
+    return (
+        triples.unionByName(types).unionByName(onto)
+        .localCheckpoint(eager=True)
+    )
+
+
 def q_kg_property_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 property path (operators/paths.path_edges) —
     ``(engine|exec_op|data_noun)/a/subclass_of*`` over the emitted KG
@@ -1405,20 +1429,7 @@ def q_kg_property_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB restates the closure as a recursive CTE."""
     from gliner_transbronchialbiopsy_spark.operators import paths
 
-    triples = q_kg_triples(spark, sf_dir)
-    types = triples.select(
-        F.col("obj").alias("subj"),
-        F.lit("a").alias("pred"),
-        F.col("pred").alias("obj"),
-    ).distinct()
-    onto = spark.createDataFrame(
-        _SUBCLASS_EDGES, "subj string, obj string"
-    ).select("subj", F.lit("subclass_of").alias("pred"), "obj")
-    # materialize the extended graph once: five path atoms + the node
-    # universe all scan it (measured 3x at sf0.01). This is the view
-    # analogue of what production gets for free from a pred-partitioned
-    # triples SNAPSHOT — atoms there are pruned file scans, no recompute
-    t = triples.unionByName(types).unionByName(onto).localCheckpoint(eager=True)
+    t = _kg_extended_graph(spark, sf_dir)
     spec = (
         "seq",
         ("alt", ("pred", "engine"), ("pred", "exec_op"), ("pred", "data_noun")),
@@ -1513,18 +1524,12 @@ def q_kg_path_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     the star step."""
     from gliner_transbronchialbiopsy_spark.operators import paths
 
-    triples = q_kg_triples(spark, sf_dir)
-    types = triples.select(
-        F.col("obj").alias("subj"),
-        F.lit("a").alias("pred"),
-        F.col("pred").alias("obj"),
-    ).distinct()
-    onto = spark.createDataFrame(
-        _SUBCLASS_EDGES, "subj string, obj string"
-    ).select("subj", F.lit("subclass_of").alias("pred"), "obj")
-    t = triples.unionByName(types).unionByName(onto).localCheckpoint(eager=True)
+    t = _kg_extended_graph(spark, sf_dir)
     seeds = (
-        triples.filter(F.col("subj").endswith("7@HEAD"))
+        t.filter(
+            (F.col("pred") != "a") & (F.col("pred") != "subclass_of")
+            & F.col("subj").endswith("7@HEAD")
+        )
         .select(F.col("subj").alias("node"))
         .distinct()
     )
@@ -2146,7 +2151,109 @@ def q_range_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_composed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE declarative KGQuery (operators/composer.compose) planning a
+    BGP + property path + MINUS + VALUES + FILTER together — the
+    round-4 verdict's top ask, replacing the hand-wired join glue the
+    other kg_* queries demonstrate. The query: docs that mention the
+    exec_op 'join' (ground pattern), their engine binding, and every
+    class that engine surface entails via the ``a/subclass_of*`` path;
+    MINUS docs that also mention the data_noun 'table'; VALUES pins
+    eng to three engines; FILTER drops the top class. One plan: the
+    ground scan seeds the greedy order, the path atom (var-var ->
+    paths.path_edges over the shared checkpointed graph) joins on the
+    bound ?eng, the MINUS group is one left_anti on ?doc, VALUES
+    broadcasts. The DuckDB oracle restates every block — pattern CTEs,
+    recursive subclass closure, NOT EXISTS anti-join, inline VALUES —
+    as one multi-block SQL statement."""
+    from gliner_transbronchialbiopsy_spark.operators import composer
+
+    t = _kg_extended_graph(spark, sf_dir)
+    q = composer.KGQuery(
+        where=(
+            ("?doc", "exec_op", "join"),
+            ("?doc", "engine", "?eng"),
+            composer.Path(
+                "?eng",
+                ("seq", ("pred", "a"), ("opt", ("plus", ("pred", "subclass_of")))),
+                "?cls",
+            ),
+        ),
+        minus=((("?doc", "data_noun", "table"),),),
+        values=(("eng",), (("spark",), ("hash",), ("vector",))),
+        filters=("cls <> 'kg_term'",),
+        select=("doc", "eng", "cls"),
+        distinct=True,
+    )
+    return composer.compose(t, q)
+
+
+def q_kg_composed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregate modifiers through the composer (round-4
+    verdict #8): GROUP BY + COUNT over a BGP with an OPTIONAL group —
+    per-engine binding counts, distinct docs, and how many of those
+    bindings carry an optional data_noun (COUNT over a nullable
+    OPTIONAL column counts only bound rows, exactly SPARQL's
+    aggregate-over-unbound rule and SQL's count(col)). One plan: two
+    pred-pruned scans, a left join, one hash aggregate."""
+    from gliner_transbronchialbiopsy_spark.operators import composer
+
+    triples = q_kg_triples(spark, sf_dir)
+    q = composer.KGQuery(
+        where=(("?doc", "engine", "?eng"),),
+        optional=((("?doc", "data_noun", "?noun"),),),
+        group_by=("eng",),
+        aggs=(
+            ("count(*)", "n_bindings"),
+            ("count(DISTINCT doc)", "n_docs"),
+            ("count(noun)", "n_noun_bindings"),
+            ("count(DISTINCT noun)", "n_nouns"),
+        ),
+    )
+    return composer.compose(triples, q)
+
+
+def _driver_rotation_order(names: list[str]) -> list[str]:
+    """Deterministic driver-set rotation (round-4 VERDICT #2): the
+    driver's CORRECTNESS artifact has capped at the FIRST 50 entries
+    of this registry every round, so a fixed order left half the
+    registry outside the hard driver signal forever. This orders the
+    registry least-recently-driver-covered FIRST, derived purely from
+    the committed CORRECTNESS_r*.json artifacts (never-covered queries
+    lead, then oldest-covered; registry order breaks ties via the
+    stable sort) — so every query lands in a driver artifact within
+    ~ceil(registry/50) rounds with no state beyond the artifacts
+    themselves. tools/select_driver_set.py prints the computed
+    rotation; README documents the scheme. The tri-scale oracle gate
+    (tools/check_oracles.py) still runs EVERY query regardless of
+    order."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_seen: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for k in data:
+            last_seen[k] = max(rnd, last_seen.get(k, -1))
+    return sorted(names, key=lambda n: last_seen.get(n, -1))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    reg = _registry()
+    return {name: reg[name] for name in _driver_rotation_order(list(reg))}
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
         "kg_mentions_by_label": q_kg_mentions_by_label,
@@ -2254,6 +2361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "graph_adamic_adar": q_graph_adamic_adar,
         "range_window_join": q_range_window_join,
+        "kg_composed_query": q_kg_composed_query,
+        "kg_composed_agg": q_kg_composed_agg,
     }
 
 
@@ -4614,6 +4723,71 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT dst AS cls, count(*) AS n_docs FROM paths GROUP BY dst
         """.format(kw_values=kw_values, subclass_values=_SUBCLASS_VALUES_SQL),
+        "kg_composed_query": f"""
+            WITH RECURSIVE t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            -- BGP block: ground exec_op pattern + engine binding
+            p1 AS (SELECT DISTINCT subj AS doc FROM t
+                   WHERE pred = 'exec_op' AND obj = 'join'),
+            p2 AS (SELECT DISTINCT subj AS doc, obj AS eng FROM t
+                   WHERE pred = 'engine'),
+            -- path block: a / subclass_of*  (type link then closure,
+            -- zero-length step keeps the direct class)
+            ty AS (SELECT DISTINCT obj AS src, pred AS dst FROM t),
+            sc(sub, sup) AS (VALUES {{subclass_values}}),
+            cl AS (
+              SELECT sub, sup FROM sc
+              UNION
+              SELECT cl.sub, sc.sup FROM cl JOIN sc ON cl.sup = sc.sub
+            ),
+            pe AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM ty
+                UNION ALL
+                SELECT ty.src, cl.sup AS dst FROM ty JOIN cl ON cl.sub = ty.dst
+              )
+            ),
+            -- MINUS group: docs also mentioning the data_noun 'table'
+            m AS (SELECT DISTINCT subj AS doc FROM t
+                  WHERE pred = 'data_noun' AND obj = 'table'),
+            v(eng) AS (VALUES ('spark'), ('hash'), ('vector'))
+            SELECT DISTINCT p1.doc, p2.eng, pe.dst AS cls
+            FROM p1
+            JOIN p2 USING (doc)
+            JOIN pe ON pe.src = p2.eng
+            JOIN v USING (eng)
+            WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.doc = p1.doc)
+              AND pe.dst <> 'kg_term'
+        """.format(kw_values=kw_values, subclass_values=_SUBCLASS_VALUES_SQL),
+        "kg_composed_agg": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            e AS (SELECT DISTINCT subj AS doc, obj AS eng FROM t
+                  WHERE pred = 'engine'),
+            n AS (SELECT DISTINCT subj AS doc, obj AS noun FROM t
+                  WHERE pred = 'data_noun')
+            SELECT eng,
+                   count(*) AS n_bindings,
+                   count(DISTINCT doc) AS n_docs,
+                   count(noun) AS n_noun_bindings,
+                   count(DISTINCT noun) AS n_nouns
+            FROM e LEFT JOIN n USING (doc)
+            GROUP BY eng
+        """.format(kw_values=kw_values),
         "kg_domain_range": f"""
             WITH RECURSIVE t AS MATERIALIZED (
               SELECT DISTINCT

@@ -232,6 +232,23 @@ AUDIT = {
     # sameAs rewrite: CC election behind its iteration checkpoints,
     # the triple rewrite is one hash join + one aggregate, no Python
     "kg_sameas_rewrite": ("HashAggregate", "!InPandas"),
+    # composed KG query (round-5): BGP + path + MINUS + VALUES +
+    # FILTER compile to ONE pipeline — every pattern atom and the path
+    # relation read the single checkpointed extended graph (no
+    # re-execution of the upstream pipeline per block), the MINUS
+    # group is a left_anti hash join, the VALUES inline table
+    # broadcasts, variable joins are hash joins (never a nested loop),
+    # zero Python downstream of the detection barrier
+    "kg_composed_query": (
+        "Scan ExistingRDD",
+        "LeftAnti",
+        "BroadcastHashJoin",
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+    ),
+    # composed aggregates: two pred-pruned scans of the checkpointed
+    # triples, one left join, one partial+final aggregate pair
+    "kg_composed_agg": ("Scan ExistingRDD", "HashAggregate", "!InPandas"),
 }
 
 
