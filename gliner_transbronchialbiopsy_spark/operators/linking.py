@@ -108,6 +108,18 @@ def minhash_signatures(
     base = surfaces.select(*key_cols, text_col).dropDuplicates(
         [*key_cols, text_col]
     )
+    # CPU-dense stage needs CORE-count partitioning, not byte-count:
+    # the projection below runs ~(num_hashes + shingle-build) hash/
+    # substring evaluations per character, so its cost tracks rows x
+    # text length, while AQE's coalescePartitions targets shuffle
+    # BYTES and happily merges the (tiny-by-bytes) post-dedup exchange
+    # to ONE partition — measured at sf0.1/local[32]: the whole
+    # signature stage ran serially, 6.2s vs 1.4s. The explicit
+    # repartition keys on the text so the layout is deterministic and
+    # skew-free; it re-exchanges only the already-deduped surface
+    # table (the same rows the dedup exchange just wrote).
+    par = surfaces.sparkSession.sparkContext.defaultParallelism
+    base = base.repartition(par, F.col(text_col))
     with_sh = base.withColumn(
         "_sh", char_shingles(F.col(text_col), shingle_n)
     )
