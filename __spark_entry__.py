@@ -2248,6 +2248,50 @@ def _driver_rotation_order(names: list[str]) -> list[str]:
     return sorted(names, key=lambda n: last_seen.get(n, -1))
 
 
+def q_kg_composed_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT over a composed WHERE
+    (operators/composer.compose_construct): the body is a BGP with an
+    OPTIONAL group, and two head templates fire per solution —
+    (?eng used_with ?noun) and (?eng a engine_surface). Solutions
+    whose optional ?noun is unbound instantiate an incomplete first
+    template and are skipped for it (the SPARQL incomplete-triple
+    rule — exactly SQL's inner-join semantics, which is how the
+    oracle restates it), while the ground-typed second template still
+    fires for every solution. Output is the derived graph, set
+    semantics."""
+    from gliner_transbronchialbiopsy_spark.operators import composer
+
+    triples = q_kg_triples(spark, sf_dir)
+    q = composer.KGQuery(
+        where=(("?doc", "engine", "?eng"),),
+        optional=((("?doc", "data_noun", "?noun"),),),
+    )
+    return composer.compose_construct(
+        triples,
+        q,
+        heads=(
+            ("?eng", "used_with", "?noun"),
+            ("?eng", "a", "engine_surface"),
+        ),
+    )
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage detection
+    (operators/dedup.duplicate_passages, the word-window form of Lee
+    et al. 2022 substring dedup): 8-token windows occurring verbatim
+    in >= 2 distinct documents, reported per affected doc with the
+    merged-interval token coverage (the removal-budget signal). Window
+    text never shuffles — census and join key on sha256(window); the
+    oracle restates windows, distinct-doc census, and coverage (as a
+    distinct-index count — must equal the Spark fold's merged interval
+    length) directly on the token arrays."""
+    from gliner_transbronchialbiopsy_spark.operators import dedup as _dd
+
+    docs = _read(spark, sf_dir, "documents")
+    return _dd.duplicate_passages(docs, "text", "doc_id", n=8, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
     return {name: reg[name] for name in _driver_rotation_order(list(reg))}
@@ -2363,6 +2407,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_window_join": q_range_window_join,
         "kg_composed_query": q_kg_composed_query,
         "kg_composed_agg": q_kg_composed_agg,
+        "kg_composed_construct": q_kg_composed_construct,
+        "passage_dedup": q_passage_dedup,
     }
 
 
@@ -4766,6 +4812,63 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.doc = p1.doc)
               AND pe.dst <> 'kg_term'
         """.format(kw_values=kw_values, subclass_values=_SUBCLASS_VALUES_SQL),
+        "kg_composed_construct": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            e AS (SELECT DISTINCT subj AS doc, obj AS eng FROM t
+                  WHERE pred = 'engine'),
+            n AS (SELECT DISTINCT subj AS doc, obj AS noun FROM t
+                  WHERE pred = 'data_noun')
+            -- head 1 skips unbound-?noun solutions (incomplete-triple
+            -- rule == inner join); head 2 fires for every solution
+            SELECT DISTINCT eng AS subj, 'used_with' AS pred, noun AS obj
+            FROM e JOIN n USING (doc)
+            UNION
+            SELECT DISTINCT eng AS subj, 'a' AS pred,
+                   'engine_surface' AS obj
+            FROM e
+        """.format(kw_values=kw_values),
+        "passage_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE trim(text) <> ''),
+            occ AS (
+              SELECT doc_id, CAST(u.i AS INT) AS pos,
+                     array_to_string(
+                       list_slice(t, CAST(u.i AS INT), CAST(u.i AS INT) + 7),
+                       ' ') AS win
+              FROM toks, LATERAL unnest(
+                range(1, greatest(len(t) - 7, 0) + 1)) u(i)),
+            dup AS (
+              SELECT win FROM occ
+              GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (
+              SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (win)),
+            cnts AS (
+              SELECT doc_id, count(*) AS n_dup_windows
+              FROM hits GROUP BY doc_id),
+            cov AS (
+              SELECT h.doc_id, count(DISTINCT v.idx) AS covered
+              FROM hits h, LATERAL unnest(range(h.pos, h.pos + 8)) v(idx)
+              GROUP BY h.doc_id),
+            tot AS (
+              SELECT doc_id, len(t) AS n_tokens,
+                     greatest(len(t) - 7, 0) AS n_windows
+              FROM toks)
+            SELECT t.doc_id, t.n_tokens, t.n_windows,
+                   c.n_dup_windows, v.covered AS dup_covered_tokens
+            FROM tot t
+            JOIN cnts c USING (doc_id)
+            JOIN cov v USING (doc_id)
+        """,
         "kg_composed_agg": f"""
             WITH t AS MATERIALIZED (
               SELECT DISTINCT

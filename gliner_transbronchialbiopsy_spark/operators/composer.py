@@ -303,3 +303,51 @@ def compose(
     if q.limit is not None:
         acc = acc.limit(q.limit)
     return acc
+
+
+def compose_construct(
+    triples: DataFrame,
+    q: KGQuery,
+    heads: Sequence[tuple],
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    allow_cartesian: bool = False,
+    max_closure_rows: int = _paths.DEFAULT_MAX_CLOSURE_ROWS,
+) -> DataFrame:
+    """SPARQL CONSTRUCT over a composed WHERE: evaluate ``q`` (its
+    full block algebra — paths, OPTIONAL, MINUS, VALUES, FILTER) and
+    instantiate every ``heads`` template per solution, returning the
+    derived (subj, pred, obj) graph (set semantics — CONSTRUCT builds
+    a new graph, it does not extend the queried one; solutions whose
+    template slots are NULL, e.g. from an unmatched OPTIONAL, are
+    skipped per the SPARQL incomplete-triple rule).
+
+    This generalizes :func:`rules.construct` (whose body is a plain
+    BGP) to composed bodies, reusing its template fire. ``q`` must not
+    carry aggregates or projection modifiers — CONSTRUCT binds
+    template variables from raw solutions."""
+    from . import rules as _rules
+
+    if q.group_by or q.aggs or q.select is not None or q.limit is not None:
+        raise ValueError(
+            "CONSTRUCT takes raw solutions: strip group_by/aggs/"
+            "select/limit from the query"
+        )
+    for h in heads:
+        if len(h) != 3:
+            raise ValueError(f"head template must be a triple: {h!r}")
+    sols = compose(
+        triples, q, subj=subj, pred=pred, obj=obj,
+        allow_cartesian=allow_cartesian, max_closure_rows=max_closure_rows,
+    )
+    head_vars = {t[1:] for h in heads for t in h if _bgp._is_var(t)}
+    missing = sorted(head_vars - set(sols.columns))
+    if missing:
+        raise ValueError(f"head variables not bound by the query: {missing}")
+    out = _rules._fire(sols, tuple(tuple(h) for h in heads))
+    return out.filter(
+        F.col("subj").isNotNull()
+        & F.col("pred").isNotNull()
+        & F.col("obj").isNotNull()
+    ).distinct()

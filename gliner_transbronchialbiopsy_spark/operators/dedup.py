@@ -625,3 +625,106 @@ def incremental_dedup(
         .when(F.col("_near"), F.lit("near_duplicate"))
     )
     return out.select(*new_df.columns, reason.alias("reject_reason"))
+
+
+def duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-PASSAGE detection (the word-window
+    form of Lee et al. 2022's substring dedup, "Deduplicating Training
+    Data Makes Language Models Better"): a length-``n`` word window is
+    a duplicated passage when its exact token sequence occurs in at
+    least ``min_docs`` DISTINCT documents. Returns one row per
+    document that carries at least one duplicated window:
+
+        (doc_id, n_tokens, n_windows, n_dup_windows,
+         dup_covered_tokens)
+
+    where dup_covered_tokens is the size of the UNION of the
+    duplicated windows' token spans — the merged-interval sweep runs
+    as a single F.aggregate fold over the sorted window starts (array
+    referenced once; the textstats._run_stats Catalyst-inlining
+    lesson), so a doc tiled by overlapping duplicate windows counts
+    each token once. ``dup_covered_tokens / n_tokens`` is the standard
+    removal-budget signal; line_dedup is the line-granular sibling.
+
+    Distributed shape at 100 TB: window TEXT never shuffles — the
+    occurrence relation carries (doc_id, pos, sha256(window)) and both
+    wide operations key on the 64-byte hash: one groupBy for the
+    distinct-doc census, one join of occurrences against the
+    duplicated-hash set (boilerplate-sized in practice — AQE
+    broadcasts it when it fits, the line_dedup argument). The per-doc
+    totals come straight off the doc scan; only hash-matched
+    occurrences reach the final per-doc aggregation."""
+    from .textstats import ngrams_of, word_tokens
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    ).withColumn("_toks", word_tokens(F.col("_text")))
+    totals = base.select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        F.greatest(F.size("_toks") - (n - 1), F.lit(0)).alias("n_windows"),
+    )
+    occ = base.select(
+        "doc_id",
+        F.posexplode(ngrams_of(F.col("_toks"), n)).alias("_p0", "_win"),
+    ).select(
+        "doc_id",
+        (F.col("_p0") + 1).alias("pos"),  # 1-based window start
+        F.sha2("_win", 256).alias("_wh"),
+    )
+    dup = (
+        occ.groupBy("_wh")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_wh")
+    )
+    hits = occ.join(dup, "_wh", "left_semi")
+
+    def _coverage(sorted_pos):
+        init = F.struct(
+            F.lit(0).alias("covered"), F.lit(0).alias("last_end")
+        )
+
+        def step(acc, p):
+            start = F.greatest(p, acc["last_end"] + 1)
+            end = p + F.lit(n - 1)
+            add = F.greatest(end - start + 1, F.lit(0))
+            return F.struct(
+                (acc["covered"] + add).alias("covered"),
+                F.greatest(acc["last_end"], end).alias("last_end"),
+            )
+
+        return F.aggregate(sorted_pos, init, step, lambda a: a["covered"])
+
+    per_doc = hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_windows"),
+        F.sort_array(F.collect_list("pos")).alias("_starts"),
+    )
+    per_doc = per_doc.select(
+        "doc_id",
+        "n_dup_windows",
+        _coverage(F.col("_starts")).alias("_cov_raw"),
+    )
+    return (
+        per_doc.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            "n_dup_windows",
+            # a trailing window can only cover up to n_tokens
+            F.least(F.col("_cov_raw"), F.col("n_tokens")).alias(
+                "dup_covered_tokens"
+            ),
+        )
+    )

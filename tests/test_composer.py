@@ -294,3 +294,57 @@ def test_minus_disjoint_domain_removes_nothing(spark, kg):
         ),
     )
     assert got.count() == 5
+
+
+def test_compose_construct_skips_unbound_template_slots(spark, kg):
+    """CONSTRUCT incomplete-triple rule: a head referencing an
+    OPTIONAL variable fires only for solutions that bound it; other
+    heads still fire for every solution."""
+    t = _triples(spark, kg)
+    out = composer.compose_construct(
+        t,
+        KGQuery(
+            where=(("?doc", "engine", "?eng"),),
+            optional=((("?doc", "data_noun", "?noun"),),),
+        ),
+        heads=(
+            ("?eng", "used_with", "?noun"),
+            ("?eng", "a", "engine_surface"),
+        ),
+    )
+    got = _rowset(out)
+    # d4 (vector) has no noun: no used_with row, but the type row fires
+    assert ("vector", "a", "engine_surface") in got
+    assert not any(s == "vector" and p == "used_with" for s, p, _ in got)
+    assert ("spark", "used_with", "table") in got
+    assert ("hash", "used_with", "row") in got
+
+
+def test_compose_construct_parity_with_rules_construct(spark, kg):
+    """A plain-BGP body must reproduce rules.construct exactly."""
+    from gliner_transbronchialbiopsy_spark.operators import rules
+
+    t = _triples(spark, kg)
+    body = [("?d", "engine", "?e"), ("?d", "exec_op", "?op")]
+    heads = [("?e", "runs", "?op")]
+    want = _rowset(rules.construct(t, body, heads))
+    got = _rowset(
+        composer.compose_construct(t, KGQuery(where=tuple(body)), heads=heads)
+    )
+    assert got == want
+
+
+def test_compose_construct_validation(spark, kg):
+    t = _triples(spark, kg)
+    with pytest.raises(ValueError, match="raw solutions"):
+        composer.compose_construct(
+            t,
+            KGQuery(where=(("?d", "engine", "?e"),), limit=5),
+            heads=(("?e", "a", "x"),),
+        )
+    with pytest.raises(ValueError, match="not bound"):
+        composer.compose_construct(
+            t,
+            KGQuery(where=(("?d", "engine", "?e"),),),
+            heads=(("?e", "runs", "?missing"),),
+        )

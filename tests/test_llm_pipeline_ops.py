@@ -958,3 +958,57 @@ def test_bpe_train_batched_divergence_case_documented(spark):
     # batched: ('h','e') conflicts with ('t','h') inside one snapshot,
     # so the best DISJOINT pair (x,y) fills the batch
     assert bat == [("t", "h", 9), ("x", "y", 3)]
+
+
+# --- dedup.duplicate_passages ------------------------------------------------
+def test_duplicate_passages_detects_shared_windows(spark):
+    from gliner_transbronchialbiopsy_spark.operators import dedup
+
+    shared = "one two three four five six seven eight"  # 8 tokens
+    docs = _docs(spark, [
+        f"alpha {shared} omega",
+        f"beta gamma {shared}",
+        "totally different words here with no overlap at all ok",
+    ])
+    out = {r["doc_id"]: r for r in
+           dedup.duplicate_passages(docs, n=8).collect()}
+    assert set(out) == {0, 1}
+    # doc 0: 10 tokens -> 3 windows; only the exact shared window dups
+    assert out[0]["n_tokens"] == 10 and out[0]["n_windows"] == 3
+    assert out[0]["n_dup_windows"] == 1
+    assert out[0]["dup_covered_tokens"] == 8
+    assert out[1]["n_dup_windows"] == 1
+    assert out[1]["dup_covered_tokens"] == 8
+
+
+def test_duplicate_passages_merges_overlapping_coverage(spark):
+    from gliner_transbronchialbiopsy_spark.operators import dedup
+
+    # two docs share a 5-token run -> with n=4, two overlapping dup
+    # windows each; union coverage = 5 tokens, not 8
+    run = "p q r s t"
+    docs = _docs(spark, [f"{run} xx1 yy1", f"zz2 {run} ww2"])
+    out = {r["doc_id"]: r for r in
+           dedup.duplicate_passages(docs, n=4).collect()}
+    assert out[0]["n_dup_windows"] == 2
+    assert out[0]["dup_covered_tokens"] == 5
+    assert out[1]["dup_covered_tokens"] == 5
+
+
+def test_duplicate_passages_case_and_whitespace_follow_tokenizer(spark):
+    from gliner_transbronchialbiopsy_spark.operators import dedup
+
+    docs = _docs(spark, ["Foo  Bar\tBaz qux", "foo bar baz QUX"])
+    out = dedup.duplicate_passages(docs, n=4).collect()
+    assert {r["doc_id"] for r in out} == {0, 1}
+    assert all(r["n_dup_windows"] == 1 for r in out)
+
+
+def test_duplicate_passages_validation(spark):
+    from gliner_transbronchialbiopsy_spark.operators import dedup
+
+    docs = _docs(spark, ["a b c"])
+    with pytest.raises(ValueError, match="min_docs"):
+        dedup.duplicate_passages(docs, min_docs=1)
+    with pytest.raises(ValueError, match="n must"):
+        dedup.duplicate_passages(docs, n=0)
