@@ -1,0 +1,607 @@
+"""SPARQL-subset text front-end for the KG query composer.
+
+The composer (operators/composer.py) made "BGP + paths + modifiers"
+one declarative plan, but its API is a Python dataclass; the natural
+user-facing surface for a KG engine is SPARQL text — the reference's
+analogue is the dashboard's free-form query controls
+(/root/reference/src/streamlit/app/app.py:349-442), which compose
+filters ad hoc. This module parses a well-defined SPARQL 1.1 subset
+into a :class:`composer.KGQuery` and delegates execution to
+:func:`composer.compose` / :func:`composer.compose_construct`, so the
+text form inherits every documented semantic (set-semantic scans,
+NULL-rejecting OPTIONAL, the MINUS shared-variable rule, path-closure
+caps) without restating any of them — the parser owns ONLY syntax.
+
+Supported subset (everything the composer can plan):
+
+- ``SELECT [DISTINCT] ?v ... | * | (expr AS ?alias)`` and
+  ``CONSTRUCT { template } WHERE { ... }``
+- triple blocks with ``;`` predicate-object lists and ``,`` object
+  lists; terms are ``?vars``, bare words (``[A-Za-z_][\\w:#-]*``) or
+  double-quoted literals
+- property paths in predicate position: ``/`` sequence, ``|``
+  alternation, ``^`` inverse, ``+`` / ``?`` / ``*`` postfix, parens
+- ``OPTIONAL { ... }``, ``MINUS { ... }``, one
+  ``{ ... } UNION { ... }`` chain, ``FILTER (expr)``,
+  ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }``
+- ``GROUP BY``, ``ORDER BY [ASC|DESC(?v)]``, ``LIMIT``
+
+FILTER / aggregate expressions are translated token-wise to Spark SQL
+(``?var`` -> column, ``&&``/``||``/``!`` -> AND/OR/NOT, double- ->
+single-quoted strings, REGEX -> regexp_like, STRLEN -> length,
+LCASE/UCASE -> lower/upper) and evaluated by ``F.expr`` — the subset
+is exactly what the composer's ``filters``/``aggs`` fields accept.
+
+Unsupported SPARQL (explicit errors, never silent misparse): prefixed
+IRI declarations, ``<>`` IRIs, blank nodes, subqueries, ``BIND``,
+``EXISTS``, ``GRAPH``, more than one UNION chain per query (the
+composer plans one), and ``UNDEF`` in VALUES.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from .composer import KGQuery, Path, compose, compose_construct
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s+
+  | \#[^\n]*                          # comment to end of line
+  | (?P<STRING>"(?:[^"\\]|\\.)*")
+  | (?P<VAR>\?[A-Za-z_]\w*)
+  | (?P<NUM>-?\d+(?:\.\d+)?)
+  | (?P<WORD>[A-Za-z_][\w:#-]*)
+  | (?P<PUNCT><=|>=|!=|&&|\|\||[{}().;,/|^+*?<>=!])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "SELECT", "CONSTRUCT", "WHERE", "OPTIONAL", "MINUS", "UNION",
+    "FILTER", "VALUES", "GROUP", "ORDER", "BY", "ASC", "DESC",
+    "LIMIT", "DISTINCT", "AS",
+}
+
+_UNSUPPORTED_WORDS = {
+    "PREFIX", "BASE", "BIND", "EXISTS", "GRAPH", "SERVICE",
+    "ASK", "DESCRIBE", "INSERT", "DELETE", "OFFSET", "HAVING",
+}
+
+#: SPARQL builtin -> Spark SQL function, applied inside expressions.
+_FN_MAP = {"regex": "regexp_like", "strlen": "length",
+           "lcase": "lower", "ucase": "upper"}
+
+
+@dataclass(frozen=True)
+class ParsedQuery:
+    """Result of :func:`parse`: the query form, the composed logical
+    query, and (for CONSTRUCT) the head templates."""
+
+    form: str  # "select" | "construct"
+    query: KGQuery
+    heads: tuple | None = None
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class _Tok:
+    kind: str  # STRING | VAR | NUM | WORD | KW | PUNCT
+    value: str
+    pos: int
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    i = 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if m is None:
+            raise SparqlSyntaxError(
+                f"unrecognized character {text[i]!r} at offset {i}"
+            )
+        i = m.end()
+        kind = m.lastgroup
+        if kind is None:
+            continue  # whitespace / comment
+        v = m.group(kind)
+        if kind == "STRING":
+            v = re.sub(r"\\(.)", r"\1", v[1:-1])
+        elif kind == "WORD":
+            up = v.upper()
+            if up in _UNSUPPORTED_WORDS:
+                raise SparqlSyntaxError(
+                    f"{up} is outside the supported SPARQL subset "
+                    "(see operators/sparql.py docstring)"
+                )
+            if up in _KEYWORDS:
+                kind, v = "KW", up
+        toks.append(_Tok(kind, v, m.start()))
+    return toks
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    # -- token stream helpers -------------------------------------
+    def _peek(self, k: int = 0) -> _Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def _next(self) -> _Tok:
+        t = self._peek()
+        if t is None:
+            raise SparqlSyntaxError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def _expect(self, kind: str, value: str | None = None) -> _Tok:
+        t = self._next()
+        if t.kind != kind or (value is not None and t.value != value):
+            raise SparqlSyntaxError(
+                f"expected {value or kind} at offset {t.pos}, "
+                f"got {t.value!r}"
+            )
+        return t
+
+    def _at(self, kind: str, value: str | None = None) -> bool:
+        t = self._peek()
+        return (
+            t is not None
+            and t.kind == kind
+            and (value is None or t.value == value)
+        )
+
+    # -- entry ------------------------------------------------------
+    def parse(self) -> ParsedQuery:
+        if self._at("KW", "SELECT"):
+            pq = self._select_query()
+        elif self._at("KW", "CONSTRUCT"):
+            pq = self._construct_query()
+        else:
+            t = self._peek()
+            raise SparqlSyntaxError(
+                f"query must start with SELECT or CONSTRUCT, got "
+                f"{t.value!r}" if t else "empty query"
+            )
+        if self._peek() is not None:
+            t = self._peek()
+            raise SparqlSyntaxError(
+                f"trailing input at offset {t.pos}: {t.value!r}"
+            )
+        return pq
+
+    def _select_query(self) -> ParsedQuery:
+        self._expect("KW", "SELECT")
+        distinct = False
+        if self._at("KW", "DISTINCT"):
+            self._next()
+            distinct = True
+        select: list[str] | None = []
+        aggs: list[tuple] = []
+        if self._at("PUNCT", "*"):
+            self._next()
+            select = None
+        else:
+            while True:
+                if self._at("VAR"):
+                    select.append(self._next().value[1:])
+                elif self._at("PUNCT", "("):
+                    expr, alias = self._agg_projection()
+                    aggs.append((expr, alias))
+                    select.append(alias)
+                else:
+                    break
+            if not select:
+                raise SparqlSyntaxError("SELECT needs ?vars, (..AS ?v) or *")
+        body = self._where_and_mods(distinct=distinct, select=select,
+                                    aggs=tuple(aggs))
+        return ParsedQuery("select", body)
+
+    def _construct_query(self) -> ParsedQuery:
+        self._expect("KW", "CONSTRUCT")
+        self._expect("PUNCT", "{")
+        heads: list[tuple] = []
+        while not self._at("PUNCT", "}"):
+            heads.extend(self._triple_block(allow_paths=False))
+        self._expect("PUNCT", "}")
+        if not heads:
+            raise SparqlSyntaxError("CONSTRUCT template is empty")
+        body = self._where_and_mods(distinct=False, select=None, aggs=())
+        if body.group_by or body.aggs or body.limit is not None:
+            raise SparqlSyntaxError(
+                "CONSTRUCT takes raw solutions: GROUP BY / aggregates "
+                "/ LIMIT are not supported on the WHERE body"
+            )
+        return ParsedQuery("construct", body, tuple(heads))
+
+    # -- WHERE group + solution modifiers ---------------------------
+    def _where_and_mods(self, distinct: bool, select, aggs) -> KGQuery:
+        self._expect("KW", "WHERE")
+        where, union, optional, minus, filters, values = self._group_body()
+        group_by: list[str] = []
+        order_by: list = []
+        limit: int | None = None
+        while self._peek() is not None:
+            if self._at("KW", "GROUP"):
+                self._next()
+                self._expect("KW", "BY")
+                while self._at("VAR"):
+                    group_by.append(self._next().value[1:])
+                if not group_by:
+                    raise SparqlSyntaxError("GROUP BY needs ?vars")
+            elif self._at("KW", "ORDER"):
+                self._next()
+                self._expect("KW", "BY")
+                got = False
+                while True:
+                    if self._at("KW", "ASC") or self._at("KW", "DESC"):
+                        d = self._next().value.lower()
+                        self._expect("PUNCT", "(")
+                        v = self._expect("VAR").value[1:]
+                        self._expect("PUNCT", ")")
+                        order_by.append((v, d))
+                        got = True
+                    elif self._at("VAR"):
+                        order_by.append((self._next().value[1:], "asc"))
+                        got = True
+                    else:
+                        break
+                if not got:
+                    raise SparqlSyntaxError("ORDER BY needs ?vars")
+            elif self._at("KW", "LIMIT"):
+                self._next()
+                t = self._expect("NUM")
+                limit = int(t.value)
+            else:
+                break
+        if aggs and not group_by and select is not None:
+            # pure-aggregate SELECT: every projection must be an agg
+            non_agg = [s for s in select
+                       if s not in {a for _, a in aggs}]
+            if non_agg:
+                raise SparqlSyntaxError(
+                    f"non-aggregated ?{non_agg[0]} in SELECT requires "
+                    "GROUP BY"
+                )
+        if group_by and select is not None:
+            alias_set = {a for _, a in aggs}
+            for s in select:
+                if s not in alias_set and s not in group_by:
+                    raise SparqlSyntaxError(
+                        f"?{s} in SELECT is neither grouped nor "
+                        "aggregated"
+                    )
+        return KGQuery(
+            where=tuple(where),
+            union=tuple(union),
+            optional=tuple(optional),
+            minus=tuple(minus),
+            filters=tuple(filters),
+            values=values,
+            group_by=tuple(group_by),
+            aggs=tuple(aggs),
+            select=tuple(select) if select is not None else None,
+            distinct=distinct,
+            order_by=tuple(order_by),
+            limit=limit,
+        )
+
+    def _group_body(self):
+        """Parse ``{ ... }`` at the WHERE level: triples/paths,
+        OPTIONAL/MINUS groups, one UNION chain, FILTER, VALUES."""
+        self._expect("PUNCT", "{")
+        where: list = []
+        union: list = []
+        optional: list = []
+        minus: list = []
+        filters: list = []
+        values = None
+        while not self._at("PUNCT", "}"):
+            if self._at("KW", "OPTIONAL"):
+                self._next()
+                optional.append(tuple(self._braced_triples()))
+            elif self._at("KW", "MINUS"):
+                self._next()
+                minus.append(tuple(self._braced_triples()))
+            elif self._at("KW", "FILTER"):
+                self._next()
+                filters.append(self._filter_expr())
+            elif self._at("KW", "VALUES"):
+                if values is not None:
+                    raise SparqlSyntaxError(
+                        "only one VALUES block per query is supported"
+                    )
+                self._next()
+                values = self._values_block()
+            elif self._at("PUNCT", "{"):
+                # a braced subgroup: must be a UNION chain
+                branches = [tuple(self._braced_triples())]
+                while self._at("KW", "UNION"):
+                    self._next()
+                    branches.append(tuple(self._braced_triples()))
+                if len(branches) < 2:
+                    raise SparqlSyntaxError(
+                        "braced subgroup without UNION — inline its "
+                        "triples in the WHERE block instead"
+                    )
+                if union:
+                    raise SparqlSyntaxError(
+                        "the composer plans one UNION chain per query; "
+                        "merge the branches or split the query"
+                    )
+                union = branches
+            else:
+                where.extend(self._triple_block(allow_paths=True))
+        self._expect("PUNCT", "}")
+        if not where and not union:
+            raise SparqlSyntaxError("WHERE block binds no patterns")
+        return where, union, optional, minus, filters, values
+
+    def _braced_triples(self) -> list:
+        self._expect("PUNCT", "{")
+        items: list = []
+        while not self._at("PUNCT", "}"):
+            items.extend(self._triple_block(allow_paths=True))
+        self._expect("PUNCT", "}")
+        if not items:
+            raise SparqlSyntaxError("empty pattern group")
+        return items
+
+    # -- triples and paths ------------------------------------------
+    def _term(self) -> str:
+        t = self._next()
+        if t.kind == "VAR":
+            return t.value
+        if t.kind in ("WORD", "STRING", "NUM"):
+            return t.value
+        raise SparqlSyntaxError(
+            f"expected a term at offset {t.pos}, got {t.value!r}"
+        )
+
+    def _triple_block(self, allow_paths: bool) -> list:
+        """One subject with ``;``/``,`` lists, terminated by ``.`` (the
+        final ``.`` before ``}`` is optional, as in SPARQL)."""
+        items: list = []
+        subj = self._term()
+        while True:
+            pred_ast, is_plain = self._path(allow_paths)
+            while True:
+                obj = self._term()
+                if is_plain:
+                    items.append((subj, pred_ast[1], obj))
+                else:
+                    items.append(Path(subj, pred_ast, obj))
+                if self._at("PUNCT", ","):
+                    self._next()
+                    continue
+                break
+            if self._at("PUNCT", ";"):
+                self._next()
+                if self._at("PUNCT", ".") or self._at("PUNCT", "}"):
+                    break  # trailing ';' tolerated
+                continue
+            break
+        if self._at("PUNCT", "."):
+            self._next()
+        return items
+
+    def _path(self, allow_paths: bool):
+        """Parse predicate position. Returns (ast, is_plain) where
+        is_plain means a bare predicate (compiles to a triple pattern
+        scan, not a path relation)."""
+        start = self.i
+        ast = self._path_alt()
+        used_ops = any(
+            t.kind == "PUNCT" and t.value in "/|^+*?"
+            for t in self.toks[start:self.i]
+        )
+        if ast[0] == "pred" and not used_ops:
+            return ast, True
+        if not allow_paths:
+            raise SparqlSyntaxError(
+                "property paths are not allowed in CONSTRUCT templates"
+            )
+        return ast, False
+
+    def _path_alt(self):
+        parts = [self._path_seq()]
+        while self._at("PUNCT", "|"):
+            self._next()
+            parts.append(self._path_seq())
+        return parts[0] if len(parts) == 1 else ("alt", *parts)
+
+    def _path_seq(self):
+        parts = [self._path_unary()]
+        while self._at("PUNCT", "/"):
+            self._next()
+            parts.append(self._path_unary())
+        return parts[0] if len(parts) == 1 else ("seq", *parts)
+
+    def _path_unary(self):
+        if self._at("PUNCT", "^"):
+            self._next()
+            return ("inv", self._path_unary())
+        if self._at("PUNCT", "("):
+            self._next()
+            inner = self._path_alt()
+            self._expect("PUNCT", ")")
+            ast = inner
+        else:
+            t = self._next()
+            if t.kind == "VAR":
+                raise SparqlSyntaxError(
+                    f"variable predicate ?{t.value[1:]} is not in the "
+                    "supported subset (offset {})".format(t.pos)
+                )
+            if t.kind not in ("WORD", "STRING"):
+                raise SparqlSyntaxError(
+                    f"expected a predicate at offset {t.pos}, got "
+                    f"{t.value!r}"
+                )
+            ast = ("pred", t.value)
+        while True:
+            if self._at("PUNCT", "+"):
+                self._next()
+                ast = ("plus", ast)
+            elif self._at("PUNCT", "?"):
+                self._next()
+                ast = ("opt", ast)
+            elif self._at("PUNCT", "*"):
+                self._next()
+                ast = ("opt", ("plus", ast))
+            else:
+                return ast
+
+    # -- FILTER / VALUES / aggregate expressions ---------------------
+    def _sql_of_tokens(self, toks: list[_Tok]) -> str:
+        out: list[str] = []
+        for k, t in enumerate(toks):
+            if t.kind == "VAR":
+                out.append(t.value[1:])
+            elif t.kind == "STRING":
+                out.append("'" + t.value.replace("'", "''") + "'")
+            elif t.kind == "PUNCT" and t.value == "&&":
+                out.append("AND")
+            elif t.kind == "PUNCT" and t.value == "||":
+                out.append("OR")
+            elif t.kind == "PUNCT" and t.value == "!":
+                out.append("NOT")
+            elif t.kind == "WORD" and t.value.lower() in _FN_MAP:
+                nxt = toks[k + 1] if k + 1 < len(toks) else None
+                if nxt is not None and nxt.kind == "PUNCT" and nxt.value == "(":
+                    out.append(_FN_MAP[t.value.lower()])
+                else:
+                    out.append(t.value)
+            elif t.kind == "KW":
+                out.append(t.value)
+            else:
+                out.append(t.value)
+        # tight function-call spacing: "f (" -> "f(" is unnecessary for
+        # F.expr; plain space-join parses fine.
+        return " ".join(out)
+
+    def _balanced_paren_tokens(self) -> list[_Tok]:
+        self._expect("PUNCT", "(")
+        depth = 1
+        taken: list[_Tok] = []
+        while depth:
+            t = self._next()
+            if t.kind == "PUNCT" and t.value == "(":
+                depth += 1
+            elif t.kind == "PUNCT" and t.value == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            taken.append(t)
+        return taken
+
+    def _filter_expr(self) -> str:
+        toks = self._balanced_paren_tokens()
+        if not toks:
+            raise SparqlSyntaxError("empty FILTER expression")
+        return self._sql_of_tokens(toks)
+
+    def _agg_projection(self) -> tuple[str, str]:
+        toks = self._balanced_paren_tokens()
+        # split on the top-level AS
+        depth = 0
+        as_idx = None
+        for k, t in enumerate(toks):
+            if t.kind == "PUNCT" and t.value == "(":
+                depth += 1
+            elif t.kind == "PUNCT" and t.value == ")":
+                depth -= 1
+            elif depth == 0 and t.kind == "KW" and t.value == "AS":
+                as_idx = k
+        if as_idx is None or as_idx + 1 >= len(toks):
+            raise SparqlSyntaxError(
+                "aggregate projection needs (expr AS ?alias)"
+            )
+        alias_tok = toks[as_idx + 1]
+        if alias_tok.kind != "VAR" or as_idx + 2 != len(toks):
+            raise SparqlSyntaxError(
+                "aggregate alias must be a single ?var"
+            )
+        expr = self._sql_of_tokens(toks[:as_idx])
+        if not expr:
+            raise SparqlSyntaxError("empty aggregate expression")
+        return expr, alias_tok.value[1:]
+
+    def _values_block(self):
+        if self._at("VAR"):
+            cols = (self._next().value[1:],)
+            self._expect("PUNCT", "{")
+            rows = []
+            while not self._at("PUNCT", "}"):
+                rows.append((self._term(),))
+            self._next()
+            return cols, tuple(rows)
+        self._expect("PUNCT", "(")
+        cols = []
+        while self._at("VAR"):
+            cols.append(self._next().value[1:])
+        self._expect("PUNCT", ")")
+        if not cols:
+            raise SparqlSyntaxError("VALUES needs at least one ?var")
+        self._expect("PUNCT", "{")
+        rows = []
+        while not self._at("PUNCT", "}"):
+            self._expect("PUNCT", "(")
+            row = []
+            while not self._at("PUNCT", ")"):
+                row.append(self._term())
+            self._next()
+            if len(row) != len(cols):
+                raise SparqlSyntaxError(
+                    f"VALUES row arity {len(row)} != {len(cols)} vars "
+                    "(UNDEF is not supported)"
+                )
+            rows.append(tuple(row))
+        self._next()
+        return tuple(cols), tuple(rows)
+
+
+def parse(text: str) -> ParsedQuery:
+    """Parse SPARQL-subset text into a :class:`ParsedQuery` (the
+    logical :class:`composer.KGQuery` plus CONSTRUCT templates)."""
+    return _Parser(text).parse()
+
+
+def sparql(
+    triples: DataFrame,
+    text: str,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    allow_cartesian: bool = False,
+    max_closure_rows: int | None = None,
+) -> DataFrame:
+    """Parse and execute ``text`` against ``triples`` — the one-call
+    text surface over :func:`composer.compose` /
+    :func:`composer.compose_construct`."""
+    from . import paths as _paths
+
+    cap = (
+        max_closure_rows
+        if max_closure_rows is not None
+        else _paths.DEFAULT_MAX_CLOSURE_ROWS
+    )
+    pq = parse(text)
+    if pq.form == "construct":
+        return compose_construct(
+            triples, pq.query, pq.heads, subj=subj, pred=pred, obj=obj,
+            allow_cartesian=allow_cartesian, max_closure_rows=cap,
+        )
+    return compose(
+        triples, pq.query, subj=subj, pred=pred, obj=obj,
+        allow_cartesian=allow_cartesian, max_closure_rows=cap,
+    )

@@ -1,0 +1,302 @@
+"""SPARQL text front-end (operators/sparql.py): the parser maps the
+supported SPARQL 1.1 subset onto composer.KGQuery, so every test is
+either (a) an AST-shape check or (b) an execution-parity check
+against the hand-built KGQuery the text should compile to — the
+execution semantics themselves are the composer's, already covered
+by tests/test_composer.py."""
+
+import pytest
+
+from gliner_transbronchialbiopsy_spark.operators import composer, sparql
+from gliner_transbronchialbiopsy_spark.operators.composer import KGQuery, Path
+from gliner_transbronchialbiopsy_spark.operators.sparql import (
+    SparqlSyntaxError,
+    parse,
+)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    rows = []
+    for d, eng, ops, nouns in [
+        ("d1", "spark", ["join", "filter"], ["table"]),
+        ("d2", "hash", ["join"], ["row"]),
+        ("d3", "spark", ["sort"], ["table", "row"]),
+        ("d4", "vector", ["join", "sort"], []),
+        ("d5", "hash", ["filter"], ["column"]),
+    ]:
+        rows.append((d, "engine", eng))
+        rows += [(d, "exec_op", o) for o in ops]
+        rows += [(d, "data_noun", n) for n in nouns]
+    surfaces = {(o, p) for _, p, o in rows}
+    rows += [(s, "a", lbl) for s, lbl in surfaces]
+    rows += [
+        ("engine", "subclass_of", "system"),
+        ("system", "subclass_of", "kg_term"),
+        ("exec_op", "subclass_of", "operation"),
+        ("operation", "subclass_of", "kg_term"),
+        ("data_noun", "subclass_of", "artifact"),
+        ("artifact", "subclass_of", "kg_term"),
+    ]
+    return rows
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------- AST
+
+
+def test_parse_bgp_modifiers_ast():
+    pq = parse(
+        """
+        SELECT DISTINCT ?doc ?eng WHERE {
+          ?doc engine ?eng .
+          ?doc exec_op "join" .
+          OPTIONAL { ?doc data_noun ?n }
+          MINUS { ?doc data_noun table }
+          FILTER (?eng != "vector" && strlen(?eng) > 3)
+          VALUES ?eng { spark hash }
+        }
+        ORDER BY ?doc DESC(?eng) LIMIT 7
+        """
+    )
+    assert pq.form == "select"
+    q = pq.query
+    assert q.where == (("?doc", "engine", "?eng"), ("?doc", "exec_op", "join"))
+    assert q.optional == ((("?doc", "data_noun", "?n"),),)
+    assert q.minus == ((("?doc", "data_noun", "table"),),)
+    assert q.filters == ("eng != 'vector' AND length ( eng ) > 3",)
+    assert q.values == (("eng",), (("spark",), ("hash",)))
+    assert q.select == ("doc", "eng")
+    assert q.distinct is True
+    assert q.order_by == (("doc", "asc"), ("eng", "desc"))
+    assert q.limit == 7
+
+
+def test_parse_path_ast_and_semicolon_lists():
+    pq = parse(
+        "SELECT * WHERE { ?d (engine|exec_op)/a/subclass_of+ ?c ; "
+        "engine ?e , ?e2 . }"
+    )
+    q = pq.query
+    assert q.where[0] == Path(
+        "?d",
+        (
+            "seq",
+            ("alt", ("pred", "engine"), ("pred", "exec_op")),
+            ("pred", "a"),
+            ("plus", ("pred", "subclass_of")),
+        ),
+        "?c",
+    )
+    # ';' reuses the subject, ',' reuses subject+predicate
+    assert q.where[1] == ("?d", "engine", "?e")
+    assert q.where[2] == ("?d", "engine", "?e2")
+    assert q.select is None
+
+
+def test_parse_star_inverse_ground_path():
+    pq = parse('SELECT ?x WHERE { ?x ^(subclass_of*) "kg_term" . }')
+    assert pq.query.where == (
+        Path("?x", ("inv", ("opt", ("plus", ("pred", "subclass_of")))),
+             "kg_term"),
+    )
+
+
+def test_parse_union_values_tuple_aggs():
+    pq = parse(
+        """
+        SELECT ?eng (count(DISTINCT ?doc) AS ?n) WHERE {
+          { ?doc engine ?eng } UNION { ?doc exec_op ?eng }
+          VALUES (?doc ?eng) { (d1 spark) (d2 join) }
+        }
+        GROUP BY ?eng
+        """
+    )
+    q = pq.query
+    assert q.where == ()
+    assert q.union == (
+        (("?doc", "engine", "?eng"),),
+        (("?doc", "exec_op", "?eng"),),
+    )
+    assert q.values == (("doc", "eng"), (("d1", "spark"), ("d2", "join")))
+    assert q.group_by == ("eng",)
+    assert q.aggs == (("count ( DISTINCT doc )", "n"),)
+    assert q.select == ("eng", "n")
+
+
+def test_parse_construct_ast():
+    pq = parse(
+        "CONSTRUCT { ?d has_system ?e . ?e part_of kb } "
+        "WHERE { ?d engine ?e . FILTER(?e = \"spark\") }"
+    )
+    assert pq.form == "construct"
+    assert pq.heads == (
+        ("?d", "has_system", "?e"),
+        ("?e", "part_of", "kb"),
+    )
+    assert pq.query.filters == ("e = 'spark'",)
+
+
+@pytest.mark.parametrize(
+    "text, msg",
+    [
+        ("PREFIX x: <http://x> SELECT ?a WHERE { ?a b ?c }", "subset"),
+        ("SELECT ?a WHERE { ?a ?p ?c }", "variable predicate"),
+        (
+            "SELECT ?a WHERE { { ?a b ?c } UNION { ?a d ?c } "
+            "{ ?a e ?c } UNION { ?a f ?c } }",
+            "one UNION chain",
+        ),
+        ("SELECT ?a WHERE { ?a b ?c } trailing", "trailing input"),
+        (
+            "SELECT ?a WHERE { ?a b ?c VALUES (?a ?c) { (x) } }",
+            "arity",
+        ),
+        ("SELECT (count(*) AS ?n) ?a WHERE { ?a b ?c }", "GROUP BY"),
+        ("SELECT ?a WHERE { }", "binds no patterns"),
+        ("CONSTRUCT { ?a b+ ?c } WHERE { ?a b ?c }", "CONSTRUCT templates"),
+    ],
+)
+def test_parse_errors(text, msg):
+    with pytest.raises(SparqlSyntaxError, match=msg):
+        parse(text)
+
+
+# ------------------------------------------------------------- parity
+
+
+def test_exec_parity_bgp_modifiers(spark, kg):
+    t = _triples(spark, kg)
+    got = sparql.sparql(
+        t,
+        """
+        SELECT DISTINCT ?doc ?eng WHERE {
+          ?doc engine ?eng . ?doc exec_op join .
+          OPTIONAL { ?doc data_noun ?noun }
+          MINUS { ?doc data_noun table }
+          FILTER (?eng != "vector")
+          VALUES ?eng { spark hash }
+        }
+        """,
+    )
+    want = composer.compose(
+        t,
+        KGQuery(
+            where=(("?doc", "engine", "?eng"), ("?doc", "exec_op", "join")),
+            optional=((("?doc", "data_noun", "?noun"),),),
+            minus=((("?doc", "data_noun", "table"),),),
+            filters=("eng != 'vector'",),
+            values=(("eng",), (("spark",), ("hash",))),
+            select=("doc", "eng"),
+            distinct=True,
+        ),
+    )
+    assert got.columns == want.columns
+    assert _rowset(got) == _rowset(want)
+    assert _rowset(got)  # non-vacuous
+
+
+def test_exec_parity_path_union_agg(spark, kg):
+    t = _triples(spark, kg)
+    got = sparql.sparql(
+        t,
+        """
+        SELECT ?cls (count(DISTINCT ?doc) AS ?n_docs) WHERE {
+          { ?doc engine ?s } UNION { ?doc exec_op ?s }
+          ?s a/subclass_of+ ?cls .
+        }
+        GROUP BY ?cls
+        ORDER BY DESC(?n_docs) ?cls
+        """,
+    )
+    want = composer.compose(
+        t,
+        KGQuery(
+            where=(
+                Path(
+                    "?s",
+                    ("seq", ("pred", "a"), ("plus", ("pred", "subclass_of"))),
+                    "?cls",
+                ),
+            ),
+            union=(
+                (("?doc", "engine", "?s"),),
+                (("?doc", "exec_op", "?s"),),
+            ),
+            group_by=("cls",),
+            aggs=(("count(DISTINCT doc)", "n_docs"),),
+            select=("cls", "n_docs"),
+            order_by=(("n_docs", "desc"), ("cls", "asc")),
+        ),
+    )
+    assert got.columns == ["cls", "n_docs"]
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    assert got.count() > 0
+
+
+def test_exec_parity_ground_path_limit(spark, kg):
+    t = _triples(spark, kg)
+    got = sparql.sparql(
+        t,
+        'SELECT ?x WHERE { ?x a/subclass_of* "kg_term" . } '
+        "ORDER BY ?x LIMIT 3",
+    )
+    want = composer.compose(
+        t,
+        KGQuery(
+            where=(
+                Path(
+                    "?x",
+                    (
+                        "seq",
+                        ("pred", "a"),
+                        ("opt", ("plus", ("pred", "subclass_of"))),
+                    ),
+                    "kg_term",
+                ),
+            ),
+            select=("x",),
+            order_by=(("x", "asc"),),
+            limit=3,
+        ),
+    )
+    assert _rowset(got) == _rowset(want)
+    assert got.count() == 3
+
+
+def test_exec_parity_construct(spark, kg):
+    t = _triples(spark, kg)
+    got = sparql.sparql(
+        t,
+        "CONSTRUCT { ?doc has_system ?eng . ?eng part_of kb } "
+        "WHERE { ?doc engine ?eng . MINUS { ?doc exec_op sort } }",
+    )
+    want = composer.compose_construct(
+        t,
+        KGQuery(
+            where=(("?doc", "engine", "?eng"),),
+            minus=((("?doc", "exec_op", "sort"),),),
+        ),
+        heads=(("?doc", "has_system", "?eng"), ("?eng", "part_of", "kb")),
+    )
+    assert got.columns == ["subj", "pred", "obj"]
+    assert _rowset(got) == _rowset(want)
+    assert _rowset(got)
+
+
+def test_pure_aggregate_no_group(spark, kg):
+    t = _triples(spark, kg)
+    got = sparql.sparql(
+        t,
+        "SELECT (count(*) AS ?n) WHERE { ?d engine ?e . }",
+    )
+    assert [tuple(r) for r in got.collect()] == [(5,)]
