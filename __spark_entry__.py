@@ -2213,6 +2213,38 @@ def q_kg_composed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return composer.compose(triples, q)
 
 
+def q_kg_sparql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPARQL TEXT front-end (operators/sparql.py) end-to-end: the
+    query below is parsed into a composer.KGQuery and planned as one
+    DataFrame tree — no hand-wired glue anywhere between text and
+    plan. The block combination is one no other contract query
+    composes: a UNION chain (engine|exec_op bindings, bag-unioned per
+    SPARQL), a property path with a transitive tail (a/subclass_of+),
+    a FILTER, GROUP BY aggregates (count(*) counts bag solutions,
+    count(DISTINCT doc) collapses them), and ORDER BY + LIMIT over a
+    total order (n_docs desc, cls — cls is unique per group, so the
+    cut is engine-portable). The DuckDB oracle restates each block:
+    UNION ALL of set-semantic branches, recursive closure for the
+    path tail, the same aggregate/order/limit tail."""
+    from gliner_transbronchialbiopsy_spark.operators import sparql as _sparql
+
+    t = _kg_extended_graph(spark, sf_dir)
+    return _sparql.sparql(
+        t,
+        """
+        SELECT ?cls (count(DISTINCT ?doc) AS ?n_docs)
+               (count(*) AS ?n_bindings) WHERE {
+          { ?doc engine ?s } UNION { ?doc exec_op ?s }
+          ?s a/subclass_of+ ?cls .
+          FILTER (?cls != "kg_term")
+        }
+        GROUP BY ?cls
+        ORDER BY DESC(?n_docs) ?cls
+        LIMIT 10
+        """,
+    )
+
+
 def _driver_rotation_order(names: list[str]) -> list[str]:
     """Deterministic driver-set rotation (round-4 VERDICT #2): the
     driver's CORRECTNESS artifact has capped at the FIRST 50 entries
@@ -2408,6 +2440,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_composed_query": q_kg_composed_query,
         "kg_composed_agg": q_kg_composed_agg,
         "kg_composed_construct": q_kg_composed_construct,
+        "kg_sparql_query": q_kg_sparql_query,
         "passage_dedup": q_passage_dedup,
     }
 
@@ -4811,6 +4844,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN v USING (eng)
             WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.doc = p1.doc)
               AND pe.dst <> 'kg_term'
+        """.format(kw_values=kw_values, subclass_values=_SUBCLASS_VALUES_SQL),
+        "kg_sparql_query": f"""
+            WITH RECURSIVE t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            -- UNION chain: bag union of two set-semantic branches
+            b AS (
+              SELECT * FROM (SELECT DISTINCT subj AS doc, obj AS s
+                             FROM t WHERE pred = 'engine')
+              UNION ALL
+              SELECT * FROM (SELECT DISTINCT subj AS doc, obj AS s
+                             FROM t WHERE pred = 'exec_op')
+            ),
+            -- path block: a / subclass_of+  (type link, then 1+ hops)
+            ty AS (SELECT DISTINCT obj AS src, pred AS dst FROM t),
+            sc(sub, sup) AS (VALUES {{subclass_values}}),
+            cl AS (
+              SELECT sub, sup FROM sc
+              UNION
+              SELECT cl.sub, sc.sup FROM cl JOIN sc ON cl.sup = sc.sub
+            ),
+            pe AS (
+              SELECT DISTINCT ty.src, cl.sup AS dst
+              FROM ty JOIN cl ON cl.sub = ty.dst
+            ),
+            sol AS (
+              SELECT b.doc, b.s, pe.dst AS cls
+              FROM b JOIN pe ON pe.src = b.s
+              WHERE pe.dst <> 'kg_term'
+            )
+            SELECT cls,
+                   count(DISTINCT doc) AS n_docs,
+                   count(*) AS n_bindings
+            FROM sol
+            GROUP BY cls
+            ORDER BY n_docs DESC, cls
+            LIMIT 10
         """.format(kw_values=kw_values, subclass_values=_SUBCLASS_VALUES_SQL),
         "kg_composed_construct": f"""
             WITH t AS MATERIALIZED (
