@@ -249,6 +249,19 @@ AUDIT = {
     # composed aggregates: two pred-pruned scans of the checkpointed
     # triples, one left join, one partial+final aggregate pair
     "kg_composed_agg": ("Scan ExistingRDD", "HashAggregate", "!InPandas"),
+    # SPARQL text front-end (round-5): the parsed query plans
+    # identically to a hand-built KGQuery — one pipeline over the
+    # checkpointed extended graph, hash joins only, partial+final
+    # aggregates, ORDER BY + LIMIT fused into TakeOrderedAndProject,
+    # zero Python anywhere (parsing happens on the driver before the
+    # plan exists)
+    "kg_sparql_query": (
+        "Scan ExistingRDD",
+        "HashAggregate",
+        "TakeOrderedAndProject",
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+    ),
 }
 
 
