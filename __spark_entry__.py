@@ -2245,6 +2245,79 @@ def q_kg_sparql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK through the text front-end (operators/sparql.py):
+    existence is a PLAN property, not a collect — the parsed body
+    compiles with LIMIT 1, so Spark stops the corpus-scale scan at
+    the first solution and the single boolean row is an aggregate
+    over at most one binding. The body composes a UNION chain with a
+    join atom and a FILTER, so the ask path exercises the same
+    composer machinery as SELECT. Oracle: the same existence test as
+    count(*) > 0 over a LIMIT 1 subquery."""
+    from gliner_transbronchialbiopsy_spark.operators import sparql as _sparql
+
+    t = q_kg_triples(spark, sf_dir)
+    return _sparql.sparql(
+        t,
+        """
+        ASK {
+          { ?d engine "spark" } UNION { ?d engine "hash" }
+          ?d exec_op ?op .
+          FILTER (?op != "join")
+        }
+        """,
+    )
+
+
+def q_kg_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL-lite property entailment (operators/owl.py): the schema is
+    DATA, not code — an ontology triple table (subPropertyOf chain
+    runs<=touches<=involves, runs inverseOf run_by, colinked declared
+    Symmetric AND Transitive) compiles to rules run to the joint
+    semi-naive fixpoint, the OWL 2 RL property rules prp-spo1/inv/
+    symp/trp. The base graph is three CONSTRUCT derivations whose
+    bodies join the corpus-scale KG but whose extensions are
+    vocabulary-sized (engines x ops, nouns x ops, ops x ops), so the
+    entailed graph stays schema-bounded at any SF while every rule
+    body scales with the corpus. Returns inferred triples only; the
+    oracle restates the sub-property/inverse axioms as projections
+    and the symmetric-transitive colinked closure as a recursive CTE
+    (the base is symmetric by construction, so its transitive closure
+    IS the joint fixpoint), then subtracts the base with EXCEPT."""
+    from gliner_transbronchialbiopsy_spark.operators import owl, rules
+
+    t = q_kg_triples(spark, sf_dir)
+    runs = rules.construct(
+        t,
+        [("?d", "engine", "?e"), ("?d", "exec_op", "?op")],
+        [("?e", "runs", "?op")],
+    )
+    feeds = rules.construct(
+        t,
+        [("?d", "data_noun", "?n"), ("?d", "exec_op", "?op")],
+        [("?n", "feeds", "?op")],
+    )
+    colinked = rules.construct(
+        t,
+        [("?d", "exec_op", "?a"), ("?d", "exec_op", "?b")],
+        [("?a", "colinked", "?b")],
+    ).filter(F.col("subj") != F.col("obj"))
+    base = runs.unionByName(feeds).unionByName(colinked)
+    onto = spark.createDataFrame(
+        [
+            ("runs", "subPropertyOf", "touches"),
+            ("feeds", "subPropertyOf", "touches"),
+            ("touches", "subPropertyOf", "involves"),
+            ("runs", "inverseOf", "run_by"),
+            ("colinked", "a", "SymmetricProperty"),
+            ("colinked", "a", "TransitiveProperty"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = owl.owl_lite_entail(base, onto)
+    return out.filter(F.col("inferred")).select("subj", "pred", "obj")
+
+
 def _driver_rotation_order(names: list[str]) -> list[str]:
     """Deterministic driver-set rotation (round-4 VERDICT #2): the
     driver's CORRECTNESS artifact has capped at the FIRST 50 entries
@@ -2442,6 +2515,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_composed_construct": q_kg_composed_construct,
         "kg_sparql_query": q_kg_sparql_query,
         "passage_dedup": q_passage_dedup,
+        "kg_sparql_ask": q_kg_sparql_ask,
+        "kg_owl_entail": q_kg_owl_entail,
     }
 
 
@@ -5255,4 +5330,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS n_nearby_errors, count(*) AS n_purchases
             FROM cnt GROUP BY n
         """,
+        "kg_sparql_ask": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            sol AS (
+              SELECT 1 FROM t e JOIN t o ON e.subj = o.subj
+              WHERE e.pred = 'engine' AND e.obj IN ('spark', 'hash')
+                AND o.pred = 'exec_op' AND o.obj <> 'join'
+              LIMIT 1
+            )
+            SELECT count(*) > 0 AS ask FROM sol
+        """.format(kw_values=kw_values),
+        "kg_owl_entail": f"""
+            WITH RECURSIVE t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            eng AS MATERIALIZED (
+              SELECT DISTINCT subj AS d, obj AS e FROM t
+              WHERE pred = 'engine'),
+            op AS MATERIALIZED (
+              SELECT DISTINCT subj AS d, obj AS o FROM t
+              WHERE pred = 'exec_op'),
+            noun AS MATERIALIZED (
+              SELECT DISTINCT subj AS d, obj AS n FROM t
+              WHERE pred = 'data_noun'),
+            runs AS MATERIALIZED (
+              SELECT DISTINCT eng.e AS s, op.o AS ob
+              FROM eng JOIN op ON eng.d = op.d),
+            feeds AS MATERIALIZED (
+              SELECT DISTINCT noun.n AS s, op.o AS ob
+              FROM noun JOIN op ON noun.d = op.d),
+            col0 AS MATERIALIZED (
+              SELECT DISTINCT o1.o AS a, o2.o AS b
+              FROM op o1 JOIN op o2 ON o1.d = o2.d
+              WHERE o1.o <> o2.o),
+            -- col0 is symmetric by construction, so its plain
+            -- transitive closure equals the joint symmetric+transitive
+            -- fixpoint (incl. self-pairs via 2-cycles)
+            colc AS (
+              SELECT a, b FROM col0
+              UNION
+              SELECT colc.a, col0.b FROM colc JOIN col0 ON colc.b = col0.a
+            ),
+            touches AS (
+              SELECT s, ob FROM runs UNION SELECT s, ob FROM feeds),
+            base AS (
+              SELECT s AS subj, 'runs' AS pred, ob AS obj FROM runs
+              UNION ALL
+              SELECT s, 'feeds', ob FROM feeds
+              UNION ALL
+              SELECT a, 'colinked', b FROM col0
+            ),
+            closure AS (
+              SELECT s AS subj, 'touches' AS pred, ob AS obj FROM touches
+              UNION
+              SELECT s, 'involves', ob FROM touches
+              UNION
+              SELECT ob, 'run_by', s FROM runs
+              UNION
+              SELECT a, 'colinked', b FROM colc
+            )
+            SELECT subj, pred, obj FROM closure
+            EXCEPT
+            SELECT subj, pred, obj FROM base
+        """.format(kw_values=kw_values),
     }

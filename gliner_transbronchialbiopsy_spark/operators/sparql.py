@@ -14,8 +14,10 @@ caps) without restating any of them — the parser owns ONLY syntax.
 
 Supported subset (everything the composer can plan):
 
-- ``SELECT [DISTINCT] ?v ... | * | (expr AS ?alias)`` and
-  ``CONSTRUCT { template } WHERE { ... }``
+- ``SELECT [DISTINCT] ?v ... | * | (expr AS ?alias)``,
+  ``CONSTRUCT { template } WHERE { ... }`` and
+  ``ASK [WHERE] { ... }`` (one boolean ``ask`` row; the body plan is
+  LIMIT 1 — Spark stops the scan at the first solution)
 - triple blocks with ``;`` predicate-object lists and ``,`` object
   lists; terms are ``?vars``, bare words (``[A-Za-z_][\\w:#-]*``) or
   double-quoted literals
@@ -44,6 +46,7 @@ import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .composer import KGQuery, Path, compose, compose_construct
 
@@ -63,12 +66,12 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "SELECT", "CONSTRUCT", "WHERE", "OPTIONAL", "MINUS", "UNION",
     "FILTER", "VALUES", "GROUP", "ORDER", "BY", "ASC", "DESC",
-    "LIMIT", "DISTINCT", "AS",
+    "LIMIT", "DISTINCT", "AS", "ASK",
 }
 
 _UNSUPPORTED_WORDS = {
     "PREFIX", "BASE", "BIND", "EXISTS", "GRAPH", "SERVICE",
-    "ASK", "DESCRIBE", "INSERT", "DELETE", "OFFSET", "HAVING",
+    "DESCRIBE", "INSERT", "DELETE", "OFFSET", "HAVING",
 }
 
 #: SPARQL builtin -> Spark SQL function, applied inside expressions.
@@ -81,7 +84,7 @@ class ParsedQuery:
     """Result of :func:`parse`: the query form, the composed logical
     query, and (for CONSTRUCT) the head templates."""
 
-    form: str  # "select" | "construct"
+    form: str  # "select" | "construct" | "ask"
     query: KGQuery
     heads: tuple | None = None
 
@@ -166,10 +169,12 @@ class _Parser:
             pq = self._select_query()
         elif self._at("KW", "CONSTRUCT"):
             pq = self._construct_query()
+        elif self._at("KW", "ASK"):
+            pq = self._ask_query()
         else:
             t = self._peek()
             raise SparqlSyntaxError(
-                f"query must start with SELECT or CONSTRUCT, got "
+                f"query must start with SELECT, CONSTRUCT or ASK, got "
                 f"{t.value!r}" if t else "empty query"
             )
         if self._peek() is not None:
@@ -222,6 +227,31 @@ class _Parser:
                 "/ LIMIT are not supported on the WHERE body"
             )
         return ParsedQuery("construct", body, tuple(heads))
+
+    def _ask_query(self) -> ParsedQuery:
+        self._expect("KW", "ASK")
+        if self._at("KW", "WHERE"):  # ASK { } and ASK WHERE { } both legal
+            self._next()
+        where, union, optional, minus, filters, values = self._group_body()
+        # solution modifiers are SELECT-form syntax; any GROUP/ORDER/
+        # LIMIT after the group falls through to parse()'s trailing-
+        # input error, matching the SPARQL grammar (AskQuery has no
+        # SolutionModifier in this subset). limit=1 is the PLAN: an
+        # existence check needs one solution, so Spark can stop the
+        # scan at the first match instead of enumerating all bindings.
+        return ParsedQuery(
+            "ask",
+            KGQuery(
+                where=tuple(where),
+                union=tuple(union),
+                optional=tuple(optional),
+                minus=tuple(minus),
+                filters=tuple(filters),
+                values=values,
+                select=None,
+                limit=1,
+            ),
+        )
 
     # -- WHERE group + solution modifiers ---------------------------
     def _where_and_mods(self, distinct: bool, select, aggs) -> KGQuery:
@@ -601,7 +631,12 @@ def sparql(
             triples, pq.query, pq.heads, subj=subj, pred=pred, obj=obj,
             allow_cartesian=allow_cartesian, max_closure_rows=cap,
         )
-    return compose(
+    sol = compose(
         triples, pq.query, subj=subj, pred=pred, obj=obj,
         allow_cartesian=allow_cartesian, max_closure_rows=cap,
     )
+    if pq.form == "ask":
+        # the composed plan is LIMIT 1, so this count scans at most one
+        # solution; count over 0/1 rows -> exactly one boolean row.
+        return sol.agg((F.count(F.lit(1)) > 0).alias("ask"))
+    return sol

@@ -300,3 +300,46 @@ def test_pure_aggregate_no_group(spark, kg):
         "SELECT (count(*) AS ?n) WHERE { ?d engine ?e . }",
     )
     assert [tuple(r) for r in got.collect()] == [(5,)]
+
+
+# ----------------------------------------------------------------- ASK
+
+
+def test_parse_ask_ast():
+    for text in ("ASK { ?d engine ?e }", "ASK WHERE { ?d engine ?e }"):
+        pq = parse(text)
+        assert pq.form == "ask"
+        assert pq.query == KGQuery(
+            where=(("?d", "engine", "?e"),), select=None, limit=1
+        )
+
+
+def test_exec_ask_true_false(spark, kg):
+    t = _triples(spark, kg)
+    yes = sparql.sparql(
+        t,
+        'ASK { ?d engine ?e . ?d exec_op "join" FILTER (?e = "spark") }',
+    )
+    assert [r["ask"] for r in yes.collect()] == [True]
+    no = sparql.sparql(t, 'ASK WHERE { ?d engine "duck" }')
+    assert [r["ask"] for r in no.collect()] == [False]
+
+
+def test_exec_ask_with_path(spark, kg):
+    t = _triples(spark, kg)
+    got = sparql.sparql(t, 'ASK { ?s a/subclass_of+ "kg_term" }')
+    assert [r["ask"] for r in got.collect()] == [True]
+
+
+@pytest.mark.parametrize(
+    "text, msg",
+    [
+        ("ASK { ?d engine ?e } LIMIT 3", "trailing input"),
+        ("ASK { ?d engine ?e } ORDER BY ?d", "trailing input"),
+        ("ASK { }", "binds no patterns"),
+        ("ASK ?d { ?d engine ?e }", "expected { "),
+    ],
+)
+def test_parse_ask_errors(text, msg):
+    with pytest.raises(SparqlSyntaxError, match=msg):
+        parse(text)
