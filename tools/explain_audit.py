@@ -262,6 +262,22 @@ AUDIT = {
         "!BroadcastNestedLoopJoin",
         "!InPandas",
     ),
+    # SPARQL ASK (round-5): existence is a PLAN property — the body
+    # compiles with LIMIT 1, so LocalLimit/GlobalLimit sit BELOW the
+    # boolean count aggregate and Spark stops the scan at the first
+    # solution; joins are hash joins, zero Python
+    "kg_sparql_ask": (
+        "LocalLimit",
+        "GlobalLimit",
+        "HashAggregate",
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+    ),
+    # OWL-lite entailment (round-5): the joint semi-naive fixpoint runs
+    # behind per-round localCheckpoints, so the visible plan of the
+    # inferred-triples output is ONLY the checkpointed delta RDDs —
+    # compiled axiom rules never stack into one mega-plan; zero Python
+    "kg_owl_entail": ("Scan ExistingRDD", "!InPandas"),
 }
 
 
