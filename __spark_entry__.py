@@ -2269,6 +2269,52 @@ def q_kg_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE through the text front-end
+    (composer.compose_describe): the WHERE group binds ?op to every
+    exec_op co-mentioned with engine "spark"; the description is the
+    subject-oriented concise bounded description — all triples whose
+    SUBJECT is a described node — over the extended graph (so each
+    op's type link ('join', a, exec_op) is what comes back; doc
+    subjects never qualify). One distinct node projection + one
+    left_semi join; the oracle restates exactly that."""
+    from gliner_transbronchialbiopsy_spark.operators import sparql as _sparql
+
+    t = _kg_extended_graph(spark, sf_dir)
+    return _sparql.sparql(
+        t,
+        """
+        DESCRIBE ?op WHERE { ?d engine "spark" . ?d exec_op ?op }
+        """,
+    )
+
+
+def q_kg_sparql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SELECT solution-modifier tail through the text
+    front-end: GROUP BY + HAVING (one constraint restating a declared
+    aggregate — alias reuse — and one inline aggregate the parser
+    rewrites to a hidden agg column) + ORDER BY over a total order +
+    OFFSET/LIMIT slice. The hidden HAVING aggregate (count(DISTINCT
+    ?d)) must not appear in the output schema. Oracle: the same
+    GROUP BY/HAVING/ORDER/OFFSET tail in DuckDB."""
+    from gliner_transbronchialbiopsy_spark.operators import sparql as _sparql
+
+    t = q_kg_triples(spark, sf_dir)
+    return _sparql.sparql(
+        t,
+        """
+        SELECT ?op (count(*) AS ?n_mentions) WHERE {
+          ?d engine ?e .
+          ?d exec_op ?op .
+        }
+        GROUP BY ?op
+        HAVING (count(*) > 10) (count(DISTINCT ?d) > 5)
+        ORDER BY DESC(?n_mentions) ?op
+        OFFSET 1 LIMIT 5
+        """,
+    )
+
+
 def q_kg_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL-lite property entailment (operators/owl.py): the schema is
     DATA, not code — an ontology triple table (subPropertyOf chain
@@ -2517,6 +2563,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": q_passage_dedup,
         "kg_sparql_ask": q_kg_sparql_ask,
         "kg_owl_entail": q_kg_owl_entail,
+        "kg_sparql_describe": q_kg_sparql_describe,
+        "kg_sparql_having": q_kg_sparql_having,
     }
 
 
@@ -5406,5 +5454,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, pred, obj FROM closure
             EXCEPT
             SELECT subj, pred, obj FROM base
+        """.format(kw_values=kw_values),
+        "kg_sparql_describe": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            -- the extended graph: triples + type links + the demo
+            -- subclass ontology (same view the Spark side queries)
+            ext AS (
+              SELECT subj, pred, obj FROM t
+              UNION
+              SELECT DISTINCT obj AS subj, 'a' AS pred, pred AS obj FROM t
+              UNION
+              SELECT sub AS subj, 'subclass_of' AS pred, sup AS obj
+              FROM (VALUES {{subclass_values}}) sc(sub, sup)
+            ),
+            nodes AS (
+              SELECT DISTINCT o.obj AS node
+              FROM t e JOIN t o ON e.subj = o.subj
+              WHERE e.pred = 'engine' AND e.obj = 'spark'
+                AND o.pred = 'exec_op'
+            )
+            SELECT DISTINCT ext.subj, ext.pred, ext.obj
+            FROM ext JOIN nodes ON ext.subj = nodes.node
+        """.format(
+            kw_values=kw_values, subclass_values=_SUBCLASS_VALUES_SQL
+        ),
+        "kg_sparql_having": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            e AS (SELECT DISTINCT subj AS d, obj AS eng FROM t
+                  WHERE pred = 'engine'),
+            o AS (SELECT DISTINCT subj AS d, obj AS op FROM t
+                  WHERE pred = 'exec_op')
+            SELECT op, count(*) AS n_mentions
+            FROM e JOIN o USING (d)
+            GROUP BY op
+            HAVING count(*) > 10 AND count(DISTINCT d) > 5
+            ORDER BY n_mentions DESC, op
+            OFFSET 1 LIMIT 5
         """.format(kw_values=kw_values),
     }

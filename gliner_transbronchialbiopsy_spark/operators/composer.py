@@ -70,12 +70,18 @@ class KGQuery:
     ``union`` branches, bag-unioned then joined with ``where`` on the
     shared variables) -> ``optional`` left joins -> ``minus``
     anti-joins -> ``values`` -> ``filters`` -> GROUP BY aggregates ->
-    ``select`` projection -> ``distinct`` -> ``order_by`` -> ``limit``.
+    ``having`` group filters -> ``select`` projection -> ``distinct``
+    -> ``order_by`` -> ``offset`` -> ``limit``.
 
     ``aggs`` entries are ``(sql_expr, alias)`` over the variable
     columns, e.g. ``("count(DISTINCT doc)", "n_docs")``; with a
     non-empty ``group_by`` or ``aggs`` the result is the aggregated
-    relation (one row per group)."""
+    relation (one row per group). ``having`` entries are SQL exprs
+    over the POST-aggregation columns (group vars and agg aliases) —
+    the SPARQL text front-end rewrites raw-aggregate HAVING
+    constraints into hidden agg aliases before they reach here, and
+    ``select`` (applied after ``having``) projects the hidden columns
+    away."""
 
     where: tuple = ()
     union: tuple = ()
@@ -85,9 +91,11 @@ class KGQuery:
     values: tuple | None = None
     group_by: tuple = ()
     aggs: tuple = ()
+    having: tuple = ()
     select: tuple | None = None
     distinct: bool = False
     order_by: tuple = ()
+    offset: int | None = None
     limit: int | None = None
 
 
@@ -286,6 +294,11 @@ def compose(
             if q.group_by
             else acc.agg(*aggs)
         )
+    if q.having:
+        if not (q.group_by or q.aggs):
+            raise ValueError("having without group_by/aggs: use filters")
+        for h in q.having:
+            acc = acc.filter(F.expr(h))
     if q.select is not None:
         acc = acc.select(*q.select)
     if q.distinct:
@@ -300,6 +313,9 @@ def compose(
             else:
                 cols.append(F.col(o).asc())
         acc = acc.orderBy(*cols)
+    if q.offset is not None:
+        # SQL/SPARQL slice semantics: skip offset rows, THEN take limit
+        acc = acc.offset(q.offset)
     if q.limit is not None:
         acc = acc.limit(q.limit)
     return acc
@@ -329,10 +345,13 @@ def compose_construct(
     template variables from raw solutions."""
     from . import rules as _rules
 
-    if q.group_by or q.aggs or q.select is not None or q.limit is not None:
+    if (
+        q.group_by or q.aggs or q.having or q.select is not None
+        or q.limit is not None or q.offset is not None
+    ):
         raise ValueError(
-            "CONSTRUCT takes raw solutions: strip group_by/aggs/"
-            "select/limit from the query"
+            "CONSTRUCT takes raw solutions: strip group_by/aggs/having/"
+            "select/offset/limit from the query"
         )
     for h in heads:
         if len(h) != 3:
@@ -350,4 +369,82 @@ def compose_construct(
         F.col("subj").isNotNull()
         & F.col("pred").isNotNull()
         & F.col("obj").isNotNull()
+    ).distinct()
+
+
+def compose_describe(
+    triples: DataFrame,
+    q: KGQuery | None,
+    targets: Sequence[str],
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    allow_cartesian: bool = False,
+    max_closure_rows: int = _paths.DEFAULT_MAX_CLOSURE_ROWS,
+) -> DataFrame:
+    """SPARQL DESCRIBE over a composed WHERE: return the sub-graph
+    describing each target resource. DESCRIBE's output form is
+    implementation-defined by the SPARQL spec; this engine uses the
+    most common convention, the subject-oriented concise bounded
+    description — every triple whose SUBJECT is a described resource
+    (one level, no blank-node recursion: the engine's graphs have no
+    blank nodes). ``targets`` mixes ``'?var'`` terms (resolved
+    against the WHERE solutions) and ground terms (described
+    directly); ``q`` may be None when every target is ground.
+
+    Distributed shape: the resolved node set is one distinct
+    projection of the solution relation; the description is a single
+    left_semi join of the triple store against it (solution-sized
+    build side, AQE picks broadcast when it fits), then the
+    graph-level distinct. Solution modifiers are rejected — a
+    DESCRIBE result is a set-semantic graph, so ordering or slicing
+    the underlying bindings would change WHICH nodes get described
+    in a nondeterministic way."""
+    if not targets:
+        raise ValueError("DESCRIBE needs at least one target")
+    t = triples.select(
+        F.col(subj).alias("subj"),
+        F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"),
+    )
+    vars_ = [x[1:] for x in targets if _bgp._is_var(x)]
+    consts = [x for x in targets if not _bgp._is_var(x)]
+    node_sets: list[DataFrame] = []
+    if vars_:
+        if q is None or not (q.where or q.union):
+            raise ValueError("DESCRIBE ?var needs a WHERE group")
+        if (
+            q.group_by or q.aggs or q.having or q.select is not None
+            or q.distinct or q.order_by
+            or q.limit is not None or q.offset is not None
+        ):
+            raise ValueError(
+                "DESCRIBE takes raw solutions: strip group_by/aggs/"
+                "having/select/distinct/order_by/offset/limit"
+            )
+        sols = compose(
+            triples, q, subj=subj, pred=pred, obj=obj,
+            allow_cartesian=allow_cartesian,
+            max_closure_rows=max_closure_rows,
+        )
+        missing = sorted(set(vars_) - set(sols.columns))
+        if missing:
+            raise ValueError(
+                f"DESCRIBE variables not bound by the query: {missing}"
+            )
+        for v in vars_:
+            node_sets.append(sols.select(F.col(v).alias("node")))
+    if consts:
+        node_sets.append(
+            triples.sparkSession.createDataFrame(
+                [(c,) for c in consts], "node string"
+            )
+        )
+    nodes = node_sets[0]
+    for n in node_sets[1:]:
+        nodes = nodes.unionByName(n)
+    return t.join(
+        nodes.filter(F.col("node").isNotNull()).distinct(),
+        t["subj"] == F.col("node"),
+        "left_semi",
     ).distinct()

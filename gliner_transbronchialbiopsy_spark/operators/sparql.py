@@ -15,9 +15,12 @@ caps) without restating any of them — the parser owns ONLY syntax.
 Supported subset (everything the composer can plan):
 
 - ``SELECT [DISTINCT] ?v ... | * | (expr AS ?alias)``,
-  ``CONSTRUCT { template } WHERE { ... }`` and
+  ``CONSTRUCT { template } WHERE { ... }``,
   ``ASK [WHERE] { ... }`` (one boolean ``ask`` row; the body plan is
-  LIMIT 1 — Spark stops the scan at the first solution)
+  LIMIT 1 — Spark stops the scan at the first solution) and
+  ``DESCRIBE ?v ... term ... [WHERE { ... }]`` (subject-oriented
+  concise bounded description: every triple whose subject is a
+  described resource — see composer.compose_describe)
 - triple blocks with ``;`` predicate-object lists and ``,`` object
   lists; terms are ``?vars``, bare words (``[A-Za-z_][\\w:#-]*``) or
   double-quoted literals
@@ -26,7 +29,9 @@ Supported subset (everything the composer can plan):
 - ``OPTIONAL { ... }``, ``MINUS { ... }``, one
   ``{ ... } UNION { ... }`` chain, ``FILTER (expr)``,
   ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }``
-- ``GROUP BY``, ``ORDER BY [ASC|DESC(?v)]``, ``LIMIT``
+- ``GROUP BY``, ``HAVING (constraint) ...`` (inline aggregates are
+  rewritten to hidden agg aliases filtered after the aggregation),
+  ``ORDER BY [ASC|DESC(?v)]``, ``OFFSET``, ``LIMIT``
 
 FILTER / aggregate expressions are translated token-wise to Spark SQL
 (``?var`` -> column, ``&&``/``||``/``!`` -> AND/OR/NOT, double- ->
@@ -48,7 +53,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .composer import KGQuery, Path, compose, compose_construct
+from .composer import (
+    KGQuery,
+    Path,
+    compose,
+    compose_construct,
+    compose_describe,
+)
 
 _TOKEN_RE = re.compile(
     r"""
@@ -66,13 +77,17 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "SELECT", "CONSTRUCT", "WHERE", "OPTIONAL", "MINUS", "UNION",
     "FILTER", "VALUES", "GROUP", "ORDER", "BY", "ASC", "DESC",
-    "LIMIT", "DISTINCT", "AS", "ASK",
+    "LIMIT", "DISTINCT", "AS", "ASK", "DESCRIBE", "HAVING", "OFFSET",
 }
 
 _UNSUPPORTED_WORDS = {
     "PREFIX", "BASE", "BIND", "EXISTS", "GRAPH", "SERVICE",
-    "DESCRIBE", "INSERT", "DELETE", "OFFSET", "HAVING",
+    "INSERT", "DELETE",
 }
+
+#: aggregate function heads recognized inside HAVING constraints —
+#: each call is rewritten to a hidden agg alias (see _having_expr)
+_AGG_FNS = {"count", "sum", "min", "max", "avg"}
 
 #: SPARQL builtin -> Spark SQL function, applied inside expressions.
 _FN_MAP = {"regex": "regexp_like", "strlen": "length",
@@ -84,9 +99,10 @@ class ParsedQuery:
     """Result of :func:`parse`: the query form, the composed logical
     query, and (for CONSTRUCT) the head templates."""
 
-    form: str  # "select" | "construct" | "ask"
+    form: str  # "select" | "construct" | "ask" | "describe"
     query: KGQuery
     heads: tuple | None = None
+    targets: tuple | None = None  # DESCRIBE resources (?vars / terms)
 
 
 class SparqlSyntaxError(ValueError):
@@ -171,11 +187,13 @@ class _Parser:
             pq = self._construct_query()
         elif self._at("KW", "ASK"):
             pq = self._ask_query()
+        elif self._at("KW", "DESCRIBE"):
+            pq = self._describe_query()
         else:
             t = self._peek()
             raise SparqlSyntaxError(
-                f"query must start with SELECT, CONSTRUCT or ASK, got "
-                f"{t.value!r}" if t else "empty query"
+                f"query must start with SELECT, CONSTRUCT, ASK or "
+                f"DESCRIBE, got {t.value!r}" if t else "empty query"
             )
         if self._peek() is not None:
             t = self._peek()
@@ -228,6 +246,44 @@ class _Parser:
             )
         return ParsedQuery("construct", body, tuple(heads))
 
+    def _describe_query(self) -> ParsedQuery:
+        self._expect("KW", "DESCRIBE")
+        targets: list[str] = []
+        while True:
+            if self._at("VAR"):
+                targets.append(self._next().value)
+            elif self._at("WORD") or self._at("STRING") or self._at("NUM"):
+                targets.append(self._next().value)
+            else:
+                break
+        if not targets:
+            raise SparqlSyntaxError("DESCRIBE needs ?vars or ground terms")
+        q = KGQuery()
+        if self._at("KW", "WHERE") or self._at("PUNCT", "{"):
+            if self._at("KW", "WHERE"):
+                self._next()
+            where, union, optional, minus, filters, values = (
+                self._group_body()
+            )
+            q = KGQuery(
+                where=tuple(where),
+                union=tuple(union),
+                optional=tuple(optional),
+                minus=tuple(minus),
+                filters=tuple(filters),
+                values=values,
+                select=None,
+            )
+        if any(t.startswith("?") for t in targets) and not (
+            q.where or q.union
+        ):
+            raise SparqlSyntaxError("DESCRIBE ?var needs a WHERE group")
+        # solution modifiers after the group fall through to parse()'s
+        # trailing-input error — a DESCRIBE result is a set-semantic
+        # graph, so slicing the bindings would nondeterministically
+        # change WHICH nodes get described (composer docstring).
+        return ParsedQuery("describe", q, targets=tuple(targets))
+
     def _ask_query(self) -> ParsedQuery:
         self._expect("KW", "ASK")
         if self._at("KW", "WHERE"):  # ASK { } and ASK WHERE { } both legal
@@ -259,9 +315,23 @@ class _Parser:
         where, union, optional, minus, filters, values = self._group_body()
         group_by: list[str] = []
         order_by: list = []
+        having: list[str] = []
+        agg_list: list[tuple] = list(aggs)
         limit: int | None = None
+        offset: int | None = None
         while self._peek() is not None:
-            if self._at("KW", "GROUP"):
+            if self._at("KW", "HAVING"):
+                self._next()
+                got = False
+                while self._at("PUNCT", "("):
+                    having.append(self._having_expr(agg_list))
+                    got = True
+                if not got:
+                    raise SparqlSyntaxError("HAVING needs (expr) groups")
+            elif self._at("KW", "OFFSET"):
+                self._next()
+                offset = int(self._expect("NUM").value)
+            elif self._at("KW", "GROUP"):
                 self._next()
                 self._expect("KW", "BY")
                 while self._at("VAR"):
@@ -293,17 +363,26 @@ class _Parser:
                 limit = int(t.value)
             else:
                 break
-        if aggs and not group_by and select is not None:
+        if having and not group_by and not agg_list:
+            raise SparqlSyntaxError(
+                "HAVING requires GROUP BY or aggregates (use FILTER "
+                "for per-solution constraints)"
+            )
+        if (group_by or having) and select is None:
+            raise SparqlSyntaxError(
+                "SELECT * cannot be grouped: project ?vars explicitly"
+            )
+        if agg_list and not group_by and select is not None:
             # pure-aggregate SELECT: every projection must be an agg
             non_agg = [s for s in select
-                       if s not in {a for _, a in aggs}]
+                       if s not in {a for _, a in agg_list}]
             if non_agg:
                 raise SparqlSyntaxError(
                     f"non-aggregated ?{non_agg[0]} in SELECT requires "
                     "GROUP BY"
                 )
         if group_by and select is not None:
-            alias_set = {a for _, a in aggs}
+            alias_set = {a for _, a in agg_list}
             for s in select:
                 if s not in alias_set and s not in group_by:
                     raise SparqlSyntaxError(
@@ -318,10 +397,12 @@ class _Parser:
             filters=tuple(filters),
             values=values,
             group_by=tuple(group_by),
-            aggs=tuple(aggs),
+            aggs=tuple(agg_list),
+            having=tuple(having),
             select=tuple(select) if select is not None else None,
             distinct=distinct,
             order_by=tuple(order_by),
+            offset=offset,
             limit=limit,
         )
 
@@ -540,6 +621,58 @@ class _Parser:
             raise SparqlSyntaxError("empty FILTER expression")
         return self._sql_of_tokens(toks)
 
+    def _having_expr(self, agg_list: list) -> str:
+        """One parenthesized HAVING constraint. SPARQL HAVING states
+        aggregates inline (``HAVING (count(*) > 2)``) but a DataFrame
+        filter runs AFTER the aggregation, so each aggregate call is
+        rewritten to a hidden agg alias appended to ``agg_list`` (the
+        composer applies ``having`` before the SELECT projection, so
+        hidden columns never reach the output). A call textually
+        identical to a declared SELECT aggregate reuses its alias —
+        no duplicate aggregate columns."""
+        toks = self._balanced_paren_tokens()
+        if not toks:
+            raise SparqlSyntaxError("empty HAVING expression")
+        out: list[str] = []
+        k = 0
+        while k < len(toks):
+            t = toks[k]
+            if (
+                t.kind == "WORD"
+                and t.value.lower() in _AGG_FNS
+                and k + 1 < len(toks)
+                and toks[k + 1].kind == "PUNCT"
+                and toks[k + 1].value == "("
+            ):
+                depth = 0
+                j = k + 1
+                while True:
+                    tt = toks[j]
+                    if tt.kind == "PUNCT" and tt.value == "(":
+                        depth += 1
+                    elif tt.kind == "PUNCT" and tt.value == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                    if j >= len(toks):
+                        raise SparqlSyntaxError(
+                            "unbalanced parens in HAVING aggregate"
+                        )
+                call_sql = self._sql_of_tokens(toks[k:j + 1])
+                alias = next(
+                    (a for e, a in agg_list if e == call_sql), None
+                )
+                if alias is None:
+                    alias = f"_hv{len(agg_list)}"
+                    agg_list.append((call_sql, alias))
+                out.append(alias)
+                k = j + 1
+            else:
+                out.append(self._sql_of_tokens([t]))
+                k += 1
+        return " ".join(out)
+
     def _agg_projection(self) -> tuple[str, str]:
         toks = self._balanced_paren_tokens()
         # split on the top-level AS
@@ -630,6 +763,12 @@ def sparql(
         return compose_construct(
             triples, pq.query, pq.heads, subj=subj, pred=pred, obj=obj,
             allow_cartesian=allow_cartesian, max_closure_rows=cap,
+        )
+    if pq.form == "describe":
+        return compose_describe(
+            triples, pq.query, pq.targets, subj=subj, pred=pred,
+            obj=obj, allow_cartesian=allow_cartesian,
+            max_closure_rows=cap,
         )
     sol = compose(
         triples, pq.query, subj=subj, pred=pred, obj=obj,

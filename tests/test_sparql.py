@@ -343,3 +343,106 @@ def test_exec_ask_with_path(spark, kg):
 def test_parse_ask_errors(text, msg):
     with pytest.raises(SparqlSyntaxError, match=msg):
         parse(text)
+
+
+# --------------------------------------- DESCRIBE / HAVING / OFFSET
+
+
+def test_parse_describe_ast():
+    pq = parse('DESCRIBE ?e d9 WHERE { ?d engine ?e }')
+    assert pq.form == "describe"
+    assert pq.targets == ("?e", "d9")
+    assert pq.query.where == (("?d", "engine", "?e"),)
+    ground = parse("DESCRIBE d9")
+    assert ground.targets == ("d9",) and ground.query == KGQuery()
+
+
+def test_exec_describe(spark, kg):
+    t = _triples(spark, kg)
+    # ?e binds engines of docs running "join": spark, hash, vector —
+    # description = all triples whose SUBJECT is one of those nodes
+    got = sparql.sparql(
+        t, 'DESCRIBE ?e WHERE { ?d engine ?e . ?d exec_op "join" }'
+    )
+    want = sorted(
+        (s, p, o)
+        for (s, p, o) in set(kg)
+        if s in {"spark", "hash", "vector"}
+    )
+    assert _rowset(got) == want
+    # ground + var mix unions the node sets
+    got2 = sparql.sparql(t, 'DESCRIBE ?e d1 WHERE { ?d engine ?e }')
+    want2 = sorted(
+        (s, p, o)
+        for (s, p, o) in set(kg)
+        if s in {"spark", "hash", "vector", "d1"}
+    )
+    assert _rowset(got2) == want2
+
+
+def test_exec_having_hidden_agg(spark, kg):
+    t = _triples(spark, kg)
+    got = sparql.sparql(
+        t,
+        """
+        SELECT ?op (count(*) AS ?n) WHERE { ?d exec_op ?op }
+        GROUP BY ?op HAVING (count(*) >= 2)
+        """,
+    )
+    # join x3, filter x2, sort x2 — hidden alias reused from ?n, no
+    # _hv column in the output
+    assert got.columns == ["op", "n"]
+    assert _rowset(got) == [("filter", 2), ("join", 3), ("sort", 2)]
+    # HAVING with an aggregate NOT declared in SELECT: hidden agg
+    got2 = sparql.sparql(
+        t,
+        """
+        SELECT ?op WHERE { ?d exec_op ?op }
+        GROUP BY ?op HAVING (count(DISTINCT ?d) > 2)
+        """,
+    )
+    assert got2.columns == ["op"]
+    assert _rowset(got2) == [("join",)]
+
+
+def test_exec_offset_limit_slice(spark, kg):
+    t = _triples(spark, kg)
+    base = 'SELECT ?op (count(*) AS ?n) WHERE { ?d exec_op ?op } ' \
+           'GROUP BY ?op ORDER BY DESC(?n) ?op'
+    full = [tuple(r) for r in sparql.sparql(t, base).collect()]
+    sliced = [
+        tuple(r)
+        for r in sparql.sparql(t, base + " OFFSET 1 LIMIT 2").collect()
+    ]
+    assert sliced == full[1:3]
+
+
+@pytest.mark.parametrize(
+    "text, msg",
+    [
+        ("DESCRIBE ?e", "needs a WHERE group"),
+        ("DESCRIBE WHERE { ?d engine ?e }", "ground terms"),
+        ("DESCRIBE ?e WHERE { ?d engine ?e } LIMIT 2", "trailing input"),
+        (
+            "SELECT ?e WHERE { ?d engine ?e } HAVING (count(*) > 1)",
+            "requires GROUP BY",
+        ),
+        (
+            "SELECT ?e WHERE { ?d engine ?e } GROUP BY ?e HAVING ?e",
+            "needs .expr. groups",
+        ),
+        (
+            "SELECT * WHERE { ?d engine ?e } GROUP BY ?e",
+            "project .vars explicitly",
+        ),
+    ],
+)
+def test_parse_describe_having_errors(text, msg):
+    with pytest.raises(SparqlSyntaxError, match=msg):
+        parse(text)
+
+
+def test_describe_unbound_var_raises(spark, kg):
+    t = _triples(spark, kg)
+    with pytest.raises(ValueError, match="not bound"):
+        sparql.sparql(t, 'DESCRIBE ?x WHERE { ?d engine ?e }')
