@@ -1936,6 +1936,26 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.hits, Kleinberg 1999)
+    over the directed part->supplier graph: 3 synchronous iterations
+    of the integer L1-normalized recurrence — every intermediate is a
+    fixed-point long, so the oracle's chained CTEs (one pair per
+    iteration) are bit-identical and the top-25 cut is total-ordered
+    (auth desc, hub desc, node). Parts are pure hubs and suppliers
+    pure authorities on this bipartite graph, which makes the two
+    score columns independently meaningful."""
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    rel = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    out = graph.hits(rel, iterations=3)
+    return out.orderBy(
+        F.desc("auth_fp"), F.desc("hub_fp"), F.col("node").asc()
+    ).limit(25)
+
+
 def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot KG diff (operators/kgvalidate.triple_diff):
     the 'old' build extracted docs with doc_id % 7 != 0, the 'new'
@@ -2565,6 +2585,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_owl_entail": q_kg_owl_entail,
         "kg_sparql_describe": q_kg_sparql_describe,
         "kg_sparql_having": q_kg_sparql_having,
+        "graph_hits": q_graph_hits,
     }
 
 
@@ -2827,6 +2848,68 @@ def _pagerank_sql(iterations: int = 5) -> str:
 
 
 _PAGERANK_SQL = _pagerank_sql(5)
+
+
+def _hits_sql(iterations: int = 3) -> str:
+    """DuckDB restatement of graph.hits over the part->supplier
+    graph: the same integer L1-normalized recurrence, one CTE pair
+    (authority then hub) per iteration; DuckDB's `//` and Spark's
+    `div` agree on the non-negative longs involved."""
+    # every CTE that is referenced more than once MUST be AS
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
+    # HITS round reads its raw table twice (L1 total + normalize), so
+    # un-materialized chains re-evaluate the whole prefix 2x per
+    # round — measured exponential at sf0.1 (the recursive-CTE
+    # footgun's non-recursive sibling).
+    head = r"""
+        WITH ed AS MATERIALIZED (
+          SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS src,
+                 's:' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM lineitem),
+        nodes AS MATERIALIZED (
+          SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        h0 AS MATERIALIZED (
+          SELECT node, CAST(1000000000 AS BIGINT) // nn.n AS hub
+          FROM nodes, nn)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+        a{i}raw AS MATERIALIZED (
+          SELECT n.node, CAST(coalesce(s.c, 0) AS BIGINT) AS raw
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(h.hub) AS c
+            FROM ed e JOIN h{i - 1} h ON h.node = e.src
+            GROUP BY e.dst) s ON s.node = n.node),
+        a{i}t AS (SELECT sum(raw) AS tot FROM a{i}raw),
+        a{i} AS MATERIALIZED (
+          SELECT node,
+                 CASE WHEN t.tot > 0
+                      THEN (raw * CAST(1000000000 AS BIGINT)) // t.tot
+                      ELSE 0 END AS auth
+          FROM a{i}raw, a{i}t t),
+        h{i}raw AS MATERIALIZED (
+          SELECT n.node, CAST(coalesce(s.c, 0) AS BIGINT) AS raw
+          FROM nodes n LEFT JOIN (
+            SELECT e.src AS node, sum(a.auth) AS c
+            FROM ed e JOIN a{i} a ON a.node = e.dst
+            GROUP BY e.src) s ON s.node = n.node),
+        h{i}t AS (SELECT sum(raw) AS tot FROM h{i}raw),
+        h{i} AS MATERIALIZED (
+          SELECT node,
+                 CASE WHEN t.tot > 0
+                      THEN (raw * CAST(1000000000 AS BIGINT)) // t.tot
+                      ELSE 0 END AS hub
+          FROM h{i}raw, h{i}t t)""")
+    tail = f"""
+        SELECT h.node, h.hub AS hub_fp, a.auth AS auth_fp
+        FROM h{iterations} h JOIN a{iterations} a USING (node)
+        ORDER BY auth_fp DESC, hub_fp DESC, node ASC LIMIT 25
+    """
+    return head + "," + ",".join(steps) + tail
+
+
+_HITS_SQL = _hits_sql(3)
 
 
 def _ppr_sql(iterations: int = 5) -> str:
@@ -5507,4 +5590,5 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_mentions DESC, op
             OFFSET 1 LIMIT 5
         """.format(kw_values=kw_values),
+        "graph_hits": _HITS_SQL,
     }

@@ -145,6 +145,94 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = SCALE,
+) -> DataFrame:
+    """HITS hubs and authorities (Kleinberg, JACM 46(5), 1999) over
+    the directed simple graph -> (node, hub_fp, auth_fp) after a
+    fixed number of synchronous iterations: auth(y) = sum of hub(x)
+    over in-edges x->y, then hub(x) = sum of auth(y) over out-edges,
+    each side renormalized per round.
+
+    Kleinberg normalizes by the L2 norm; a square root is
+    irrational, so this implementation uses L1 normalization
+    (score * scale div total) to keep every intermediate an exact
+    fixed-point long — same ranking (normalization only rescales
+    within an iteration), bit-identical at any parallelism, and
+    restatable as chained integer CTEs by the DuckDB oracle. Initial
+    hub mass is scale div n so the round-1 sums stay within long
+    range (raw <= scale, raw * scale <= 1e18).
+
+    Distributed shape: parallel edges collapse once up front (set
+    semantics — HITS is defined on the adjacency structure); each
+    half-round is one equi-join of the edge relation against the
+    current score table plus a partial-combined sum; the L1 total
+    re-enters as a broadcast one-row cross join (never a driver
+    collect); both score tables end each round in a localCheckpoint
+    (O(1) plan depth, the pagerank discipline)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    ew = loop_ckpt(
+        edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        ).distinct()
+    )
+    nodes = loop_ckpt(
+        ew.select(F.col("_src").alias("node"))
+        .union(ew.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # one bounded scalar: sizes the initial mass
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub_fp"),
+            F.lit(0).cast("long").alias("auth_fp"),
+        )
+    hub = nodes.select(
+        "node", F.lit(scale // n).cast("long").alias("hub_fp")
+    )
+    auth = None
+
+    def _l1_normalize(raw: DataFrame, col: str) -> DataFrame:
+        tot = raw.agg(F.sum("_raw").alias("_tot"))
+        return loop_ckpt(
+            raw.crossJoin(F.broadcast(tot)).select(
+                "node",
+                F.when(F.col("_tot") > 0, F.expr("_raw * CAST("
+                       f"{scale} AS BIGINT) div _tot"))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias(col),
+            )
+        )
+
+    for _ in range(iterations):
+        araw = (
+            ew.join(hub, ew["_src"] == hub["node"])
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum("hub_fp").alias("_s"))
+        )
+        araw = nodes.join(araw, "node", "left").select(
+            "node", F.coalesce("_s", F.lit(0)).cast("long").alias("_raw")
+        )
+        auth = _l1_normalize(araw, "auth_fp")
+        hraw = (
+            ew.join(auth, ew["_dst"] == auth["node"])
+            .groupBy(F.col("_src").alias("node"))
+            .agg(F.sum("auth_fp").alias("_s"))
+        )
+        hraw = nodes.join(hraw, "node", "left").select(
+            "node", F.coalesce("_s", F.lit(0)).cast("long").alias("_raw")
+        )
+        hub = _l1_normalize(hraw, "hub_fp")
+    return hub.join(auth, "node")
+
+
 def pagerank_edges_from(
     df: DataFrame, src: str, dst: str, symmetric: bool = False
 ) -> DataFrame:

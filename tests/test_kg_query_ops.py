@@ -935,3 +935,61 @@ def test_clustering_metrics_ignores_items_missing_from_gold(spark):
     r = kgeval.clustering_metrics(pred, gold).collect()[0]
     # z drops out of the evaluated universe; {a,b} agreed
     assert (r["n_items"], r["n_pred_pairs"], r["n_both"]) == (2, 1, 1)
+
+
+def test_hits_parity_and_determinism(spark):
+    """graph.hits vs a pure-python restatement of the same integer
+    recurrence on a seeded random digraph, plus exact equality at two
+    parallelism levels (the fixed-point arithmetic is the determinism
+    guarantee)."""
+    import random
+
+    from gliner_transbronchialbiopsy_spark.operators import graph as g
+
+    rng = random.Random(77)
+    nodes = [f"n{i}" for i in range(12)]
+    edges = sorted({
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(40)
+    })
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    def py_hits(es, k, scale=g.SCALE):
+        ns = sorted({x for e in es for x in e})
+        n = len(ns)
+        hub = {x: scale // n for x in ns}
+        auth = {}
+        for _ in range(k):
+            raw = {x: 0 for x in ns}
+            for s, d in es:
+                raw[d] += hub[s]
+            tot = sum(raw.values())
+            auth = {x: (raw[x] * scale) // tot if tot else 0 for x in ns}
+            raw = {x: 0 for x in ns}
+            for s, d in es:
+                raw[s] += auth[d]
+            tot = sum(raw.values())
+            hub = {x: (raw[x] * scale) // tot if tot else 0 for x in ns}
+        return {x: (hub[x], auth[x]) for x in ns}
+
+    want = py_hits(edges, 3)
+    got = {
+        r["node"]: (r["hub_fp"], r["auth_fp"])
+        for r in g.hits(df, iterations=3).collect()
+    }
+    assert got == want
+    got1 = {
+        r["node"]: (r["hub_fp"], r["auth_fp"])
+        for r in g.hits(df.repartition(1), iterations=3).collect()
+    }
+    assert got1 == want
+    # a pure source never accumulates authority; a pure sink no hub
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    rows = {r["node"]: r for r in g.hits(chain, iterations=2).collect()}
+    assert rows["a"]["auth_fp"] == 0 and rows["c"]["hub_fp"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iterations"):
+        g.hits(df, iterations=0)
