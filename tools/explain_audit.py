@@ -273,6 +273,24 @@ AUDIT = {
         "!BroadcastNestedLoopJoin",
         "!InPandas",
     ),
+    # SPARQL DESCRIBE (round-5): the description is ONE left_semi join
+    # of the triple store against the distinct described-node set —
+    # never a nested loop, zero Python
+    "kg_sparql_describe": (
+        "LeftSemi",
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+    ),
+    # SPARQL HAVING + OFFSET (round-5): inline HAVING aggregates become
+    # hidden agg columns (filtered post-agg, projected away — never a
+    # second aggregation pass or a window), and ORDER BY + OFFSET +
+    # LIMIT fuse into one TakeOrderedAndProject (no global sort)
+    "kg_sparql_having": (
+        "HashAggregate",
+        "TakeOrderedAndProject",
+        "!Window",
+        "!InPandas",
+    ),
     # OWL-lite entailment (round-5): the joint semi-naive fixpoint runs
     # behind per-round localCheckpoints, so the visible plan of the
     # inferred-triples output is ONLY the checkpointed delta RDDs —
