@@ -2335,6 +2335,37 @@ def q_kg_sparql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sparql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER EXISTS / NOT EXISTS / BIND through the text front-end:
+    correlated existence compiles to semi/anti joins on the shared
+    variable (?d), BIND derives a fresh column that a later FILTER
+    consumes (the SPARQL assignment-then-constrain idiom), and the
+    aggregate tail runs over the filtered solutions. NOT EXISTS here
+    is correlated — the documented DIVERGENT disjoint-domain case
+    (MINUS removes nothing, NOT EXISTS removes everything) is pytest
+    territory (test_minus_vs_not_exists_disjoint_divergence); this
+    query keeps the oracle-checked surface on the join-compiled
+    path. Oracle: EXISTS/NOT EXISTS subqueries + the same string
+    expression inline."""
+    from gliner_transbronchialbiopsy_spark.operators import sparql as _sparql
+
+    t = q_kg_triples(spark, sf_dir)
+    return _sparql.sparql(
+        t,
+        """
+        SELECT ?e (count(DISTINCT ?d) AS ?n_docs) WHERE {
+          ?d engine ?e .
+          FILTER EXISTS { ?d exec_op "join" }
+          FILTER NOT EXISTS { ?d data_noun "stream" }
+          BIND (concat("eng:", ?e) AS ?tag)
+          FILTER (strlen(?tag) > 8)
+        }
+        GROUP BY ?e
+        ORDER BY DESC(?n_docs) ?e
+        """,
+    )
+
+
 def q_kg_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL-lite property entailment (operators/owl.py): the schema is
     DATA, not code — an ontology triple table (subPropertyOf chain
@@ -2586,6 +2617,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_describe": q_kg_sparql_describe,
         "kg_sparql_having": q_kg_sparql_having,
         "graph_hits": q_graph_hits,
+        "kg_sparql_exists": q_kg_sparql_exists,
     }
 
 
@@ -5591,4 +5623,27 @@ def oracle_sql() -> dict[str, str]:
             OFFSET 1 LIMIT 5
         """.format(kw_values=kw_values),
         "graph_hits": _HITS_SQL,
+        "kg_sparql_exists": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            e AS (SELECT DISTINCT subj AS d, obj AS e FROM t
+                  WHERE pred = 'engine'),
+            j AS (SELECT DISTINCT subj AS d FROM t
+                  WHERE pred = 'exec_op' AND obj = 'join'),
+            s AS (SELECT DISTINCT subj AS d FROM t
+                  WHERE pred = 'data_noun' AND obj = 'stream')
+            SELECT e.e, count(DISTINCT e.d) AS n_docs
+            FROM e JOIN j USING (d)
+            WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.d = e.d)
+              AND length('eng:' || e.e) > 8
+            GROUP BY e.e
+            ORDER BY n_docs DESC, e.e
+        """.format(kw_values=kw_values),
     }

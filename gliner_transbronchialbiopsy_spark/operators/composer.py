@@ -69,9 +69,16 @@ class KGQuery:
     Evaluation order (SPARQL group semantics): required ``where`` (and
     ``union`` branches, bag-unioned then joined with ``where`` on the
     shared variables) -> ``optional`` left joins -> ``minus``
-    anti-joins -> ``values`` -> ``filters`` -> GROUP BY aggregates ->
-    ``having`` group filters -> ``select`` projection -> ``distinct``
-    -> ``order_by`` -> ``offset`` -> ``limit``.
+    anti-joins -> ``exists`` / ``not_exists`` semi/anti joins ->
+    ``binds`` derived columns -> ``values`` -> ``filters`` -> GROUP BY
+    aggregates -> ``having`` group filters -> ``select`` projection ->
+    ``distinct`` -> ``order_by`` -> ``offset`` -> ``limit``.
+
+    ``minus`` vs ``not_exists`` follow their divergent SPARQL specs:
+    with no shared variable MINUS removes nothing, while NOT EXISTS
+    removes every solution when the group matches at all (and EXISTS
+    keeps all or none). ``binds`` aliases must be fresh variables —
+    rebinding an in-scope name raises, per the BIND scope rule.
 
     ``aggs`` entries are ``(sql_expr, alias)`` over the variable
     columns, e.g. ``("count(DISTINCT doc)", "n_docs")``; with a
@@ -87,6 +94,9 @@ class KGQuery:
     union: tuple = ()
     optional: tuple = ()
     minus: tuple = ()
+    exists: tuple = ()  # FILTER EXISTS groups (semi-join semantics)
+    not_exists: tuple = ()  # FILTER NOT EXISTS groups (anti-join)
+    binds: tuple = ()  # (sql_expr, alias) derived variables
     filters: tuple = ()
     values: tuple | None = None
     group_by: tuple = ()
@@ -284,6 +294,40 @@ def compose(
         if not shared:
             continue  # SPARQL disjoint-domain rule: MINUS removes nothing
         acc = acc.join(mdf.select(*shared).distinct(), on=shared, how="left_anti")
+    # FILTER [NOT] EXISTS: semi/anti join on the shared variables —
+    # the standard relational compilation of correlated existence.
+    # The deliberate MINUS divergence lives here: with DISJOINT
+    # domains MINUS removes nothing (above), while NOT EXISTS tests
+    # plain existence — a non-empty group removes EVERY solution (and
+    # EXISTS keeps all or none), compiled as a broadcast one-row
+    # LIMIT-1 count, never a cross product of the group itself.
+    for grps, keep in ((q.exists, True), (q.not_exists, False)):
+        for grp in grps:
+            gdf, gvs = _compile_group(t, grp, max_closure_rows,
+                                      allow_cartesian)
+            shared = sorted(gvs & bound)
+            if shared:
+                acc = acc.join(
+                    gdf.select(*shared).distinct(),
+                    on=shared,
+                    how="left_semi" if keep else "left_anti",
+                )
+            else:
+                n1 = gdf.limit(1).agg(
+                    F.count(F.lit(1)).alias("_n_exists")
+                )
+                acc = acc.crossJoin(F.broadcast(n1)).filter(
+                    F.col("_n_exists") > 0
+                    if keep
+                    else F.col("_n_exists") == 0
+                ).drop("_n_exists")
+    for expr, alias in q.binds:
+        if alias in acc.columns:
+            raise ValueError(
+                f"BIND alias ?{alias} is already bound (SPARQL forbids "
+                "rebinding an in-scope variable)"
+            )
+        acc = acc.withColumn(alias, F.expr(expr))
     acc = _bgp._apply_solution_mods(acc, list(q.filters), q.values)
     if q.group_by or q.aggs:
         if not q.aggs:

@@ -28,6 +28,11 @@ Supported subset (everything the composer can plan):
   alternation, ``^`` inverse, ``+`` / ``?`` / ``*`` postfix, parens
 - ``OPTIONAL { ... }``, ``MINUS { ... }``, one
   ``{ ... } UNION { ... }`` chain, ``FILTER (expr)``,
+  ``FILTER [NOT] EXISTS { ... }`` (semi/anti join on the shared
+  variables; with disjoint domains the divergent SPARQL specs are
+  honored — MINUS removes nothing, NOT EXISTS removes everything
+  when the group matches), ``BIND (expr AS ?v)`` (fresh variables
+  only, the SPARQL scope rule),
   ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }``
 - ``GROUP BY``, ``HAVING (constraint) ...`` (inline aggregates are
   rewritten to hidden agg aliases filtered after the aggregation),
@@ -40,9 +45,9 @@ LCASE/UCASE -> lower/upper) and evaluated by ``F.expr`` — the subset
 is exactly what the composer's ``filters``/``aggs`` fields accept.
 
 Unsupported SPARQL (explicit errors, never silent misparse): prefixed
-IRI declarations, ``<>`` IRIs, blank nodes, subqueries, ``BIND``,
-``EXISTS``, ``GRAPH``, more than one UNION chain per query (the
-composer plans one), and ``UNDEF`` in VALUES.
+IRI declarations, ``<>`` IRIs, blank nodes, subqueries, ``GRAPH``,
+more than one UNION chain per query (the composer plans one), and
+``UNDEF`` in VALUES.
 """
 
 from __future__ import annotations
@@ -78,11 +83,11 @@ _KEYWORDS = {
     "SELECT", "CONSTRUCT", "WHERE", "OPTIONAL", "MINUS", "UNION",
     "FILTER", "VALUES", "GROUP", "ORDER", "BY", "ASC", "DESC",
     "LIMIT", "DISTINCT", "AS", "ASK", "DESCRIBE", "HAVING", "OFFSET",
+    "BIND", "EXISTS", "NOT",
 }
 
 _UNSUPPORTED_WORDS = {
-    "PREFIX", "BASE", "BIND", "EXISTS", "GRAPH", "SERVICE",
-    "INSERT", "DELETE",
+    "PREFIX", "BASE", "GRAPH", "SERVICE", "INSERT", "DELETE",
 }
 
 #: aggregate function heads recognized inside HAVING constraints —
@@ -107,6 +112,35 @@ class ParsedQuery:
 
 class SparqlSyntaxError(ValueError):
     pass
+
+
+@dataclass(frozen=True)
+class _Group:
+    """Parsed WHERE-level group: every block kind _group_body accepts."""
+
+    where: list
+    union: list
+    optional: list
+    minus: list
+    exists: list
+    not_exists: list
+    binds: list
+    filters: list
+    values: tuple | None
+
+    def to_query(self, **mods) -> KGQuery:
+        return KGQuery(
+            where=tuple(self.where),
+            union=tuple(self.union),
+            optional=tuple(self.optional),
+            minus=tuple(self.minus),
+            exists=tuple(self.exists),
+            not_exists=tuple(self.not_exists),
+            binds=tuple(self.binds),
+            filters=tuple(self.filters),
+            values=self.values,
+            **mods,
+        )
 
 
 @dataclass(frozen=True)
@@ -262,18 +296,7 @@ class _Parser:
         if self._at("KW", "WHERE") or self._at("PUNCT", "{"):
             if self._at("KW", "WHERE"):
                 self._next()
-            where, union, optional, minus, filters, values = (
-                self._group_body()
-            )
-            q = KGQuery(
-                where=tuple(where),
-                union=tuple(union),
-                optional=tuple(optional),
-                minus=tuple(minus),
-                filters=tuple(filters),
-                values=values,
-                select=None,
-            )
+            q = self._group_body().to_query(select=None)
         if any(t.startswith("?") for t in targets) and not (
             q.where or q.union
         ):
@@ -288,31 +311,19 @@ class _Parser:
         self._expect("KW", "ASK")
         if self._at("KW", "WHERE"):  # ASK { } and ASK WHERE { } both legal
             self._next()
-        where, union, optional, minus, filters, values = self._group_body()
+        grp = self._group_body()
         # solution modifiers are SELECT-form syntax; any GROUP/ORDER/
         # LIMIT after the group falls through to parse()'s trailing-
         # input error, matching the SPARQL grammar (AskQuery has no
         # SolutionModifier in this subset). limit=1 is the PLAN: an
         # existence check needs one solution, so Spark can stop the
         # scan at the first match instead of enumerating all bindings.
-        return ParsedQuery(
-            "ask",
-            KGQuery(
-                where=tuple(where),
-                union=tuple(union),
-                optional=tuple(optional),
-                minus=tuple(minus),
-                filters=tuple(filters),
-                values=values,
-                select=None,
-                limit=1,
-            ),
-        )
+        return ParsedQuery("ask", grp.to_query(select=None, limit=1))
 
     # -- WHERE group + solution modifiers ---------------------------
     def _where_and_mods(self, distinct: bool, select, aggs) -> KGQuery:
         self._expect("KW", "WHERE")
-        where, union, optional, minus, filters, values = self._group_body()
+        grp = self._group_body()
         group_by: list[str] = []
         order_by: list = []
         having: list[str] = []
@@ -389,13 +400,7 @@ class _Parser:
                         f"?{s} in SELECT is neither grouped nor "
                         "aggregated"
                     )
-        return KGQuery(
-            where=tuple(where),
-            union=tuple(union),
-            optional=tuple(optional),
-            minus=tuple(minus),
-            filters=tuple(filters),
-            values=values,
+        return grp.to_query(
             group_by=tuple(group_by),
             aggs=tuple(agg_list),
             having=tuple(having),
@@ -414,6 +419,9 @@ class _Parser:
         union: list = []
         optional: list = []
         minus: list = []
+        exists: list = []
+        not_exists: list = []
+        binds: list = []
         filters: list = []
         values = None
         while not self._at("PUNCT", "}"):
@@ -423,9 +431,24 @@ class _Parser:
             elif self._at("KW", "MINUS"):
                 self._next()
                 minus.append(tuple(self._braced_triples()))
+            elif self._at("KW", "BIND"):
+                self._next()
+                # same (expr AS ?alias) surface as an agg projection
+                binds.append(self._agg_projection())
             elif self._at("KW", "FILTER"):
                 self._next()
-                filters.append(self._filter_expr())
+                neg = False
+                if self._at("KW", "NOT"):
+                    self._next()
+                    self._expect("KW", "EXISTS")
+                    neg = True
+                elif self._at("KW", "EXISTS"):
+                    self._next()
+                else:
+                    filters.append(self._filter_expr())
+                    continue
+                grp = tuple(self._braced_triples())
+                (not_exists if neg else exists).append(grp)
             elif self._at("KW", "VALUES"):
                 if values is not None:
                     raise SparqlSyntaxError(
@@ -455,7 +478,10 @@ class _Parser:
         self._expect("PUNCT", "}")
         if not where and not union:
             raise SparqlSyntaxError("WHERE block binds no patterns")
-        return where, union, optional, minus, filters, values
+        return _Group(
+            where, union, optional, minus, exists, not_exists, binds,
+            filters, values,
+        )
 
     def _braced_triples(self) -> list:
         self._expect("PUNCT", "{")

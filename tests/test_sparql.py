@@ -446,3 +446,82 @@ def test_describe_unbound_var_raises(spark, kg):
     t = _triples(spark, kg)
     with pytest.raises(ValueError, match="not bound"):
         sparql.sparql(t, 'DESCRIBE ?x WHERE { ?d engine ?e }')
+
+
+# ------------------------------------------- BIND / FILTER EXISTS
+
+
+def test_parse_bind_exists_ast():
+    pq = parse(
+        'SELECT ?d WHERE { ?d engine ?e '
+        'BIND (concat(?e, "!") AS ?tag) '
+        'FILTER EXISTS { ?d exec_op "join" } '
+        'FILTER NOT EXISTS { ?d exec_op "scan" } }'
+    )
+    q = pq.query
+    assert q.binds == (('concat ( e , \'!\' )', "tag"),)
+    assert q.exists == ((("?d", "exec_op", "join"),),)
+    assert q.not_exists == ((("?d", "exec_op", "scan"),),)
+
+
+def test_exec_exists_not_exists(spark, kg):
+    t = _triples(spark, kg)
+    got = sparql.sparql(
+        t,
+        'SELECT ?d WHERE { ?d engine ?e '
+        'FILTER EXISTS { ?d exec_op "join" } }',
+    )
+    assert _rowset(got) == [("d1",), ("d2",), ("d4",)]
+    got2 = sparql.sparql(
+        t,
+        'SELECT ?d WHERE { ?d engine ?e '
+        'FILTER NOT EXISTS { ?d data_noun ?n } }',
+    )
+    assert _rowset(got2) == [("d4",)]
+
+
+def test_minus_vs_not_exists_disjoint_divergence(spark, kg):
+    """The documented spec divergence: with DISJOINT domains MINUS
+    removes nothing while NOT EXISTS tests plain existence — a
+    matching group removes every solution."""
+    t = _triples(spark, kg)
+    minus = sparql.sparql(
+        t, 'SELECT ?e WHERE { ?d engine ?e MINUS { ?x data_noun "row" } }'
+    )
+    assert len(_rowset(minus)) == 5  # one per doc, nothing removed
+    ne = sparql.sparql(
+        t,
+        'SELECT ?e WHERE { ?d engine ?e '
+        'FILTER NOT EXISTS { ?x data_noun "row" } }',
+    )
+    assert _rowset(ne) == []  # "row" exists somewhere -> all removed
+    ne2 = sparql.sparql(
+        t,
+        'SELECT ?e WHERE { ?d engine ?e '
+        'FILTER NOT EXISTS { ?x data_noun "nope" } }',
+    )
+    assert len(_rowset(ne2)) == 5  # no match anywhere -> all kept
+
+
+def test_exec_bind(spark, kg):
+    t = _triples(spark, kg)
+    got = sparql.sparql(
+        t,
+        'SELECT ?d ?flag WHERE { ?d engine ?e '
+        'BIND (?e = "spark" AS ?flag) } ORDER BY ?d',
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        ("d1", True), ("d2", False), ("d3", True),
+        ("d4", False), ("d5", False),
+    ]
+    with pytest.raises(ValueError, match="already bound"):
+        sparql.sparql(
+            t, 'SELECT ?d WHERE { ?d engine ?e BIND (1 AS ?e) }'
+        ).collect()
+
+
+def test_parse_exists_errors():
+    with pytest.raises(SparqlSyntaxError, match="expected EXISTS"):
+        parse('SELECT ?d WHERE { ?d engine ?e FILTER NOT (?e = "x") }')
+    with pytest.raises(SparqlSyntaxError, match="empty pattern group"):
+        parse("SELECT ?d WHERE { ?d engine ?e FILTER EXISTS { } }")
