@@ -291,6 +291,16 @@ AUDIT = {
         "!Window",
         "!InPandas",
     ),
+    # FILTER EXISTS / NOT EXISTS / BIND (round-5): correlated
+    # existence is a semi join AND an anti join in the same pipeline
+    # (never a nested loop); BIND is a plain projection; zero Python
+    "kg_sparql_exists": (
+        "LeftSemi",
+        "LeftAnti",
+        "HashAggregate",
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+    ),
     # OWL-lite entailment (round-5): the joint semi-naive fixpoint runs
     # behind per-round localCheckpoints, so the visible plan of the
     # inferred-triples output is ONLY the checkpointed delta RDDs —
