@@ -2366,6 +2366,42 @@ def q_kg_sparql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_optimized_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join ordering (operators/kgstats.py) through the
+    composer: ``collect_stats`` gathers per-predicate count/NDV
+    statistics in ONE rollup aggregation over the extended graph, and
+    ``compose(stats=...)`` replaces the syntactic most-constants
+    heuristic with greedy minimal-estimated-join-size ordering — the
+    System-R-lite discipline a 10^12-triple BGP needs when predicate
+    counts are skewed. The pattern list is deliberately adversarial
+    (the high-cardinality mention patterns listed FIRST, the pruned
+    existence gate last); the optimizer reorders, the RESULTS are
+    order-independent, and the oracle restates the query as plain
+    order-agnostic SQL joins — proving stats change only the plan.
+    The reference has no optimizer (pandas pivots per filter,
+    /root/reference/src/streamlit/app/app.py:349-442)."""
+    from gliner_transbronchialbiopsy_spark.operators import composer, kgstats
+
+    t = _kg_extended_graph(spark, sf_dir)
+    st = kgstats.collect_stats(t)
+    q = composer.KGQuery(
+        where=(
+            ("?doc", "exec_op", "?op"),
+            ("?doc", "engine", "?eng"),
+            ("?doc", "data_noun", "?noun"),
+            ("?eng", "a", "?ecls"),
+        ),
+        not_exists=((("?doc", "exec_op", "scan"),),),
+        filters=("op <> 'join'",),
+    )
+    sols = composer.compose(t, q, stats=st)
+    return sols.groupBy("eng", "noun").agg(
+        F.count(F.lit(1)).alias("n_bindings"),
+        F.countDistinct("doc").alias("n_docs"),
+        F.countDistinct("op").alias("n_ops"),
+    )
+
+
 def q_kg_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL-lite property entailment (operators/owl.py): the schema is
     DATA, not code — an ontology triple table (subPropertyOf chain
@@ -2618,6 +2654,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_having": q_kg_sparql_having,
         "graph_hits": q_graph_hits,
         "kg_sparql_exists": q_kg_sparql_exists,
+        "kg_optimized_bgp": q_kg_optimized_bgp,
     }
 
 
@@ -5621,6 +5658,42 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) > 10 AND count(DISTINCT d) > 5
             ORDER BY n_mentions DESC, op
             OFFSET 1 LIMIT 5
+        """.format(kw_values=kw_values),
+        "kg_optimized_bgp": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            -- the extended graph's 'a' relation: every (mention obj,
+            -- label) pair, exactly __spark_entry__._kg_extended_graph
+            p1 AS (SELECT DISTINCT subj AS doc, obj AS op FROM t
+                   WHERE pred = 'exec_op'),
+            p2 AS (SELECT DISTINCT subj AS doc, obj AS eng FROM t
+                   WHERE pred = 'engine'),
+            p3 AS (SELECT DISTINCT subj AS doc, obj AS noun FROM t
+                   WHERE pred = 'data_noun'),
+            ty AS (SELECT DISTINCT obj AS eng, pred AS ecls FROM t),
+            sc AS (SELECT DISTINCT subj AS doc FROM t
+                   WHERE pred = 'exec_op' AND obj = 'scan'),
+            sol AS (
+              SELECT p1.doc, p1.op, p2.eng, p3.noun, ty.ecls
+              FROM p1
+              JOIN p2 USING (doc)
+              JOIN p3 USING (doc)
+              JOIN ty USING (eng)
+              WHERE p1.op <> 'join'
+                AND NOT EXISTS (SELECT 1 FROM sc WHERE sc.doc = p1.doc)
+            )
+            SELECT eng, noun,
+                   count(*) AS n_bindings,
+                   count(DISTINCT doc) AS n_docs,
+                   count(DISTINCT op) AS n_ops
+            FROM sol GROUP BY eng, noun
         """.format(kw_values=kw_values),
         "graph_hits": _HITS_SQL,
         "kg_sparql_exists": f"""

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import bgp as _bgp
+from . import kgstats as _kgstats
 from . import paths as _paths
 
 
@@ -166,12 +167,19 @@ def _compile_group(
     items: Sequence,
     max_closure_rows: int,
     allow_cartesian: bool,
+    stats: "_kgstats.TripleStats | None" = None,
 ) -> tuple[DataFrame, set]:
     """Compile one conjunctive group (triple patterns + path atoms) to
     (solutions, bound vars) with the bgp_match greedy discipline:
     most-constant pattern scans seed, path relations join once a
     shared variable is bound (they are the expensive relations), ASK
-    relations apply last as existence gates."""
+    relations apply last as existence gates.
+
+    With ``stats`` (operators/kgstats.TripleStats), the syntactic
+    heuristic is replaced by cost-based ordering: per-relation
+    cardinality estimates from predicate statistics, greedy minimal
+    estimated-join-size chaining (kgstats.order_group). Results are
+    identical either way — only the join ORDER changes."""
     if not items:
         raise ValueError("empty pattern group")
     rels: list[tuple[DataFrame, set]] = []
@@ -197,6 +205,35 @@ def _compile_group(
                 rels[i][0].select(F.lit(1).alias(f"_ask{i}"))
             ).drop(f"_ask{i}")
         return acc, set()
+    if stats is not None:
+        metas = []
+        for i in var_idx:
+            it = items[i]
+            if _is_path(it):
+                metas.append(
+                    _kgstats.estimate_path(it.src, it.spec, it.dst, stats)
+                )
+            else:
+                metas.append(_kgstats.estimate_pattern(tuple(it), stats))
+        # order_group raises the same disconnected-group error, so the
+        # cartesian contract is identical with and without stats
+        perm = _kgstats.order_group(metas, allow_cartesian)
+        ordered = [var_idx[j] for j in perm]
+        first, pending = ordered[0], ordered[1:]
+        acc, bound = rels[first]
+        for nxt in pending:
+            df, vs = rels[nxt]
+            shared = sorted(vs & bound)
+            if shared:
+                acc = acc.join(df, on=shared, how="inner")
+            else:
+                acc = acc.crossJoin(df)
+            bound |= vs
+        for n, i in enumerate(ask):
+            acc = acc.crossJoin(
+                rels[i][0].select(F.lit(1).alias(f"_askg{n}"))
+            ).drop(f"_askg{n}")
+        return acc, bound
     order = sorted(
         var_idx, key=lambda i: (is_path[i], -n_consts[i], i)
     )
@@ -235,6 +272,7 @@ def compose(
     obj: str = "obj",
     allow_cartesian: bool = False,
     max_closure_rows: int = _paths.DEFAULT_MAX_CLOSURE_ROWS,
+    stats: "_kgstats.TripleStats | None" = None,
 ) -> DataFrame:
     """Compile ``q`` against ``triples`` into one DataFrame plan.
 
@@ -243,7 +281,12 @@ def compose(
     OPTIONAL, MINUS, VALUES and FILTER semantics are exactly those of
     the underlying compilers (operators/bgp.py, operators/paths.py) —
     including their documented divergences — because this function
-    delegates to them; it owns only the composition."""
+    delegates to them; it owns only the composition.
+
+    ``stats`` (from operators/kgstats.collect_stats, computed once per
+    triples snapshot) switches every group's join order from the
+    syntactic most-constants heuristic to cost-based greedy ordering.
+    Same results, better intermediates — see kgstats's module doc."""
     t = triples.select(
         F.col(subj).alias("subj"),
         F.col(pred).alias("pred"),
@@ -255,11 +298,11 @@ def compose(
     bound: set = set()
     if q.where:
         acc, bound = _compile_group(
-            t, q.where, max_closure_rows, allow_cartesian
+            t, q.where, max_closure_rows, allow_cartesian, stats
         )
     if q.union:
         branches = [
-            _compile_group(t, br, max_closure_rows, allow_cartesian)
+            _compile_group(t, br, max_closure_rows, allow_cartesian, stats)
             for br in q.union
         ]
         ub = branches[0][0]
@@ -279,7 +322,8 @@ def compose(
             acc = acc.join(ub, on=shared, how="inner")
             bound |= uvars
     for grp in q.optional:
-        df, vs = _compile_group(t, grp, max_closure_rows, allow_cartesian)
+        df, vs = _compile_group(t, grp, max_closure_rows, allow_cartesian,
+                                stats)
         shared = sorted(vs & bound)
         if not shared:
             raise ValueError(
@@ -289,7 +333,8 @@ def compose(
         acc = acc.join(df, on=shared, how="left")
         bound |= vs
     for grp in q.minus:
-        mdf, mvs = _compile_group(t, grp, max_closure_rows, allow_cartesian)
+        mdf, mvs = _compile_group(t, grp, max_closure_rows, allow_cartesian,
+                                  stats)
         shared = sorted(mvs & bound)
         if not shared:
             continue  # SPARQL disjoint-domain rule: MINUS removes nothing
@@ -304,7 +349,7 @@ def compose(
     for grps, keep in ((q.exists, True), (q.not_exists, False)):
         for grp in grps:
             gdf, gvs = _compile_group(t, grp, max_closure_rows,
-                                      allow_cartesian)
+                                      allow_cartesian, stats)
             shared = sorted(gvs & bound)
             if shared:
                 acc = acc.join(
@@ -374,6 +419,7 @@ def compose_construct(
     obj: str = "obj",
     allow_cartesian: bool = False,
     max_closure_rows: int = _paths.DEFAULT_MAX_CLOSURE_ROWS,
+    stats: "_kgstats.TripleStats | None" = None,
 ) -> DataFrame:
     """SPARQL CONSTRUCT over a composed WHERE: evaluate ``q`` (its
     full block algebra — paths, OPTIONAL, MINUS, VALUES, FILTER) and
@@ -403,6 +449,7 @@ def compose_construct(
     sols = compose(
         triples, q, subj=subj, pred=pred, obj=obj,
         allow_cartesian=allow_cartesian, max_closure_rows=max_closure_rows,
+        stats=stats,
     )
     head_vars = {t[1:] for h in heads for t in h if _bgp._is_var(t)}
     missing = sorted(head_vars - set(sols.columns))
@@ -425,6 +472,7 @@ def compose_describe(
     obj: str = "obj",
     allow_cartesian: bool = False,
     max_closure_rows: int = _paths.DEFAULT_MAX_CLOSURE_ROWS,
+    stats: "_kgstats.TripleStats | None" = None,
 ) -> DataFrame:
     """SPARQL DESCRIBE over a composed WHERE: return the sub-graph
     describing each target resource. DESCRIBE's output form is
@@ -470,6 +518,7 @@ def compose_describe(
             triples, q, subj=subj, pred=pred, obj=obj,
             allow_cartesian=allow_cartesian,
             max_closure_rows=max_closure_rows,
+            stats=stats,
         )
         missing = sorted(set(vars_) - set(sols.columns))
         if missing:

@@ -294,6 +294,18 @@ AUDIT = {
     # FILTER EXISTS / NOT EXISTS / BIND (round-5): correlated
     # existence is a semi join AND an anti join in the same pipeline
     # (never a nested loop); BIND is a plain projection; zero Python
+    # cost-based join ordering (round-5): the stats-ordered BGP is
+    # still all-JVM — pattern scans over the checkpointed extended
+    # graph (pred-pruned parquet scans in production, see
+    # triples_pred_pruned_scan), the NOT EXISTS gate as an anti join,
+    # no nested loop, no Python. Stats change ONLY the join order.
+    "kg_optimized_bgp": (
+        "Scan ExistingRDD",
+        "LeftAnti",
+        "HashAggregate",
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+    ),
     "kg_sparql_exists": (
         "LeftSemi",
         "LeftAnti",
