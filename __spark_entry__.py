@@ -1956,6 +1956,51 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(25)
 
 
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (operators/graph.scc — forward
+    max-label coloring + backward membership sweep, the distributed
+    Orzan/FW-BW family; Tarjan is inherently sequential) over a
+    directed trade graph with REAL cycles: customer c -> supplier s
+    when the pair trades a lineitem with l_quantity >= 30, and
+    s -> c when it trades one with l_quantity <= 10, both sides
+    modulo-sliced (custkey % 10 = 0, suppkey % 2 = 0) so the
+    MUTUAL-reachability oracle's closure stays bounded at every sf —
+    the bounded-audit-slice convention of sim_pairs_topk; the operator
+    itself is frontier-only and peels by condensation level, the
+    scale path. Summarized as a component-size histogram with the
+    deterministic min canonical id per size bucket; scc_id is the max
+    node id in each component, so every column is exactly restatable
+    in DuckDB as mutual reachability over a recursive closure."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter((F.col("o_custkey") % 10 == 0) & (F.col("l_suppkey") % 2 == 0))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.col("l_quantity").alias("q"),
+        )
+    )
+    edges = (
+        pairs.filter(F.col("q") >= 30)
+        .select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(
+            pairs.filter(F.col("q") <= 10)
+            .select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+        .distinct()
+    )
+    comp = graph.scc(edges)
+    sizes = comp.groupBy("scc_id").agg(F.count(F.lit(1)).alias("scc_size"))
+    return sizes.groupBy("scc_size").agg(
+        F.count(F.lit(1)).alias("n_sccs"),
+        F.min("scc_id").alias("min_scc"),
+    )
+
+
 def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot KG diff (operators/kgvalidate.triple_diff):
     the 'old' build extracted docs with doc_id % 7 != 0, the 'new'
@@ -2655,6 +2700,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "kg_sparql_exists": q_kg_sparql_exists,
         "kg_optimized_bgp": q_kg_optimized_bgp,
+        "graph_scc": q_graph_scc,
     }
 
 
@@ -5695,6 +5741,45 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT op) AS n_ops
             FROM sol GROUP BY eng, noun
         """.format(kw_values=kw_values),
+        "graph_scc": """
+            WITH RECURSIVE pairs AS MATERIALIZED (
+              SELECT DISTINCT
+                     'c:' || CAST(o.o_custkey AS VARCHAR) AS c,
+                     's:' || CAST(l.l_suppkey AS VARCHAR) AS s,
+                     l.l_quantity AS q
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_custkey % 10 = 0 AND l.l_suppkey % 2 = 0
+            ),
+            e AS MATERIALIZED (
+              SELECT c AS src, s AS dst FROM pairs WHERE q >= 30
+              UNION
+              SELECT s AS src, c AS dst FROM pairs WHERE q <= 10
+            ),
+            n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            r AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst
+            ),
+            rm AS MATERIALIZED (SELECT src, dst FROM r),
+            -- mutual reachability: v ->* w AND w ->* v
+            mut AS (
+              SELECT a.src AS v, a.dst AS w
+              FROM rm a JOIN rm b ON b.src = a.dst AND b.dst = a.src
+            ),
+            scc AS (
+              SELECT n.node,
+                     greatest(n.node, coalesce(max(m.w), n.node)) AS scc_id
+              FROM n LEFT JOIN mut m ON m.v = n.node
+              GROUP BY n.node
+            ),
+            sizes AS (
+              SELECT scc_id, count(*) AS scc_size FROM scc GROUP BY scc_id
+            )
+            SELECT scc_size, count(*) AS n_sccs, min(scc_id) AS min_scc
+            FROM sizes GROUP BY scc_size
+        """,
         "graph_hits": _HITS_SQL,
         "kg_sparql_exists": f"""
             WITH t AS MATERIALIZED (

@@ -942,3 +942,147 @@ def random_walks(
     for d in finished:
         out = out.unionAll(d)
     return out
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 200,
+) -> DataFrame:
+    """Strongly connected components of a directed graph ->
+    (node, scc_id), scc_id = the MAX node id in the component (a
+    deterministic canonical election, like components.py's min-id CC
+    election; max because the coloring roots are max-labeled).
+
+    The directed analogue the engine was missing next to its
+    undirected CC: cyclic dependency clusters (mutually-importing
+    modules, call cycles) in a source-repo KG are SCCs, and the
+    condensation (SCC-contracted DAG) is what topological analyses
+    run on. Tarjan's stack algorithm is inherently sequential, so the
+    distributed form is the COLORING algorithm (Orzan 2004's min/max
+    label variant; the FW-BW family of Fleischer/Hendrickson/Pinar
+    2000 is its pivot-at-a-time special case):
+
+    1. forward max-label fixpoint: color(v) = max id u with u ->* v,
+       propagated frontier-only (only nodes whose color improved last
+       round push candidates — the delta discipline of reachable());
+    2. every node r with color(r) = r is a ROOT (the max id in its
+       ancestor set). SCC(r) = { v : color(v) = r and v ->* r }, found
+       by a backward frontier sweep from all roots at once, restricted
+       to same-color nodes (mutual reachability: color gives r ->* v,
+       the sweep gives v ->* r);
+    3. peel the identified SCCs off (left_anti on nodes, two
+       left_semis on edges) and repeat on the remainder — each outer
+       round removes every current root's component, so the round
+       count is bounded by the condensation's level count, not node
+       count.
+
+    Loop discipline as everywhere in this module: loop_ckpt per round
+    (O(1) plan depth), one bounded isEmpty()/count scalar per round,
+    RuntimeError past the shared ``max_rounds`` budget (counted across
+    ALL inner rounds, so a pathological chain cannot spin the color
+    fixpoint unbounded). Node ids are compared with max/>, so any
+    orderable id type works; results are set-semantic and
+    parallelism-invariant, restatable in DuckDB as mutual
+    reachability over a recursive closure (the contract oracle).
+    """
+    e0 = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .transform(loop_ckpt)
+    )
+    nodes = (
+        e0.select(F.col("_s").alias("node"))
+        .unionAll(e0.select(F.col("_d").alias("node")))
+        .distinct()
+        .transform(loop_ckpt)
+    )
+    assigned: DataFrame | None = None
+    rem_n, rem_e = nodes, e0
+    budget = max_rounds
+
+    def _tick(what: str) -> None:
+        nonlocal budget
+        budget -= 1
+        if budget < 0:
+            raise RuntimeError(
+                f"scc did not converge within {max_rounds} rounds "
+                f"(stuck in {what}); raise max_rounds for graphs with "
+                "deeper condensations/diameters"
+            )
+
+    while not rem_n.isEmpty():
+        _tick("outer peel")
+        # 1. forward max-label fixpoint, frontier-only
+        color = loop_ckpt(rem_n.withColumn("color", F.col("node")))
+        delta = color
+        while True:
+            _tick("color fixpoint")
+            cand = (
+                delta.join(rem_e, delta["node"] == rem_e["_s"])
+                .groupBy(F.col("_d").alias("node"))
+                .agg(F.max("color").alias("cand"))
+            )
+            improved = (
+                cand.join(color, "node")
+                .filter(F.col("cand") > F.col("color"))
+                .select("node", F.col("cand").alias("color"))
+                .transform(loop_ckpt)
+            )
+            if improved.isEmpty():
+                break
+            color = (
+                color.join(
+                    improved.withColumnRenamed("color", "_new"),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.coalesce("_new", "color").alias("color"),
+                )
+                .transform(loop_ckpt)
+            )
+            delta = improved
+        # 2. backward membership sweep from all roots, same-color only
+        members = loop_ckpt(
+            color.filter(F.col("node") == F.col("color"))
+        )
+        front = members
+        while True:
+            _tick("membership sweep")
+            step = (
+                front.join(rem_e, front["node"] == rem_e["_d"])
+                .select(F.col("_s").alias("node"), "color")
+                .distinct()
+                .join(
+                    color.withColumnRenamed("color", "_c"), "node"
+                )
+                .filter(F.col("color") == F.col("_c"))
+                .select("node", "color")
+                .join(members.select("node"), "node", "left_anti")
+                .transform(loop_ckpt)
+            )
+            if step.isEmpty():
+                break
+            members = loop_ckpt(members.unionAll(step))
+            front = step
+        chunk = members.select("node", F.col("color").alias("scc_id"))
+        assigned = (
+            chunk if assigned is None else loop_ckpt(assigned.unionAll(chunk))
+        )
+        # 3. peel: drop assigned nodes, keep edges between survivors
+        rem_n = loop_ckpt(
+            rem_n.join(members.select("node"), "node", "left_anti")
+        )
+        rem_e = loop_ckpt(
+            rem_e.join(
+                rem_n.select(F.col("node").alias("_s")), "_s", "left_semi"
+            ).join(
+                rem_n.select(F.col("node").alias("_d")), "_d", "left_semi"
+            )
+        )
+    if assigned is None:  # edge-less input: no endpoints, empty result
+        return nodes.select("node", F.col("node").alias("scc_id")).limit(0)
+    return assigned

@@ -221,3 +221,70 @@ def test_chunk_sliding_reconstructs_tokens(spark):
             for r in chunks:
                 covered |= set(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
             assert covered == set(range(len(toks)))
+
+
+def test_scc_matches_python_tarjan(spark):
+    import sys
+
+    def tarjan(edges):
+        # iterative-enough for these sizes; recursion bounded by nodes
+        sys.setrecursionlimit(10000)
+        adj = {}
+        nodes = set()
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+            nodes.update((s, d))
+        index, low, onstk, stk, out, ctr = {}, {}, set(), [], {}, [0]
+
+        def strong(v):
+            index[v] = low[v] = ctr[0]
+            ctr[0] += 1
+            stk.append(v)
+            onstk.add(v)
+            for w in adj.get(v, []):
+                if w not in index:
+                    strong(w)
+                    low[v] = min(low[v], low[w])
+                elif w in onstk:
+                    low[v] = min(low[v], index[w])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = max(comp)
+                for w in comp:
+                    out[w] = m
+
+        for v in sorted(nodes):
+            if v not in index:
+                strong(v)
+        return out
+
+    for seed, n, m in [(1, 40, 90), (3, 25, 20), (4, 60, 240)]:
+        rng = random.Random(seed)
+        ns = [f"n{i:03d}" for i in range(n)]
+        es = set()
+        while len(es) < m:
+            es.add((rng.choice(ns), rng.choice(ns)))
+        es = sorted(es)
+        df = spark.createDataFrame(es, "src string, dst string")
+        got = {r["node"]: r["scc_id"] for r in graph.scc(df).collect()}
+        assert got == tarjan(es)
+
+
+def test_scc_edge_cases(spark):
+    # self-loop, chained 2-cycles, and a pure DAG (all singletons)
+    es = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c"),
+          ("e", "e")]
+    df = spark.createDataFrame(es, "src string, dst string")
+    got = {r["node"]: r["scc_id"] for r in graph.scc(df).collect()}
+    assert got == {"a": "b", "b": "b", "c": "d", "d": "d", "e": "e"}
+    dag = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    got = {r["node"]: r["scc_id"] for r in graph.scc(dag).collect()}
+    assert got == {"a": "a", "b": "b", "c": "c"}

@@ -313,6 +313,15 @@ AUDIT = {
         "!BroadcastNestedLoopJoin",
         "!InPandas",
     ),
+    # SCC (round-5): the visible plan is the two nested aggregates over
+    # the final peel's checkpointed assignment RDD — every iterative
+    # round ran behind loop_ckpt barriers, no Python anywhere
+    "graph_scc": (
+        "Scan ExistingRDD",
+        "HashAggregate",
+        "!InPandas",
+        "!BroadcastNestedLoopJoin",
+    ),
     # OWL-lite entailment (round-5): the joint semi-naive fixpoint runs
     # behind per-round localCheckpoints, so the visible plan of the
     # inferred-triples output is ONLY the checkpointed delta RDDs —
