@@ -2447,6 +2447,34 @@ def q_kg_optimized_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 subquery through the text front-end: the nested
+    SELECT aggregates per-engine distinct op counts in isolation
+    (bottom-up evaluation), its projected relation natural-joins the
+    outer BGP on ?e, and the outer FILTER consumes the subquery's
+    aggregate alias — the aggregate-then-join idiom that SPARQL has
+    no other way to express (an outer GROUP BY would collapse the
+    per-doc bindings the query still needs). Only the subquery's
+    PROJECTED variables are in scope outside (inner ?d2 stays hidden,
+    pytest-checked). Oracle: the subquery as a grouped CTE joined back
+    in."""
+    from gliner_transbronchialbiopsy_spark.operators import sparql as _sparql
+
+    t = q_kg_triples(spark, sf_dir)
+    return _sparql.sparql(
+        t,
+        """
+        SELECT DISTINCT ?e ?noun ?n_ops WHERE {
+          ?d engine ?e .
+          ?d data_noun ?noun .
+          { SELECT ?e (count(DISTINCT ?op) AS ?n_ops) WHERE {
+              ?d2 engine ?e . ?d2 exec_op ?op } GROUP BY ?e }
+          FILTER (?n_ops > 5)
+        }
+        """,
+    )
+
+
 def q_kg_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL-lite property entailment (operators/owl.py): the schema is
     DATA, not code — an ontology triple table (subPropertyOf chain
@@ -2701,6 +2729,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_exists": q_kg_sparql_exists,
         "kg_optimized_bgp": q_kg_optimized_bgp,
         "graph_scc": q_graph_scc,
+        "kg_sparql_subquery": q_kg_sparql_subquery,
     }
 
 
@@ -5740,6 +5769,33 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc) AS n_docs,
                    count(DISTINCT op) AS n_ops
             FROM sol GROUP BY eng, noun
+        """.format(kw_values=kw_values),
+        "kg_sparql_subquery": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            e AS (SELECT DISTINCT subj AS d, obj AS e FROM t
+                  WHERE pred = 'engine'),
+            nn AS (SELECT DISTINCT subj AS d, obj AS noun FROM t
+                   WHERE pred = 'data_noun'),
+            op AS (SELECT DISTINCT subj AS d, obj AS op FROM t
+                   WHERE pred = 'exec_op'),
+            -- the subquery: per-engine distinct op count, bottom-up
+            sq AS (
+              SELECT e.e, count(DISTINCT op.op) AS n_ops
+              FROM e JOIN op ON op.d = e.d GROUP BY e.e
+            )
+            SELECT DISTINCT e.e, nn.noun, sq.n_ops
+            FROM e
+            JOIN nn USING (d)
+            JOIN sq ON sq.e = e.e
+            WHERE sq.n_ops > 5
         """.format(kw_values=kw_values),
         "graph_scc": """
             WITH RECURSIVE pairs AS MATERIALIZED (

@@ -69,7 +69,11 @@ class KGQuery:
 
     Evaluation order (SPARQL group semantics): required ``where`` (and
     ``union`` branches, bag-unioned then joined with ``where`` on the
-    shared variables) -> ``optional`` left joins -> ``minus``
+    shared variables) -> ``subqueries`` (each a nested KGQuery
+    evaluated bottom-up per the SPARQL 1.1 subquery rule, its
+    PROJECTED relation natural-joined with the group solutions on the
+    shared variables — the standard aggregate-then-join idiom) ->
+    ``optional`` left joins -> ``minus``
     anti-joins -> ``exists`` / ``not_exists`` semi/anti joins ->
     ``binds`` derived columns -> ``values`` -> ``filters`` -> GROUP BY
     aggregates -> ``having`` group filters -> ``select`` projection ->
@@ -93,6 +97,7 @@ class KGQuery:
 
     where: tuple = ()
     union: tuple = ()
+    subqueries: tuple = ()  # nested KGQuery SELECTs, natural-joined
     optional: tuple = ()
     minus: tuple = ()
     exists: tuple = ()  # FILTER EXISTS groups (semi-join semantics)
@@ -292,8 +297,10 @@ def compose(
         F.col(pred).alias("pred"),
         F.col(obj).alias("obj"),
     )
-    if not q.where and not q.union:
-        raise ValueError("query needs a where block or union branches")
+    if not q.where and not q.union and not q.subqueries:
+        raise ValueError(
+            "query needs a where block, union branches, or subqueries"
+        )
     acc: DataFrame | None = None
     bound: set = set()
     if q.where:
@@ -321,6 +328,31 @@ def compose(
                 )
             acc = acc.join(ub, on=shared, how="inner")
             bound |= uvars
+    for sq in q.subqueries:
+        # SPARQL 1.1 subquery: evaluated bottom-up in isolation, then
+        # natural-joined with the group solutions — only its PROJECTED
+        # variables (and agg aliases) are in scope outside
+        rel = compose(
+            triples, sq, subj=subj, pred=pred, obj=obj,
+            allow_cartesian=allow_cartesian,
+            max_closure_rows=max_closure_rows, stats=stats,
+        )
+        vs = set(rel.columns)
+        if acc is None:
+            acc, bound = rel, vs
+            continue
+        shared = sorted(vs & bound)
+        if not shared:
+            if not allow_cartesian:
+                raise ValueError(
+                    "subquery projects no variable shared with the "
+                    "outer group — a disconnected subquery is a cross "
+                    "product; pass allow_cartesian=True if intended"
+                )
+            acc = acc.crossJoin(rel)
+        else:
+            acc = acc.join(rel, on=shared, how="inner")
+        bound |= vs
     for grp in q.optional:
         df, vs = _compile_group(t, grp, max_closure_rows, allow_cartesian,
                                 stats)

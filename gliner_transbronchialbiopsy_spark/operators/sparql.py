@@ -37,6 +37,10 @@ Supported subset (everything the composer can plan):
 - ``GROUP BY``, ``HAVING (constraint) ...`` (inline aggregates are
   rewritten to hidden agg aliases filtered after the aggregation),
   ``ORDER BY [ASC|DESC(?v)]``, ``OFFSET``, ``LIMIT``
+- subqueries: ``{ SELECT ... WHERE { ... } mods }`` inside a WHERE
+  group (SPARQL 1.1 bottom-up evaluation: the nested SELECT runs in
+  isolation and its projected relation natural-joins the outer
+  solutions — the aggregate-then-join idiom)
 
 FILTER / aggregate expressions are translated token-wise to Spark SQL
 (``?var`` -> column, ``&&``/``||``/``!`` -> AND/OR/NOT, double- ->
@@ -45,7 +49,7 @@ LCASE/UCASE -> lower/upper) and evaluated by ``F.expr`` — the subset
 is exactly what the composer's ``filters``/``aggs`` fields accept.
 
 Unsupported SPARQL (explicit errors, never silent misparse): prefixed
-IRI declarations, ``<>`` IRIs, blank nodes, subqueries, ``GRAPH``,
+IRI declarations, ``<>`` IRIs, blank nodes, ``GRAPH``,
 more than one UNION chain per query (the composer plans one), and
 ``UNDEF`` in VALUES.
 """
@@ -127,11 +131,13 @@ class _Group:
     binds: list
     filters: list
     values: tuple | None
+    subqueries: list
 
     def to_query(self, **mods) -> KGQuery:
         return KGQuery(
             where=tuple(self.where),
             union=tuple(self.union),
+            subqueries=tuple(self.subqueries),
             optional=tuple(self.optional),
             minus=tuple(self.minus),
             exists=tuple(self.exists),
@@ -417,6 +423,7 @@ class _Parser:
         self._expect("PUNCT", "{")
         where: list = []
         union: list = []
+        subqueries: list = []
         optional: list = []
         minus: list = []
         exists: list = []
@@ -456,6 +463,19 @@ class _Parser:
                     )
                 self._next()
                 values = self._values_block()
+            elif self._at("PUNCT", "{") and (
+                (nxt := self._peek(1)) is not None
+                and nxt.kind == "KW"
+                and nxt.value == "SELECT"
+            ):
+                # SPARQL 1.1 subquery: { SELECT ... WHERE { ... } mods }
+                # — parsed with the full SELECT grammar, evaluated
+                # bottom-up by the composer and natural-joined on its
+                # projected variables
+                self._next()
+                sub = self._select_query()
+                self._expect("PUNCT", "}")
+                subqueries.append(sub.query)
             elif self._at("PUNCT", "{"):
                 # a braced subgroup: must be a UNION chain
                 branches = [tuple(self._braced_triples())]
@@ -476,11 +496,11 @@ class _Parser:
             else:
                 where.extend(self._triple_block(allow_paths=True))
         self._expect("PUNCT", "}")
-        if not where and not union:
+        if not where and not union and not subqueries:
             raise SparqlSyntaxError("WHERE block binds no patterns")
         return _Group(
             where, union, optional, minus, exists, not_exists, binds,
-            filters, values,
+            filters, values, subqueries,
         )
 
     def _braced_triples(self) -> list:

@@ -525,3 +525,79 @@ def test_parse_exists_errors():
         parse('SELECT ?d WHERE { ?d engine ?e FILTER NOT (?e = "x") }')
     with pytest.raises(SparqlSyntaxError, match="empty pattern group"):
         parse("SELECT ?d WHERE { ?d engine ?e FILTER EXISTS { } }")
+
+
+def test_parse_subquery_ast():
+    p = parse(
+        "SELECT ?e ?n WHERE { ?d engine ?e "
+        "{ SELECT ?e (count(*) AS ?n) WHERE { ?d2 engine ?e } "
+        "GROUP BY ?e } }"
+    )
+    assert len(p.query.subqueries) == 1
+    sub = p.query.subqueries[0]
+    assert sub.where == (("?d2", "engine", "?e"),)
+    assert sub.group_by == ("e",)
+    assert sub.aggs == (("count ( * )", "n"),)  # token-joined SQL form
+    assert sub.select == ("e", "n")
+
+
+def test_exec_subquery_aggregate_then_join(spark, kg):
+    t = _triples(spark, kg)
+    # engines by their distinct op count (subquery), joined back to
+    # the docs that also bind a data_noun
+    got = sparql.sparql(
+        t,
+        """
+        SELECT DISTINCT ?e ?noun ?n_ops WHERE {
+          ?d engine ?e .
+          ?d data_noun ?noun .
+          { SELECT ?e (count(DISTINCT ?op) AS ?n_ops) WHERE {
+              ?d2 engine ?e . ?d2 exec_op ?op } GROUP BY ?e }
+          FILTER (?n_ops >= 2)
+        }
+        ORDER BY ?e ?noun
+        """,
+    )
+    # spark: ops {join,filter,sort} = 3; hash: {join,filter} = 2;
+    # vector: {join,sort} = 2 but binds no data_noun
+    assert [tuple(r) for r in got.collect()] == [
+        ("hash", "column", 2), ("hash", "row", 2),
+        ("spark", "row", 3), ("spark", "table", 3),
+    ]
+
+
+def test_exec_subquery_only_body(spark, kg):
+    t = _triples(spark, kg)
+    got = sparql.sparql(
+        t,
+        "SELECT ?e ?n WHERE { { SELECT ?e (count(*) AS ?n) WHERE { "
+        "?d engine ?e } GROUP BY ?e } } ORDER BY ?e",
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        ("hash", 2), ("spark", 2), ("vector", 1)
+    ]
+
+
+def test_subquery_disconnected_raises(spark, kg):
+    t = _triples(spark, kg)
+    with pytest.raises(ValueError, match="subquery projects no variable"):
+        sparql.sparql(
+            t,
+            "SELECT ?x WHERE { ?x exec_op ?w "
+            "{ SELECT ?y WHERE { ?y engine ?z } } }",
+        ).collect()
+
+
+def test_subquery_scope_hides_inner_vars(spark, kg):
+    # ?d2 is not projected by the subquery, so the outer FILTER on it
+    # must fail (column unknown) rather than silently correlate —
+    # SPARQL subqueries share ONLY projected variables
+    t = _triples(spark, kg)
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        sparql.sparql(
+            t,
+            'SELECT ?e WHERE { ?d engine ?e '
+            '{ SELECT ?e WHERE { ?d2 engine ?e } } FILTER (?d2 <> "x") }',
+        ).collect()

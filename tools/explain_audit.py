@@ -313,6 +313,15 @@ AUDIT = {
         "!BroadcastNestedLoopJoin",
         "!InPandas",
     ),
+    # SPARQL 1.1 subquery (round-5): the nested grouped SELECT joins
+    # the outer BGP as a plain hash-join branch under one tree — two
+    # aggregate levels (subquery GROUP BY + outer DISTINCT), no
+    # nested loop, no Python
+    "kg_sparql_subquery": (
+        "HashAggregate",
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+    ),
     # SCC (round-5): the visible plan is the two nested aggregates over
     # the final peel's checkpointed assignment RDD — every iterative
     # round ran behind loop_ckpt barriers, no Python anywhere
