@@ -2475,6 +2475,32 @@ def q_kg_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sparql_multiunion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple independent UNION chains in one WHERE group (round-5
+    lift of the former one-chain limit): chain 1 restricts docs to the
+    join|sort exec_ops, chain 2 binds ?e from EITHER the engine or the
+    data_noun label — each chain bag-unions its set-semantic branch
+    scans (SPARQL bag semantics: a doc matching both branches
+    contributes twice), then joins the accumulated solutions on the
+    shared ?d. n_bindings counts the joined BAG (so the oracle must
+    restate the bag union exactly: UNION ALL of DISTINCT branch
+    scans); n_docs collapses it."""
+    from gliner_transbronchialbiopsy_spark.operators import sparql as _sparql
+
+    t = q_kg_triples(spark, sf_dir)
+    return _sparql.sparql(
+        t,
+        """
+        SELECT ?e (count(DISTINCT ?d) AS ?n_docs) (count(*) AS ?n_bindings)
+        WHERE {
+          { ?d exec_op "join" } UNION { ?d exec_op "sort" }
+          { ?d engine ?e } UNION { ?d data_noun ?e }
+        }
+        GROUP BY ?e
+        """,
+    )
+
+
 def q_kg_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL-lite property entailment (operators/owl.py): the schema is
     DATA, not code — an ontology triple table (subPropertyOf chain
@@ -2730,6 +2756,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_optimized_bgp": q_kg_optimized_bgp,
         "graph_scc": q_graph_scc,
         "kg_sparql_subquery": q_kg_sparql_subquery,
+        "kg_sparql_multiunion": q_kg_sparql_multiunion,
     }
 
 
@@ -5769,6 +5796,37 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc) AS n_docs,
                    count(DISTINCT op) AS n_ops
             FROM sol GROUP BY eng, noun
+        """.format(kw_values=kw_values),
+        "kg_sparql_multiunion": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            -- chain 1: bag union of two set-semantic ground scans
+            c1 AS (
+              SELECT d FROM (SELECT DISTINCT subj AS d FROM t
+                             WHERE pred = 'exec_op' AND obj = 'join')
+              UNION ALL
+              SELECT d FROM (SELECT DISTINCT subj AS d FROM t
+                             WHERE pred = 'exec_op' AND obj = 'sort')
+            ),
+            -- chain 2: bag union binding ?e from either label
+            c2 AS (
+              SELECT d, e FROM (SELECT DISTINCT subj AS d, obj AS e
+                                FROM t WHERE pred = 'engine')
+              UNION ALL
+              SELECT d, e FROM (SELECT DISTINCT subj AS d, obj AS e
+                                FROM t WHERE pred = 'data_noun')
+            )
+            SELECT e, count(DISTINCT c1.d) AS n_docs,
+                   count(*) AS n_bindings
+            FROM c1 JOIN c2 USING (d)
+            GROUP BY e
         """.format(kw_values=kw_values),
         "kg_sparql_subquery": f"""
             WITH t AS MATERIALIZED (

@@ -69,7 +69,9 @@ class KGQuery:
 
     Evaluation order (SPARQL group semantics): required ``where`` (and
     ``union`` branches, bag-unioned then joined with ``where`` on the
-    shared variables) -> ``subqueries`` (each a nested KGQuery
+    shared variables; ``union_chains`` holds FURTHER independent UNION
+    chains, each bag-unioned then joined the same way — ``union`` is
+    the single-chain sugar) -> ``subqueries`` (each a nested KGQuery
     evaluated bottom-up per the SPARQL 1.1 subquery rule, its
     PROJECTED relation natural-joined with the group solutions on the
     shared variables — the standard aggregate-then-join idiom) ->
@@ -97,6 +99,7 @@ class KGQuery:
 
     where: tuple = ()
     union: tuple = ()
+    union_chains: tuple = ()  # additional UNION chains (tuple of chains)
     subqueries: tuple = ()  # nested KGQuery SELECTs, natural-joined
     optional: tuple = ()
     minus: tuple = ()
@@ -297,7 +300,10 @@ def compose(
         F.col(pred).alias("pred"),
         F.col(obj).alias("obj"),
     )
-    if not q.where and not q.union and not q.subqueries:
+    chains = tuple(q.union_chains)
+    if q.union:
+        chains = (tuple(q.union),) + chains
+    if not q.where and not chains and not q.subqueries:
         raise ValueError(
             "query needs a where block, union branches, or subqueries"
         )
@@ -307,10 +313,10 @@ def compose(
         acc, bound = _compile_group(
             t, q.where, max_closure_rows, allow_cartesian, stats
         )
-    if q.union:
+    for chain in chains:
         branches = [
             _compile_group(t, br, max_closure_rows, allow_cartesian, stats)
-            for br in q.union
+            for br in chain
         ]
         ub = branches[0][0]
         uvars = set(branches[0][1])
@@ -323,8 +329,8 @@ def compose(
             shared = sorted(bound & uvars)
             if not shared:
                 raise ValueError(
-                    "UNION block shares no variable with the where "
-                    "block — a disconnected UNION is a cross product"
+                    "UNION block shares no variable with the bound "
+                    "solutions — a disconnected UNION is a cross product"
                 )
             acc = acc.join(ub, on=shared, how="inner")
             bound |= uvars
@@ -535,7 +541,9 @@ def compose_describe(
     consts = [x for x in targets if not _bgp._is_var(x)]
     node_sets: list[DataFrame] = []
     if vars_:
-        if q is None or not (q.where or q.union):
+        if q is None or not (
+            q.where or q.union or q.union_chains or q.subqueries
+        ):
             raise ValueError("DESCRIBE ?var needs a WHERE group")
         if (
             q.group_by or q.aggs or q.having or q.select is not None

@@ -26,8 +26,10 @@ Supported subset (everything the composer can plan):
   double-quoted literals
 - property paths in predicate position: ``/`` sequence, ``|``
   alternation, ``^`` inverse, ``+`` / ``?`` / ``*`` postfix, parens
-- ``OPTIONAL { ... }``, ``MINUS { ... }``, one
-  ``{ ... } UNION { ... }`` chain, ``FILTER (expr)``,
+- ``OPTIONAL { ... }``, ``MINUS { ... }``, any number of
+  ``{ ... } UNION { ... }`` chains (each chain bag-unions its
+  branches, then joins the accumulated solutions on its shared
+  variables — conjunctive between chains), ``FILTER (expr)``,
   ``FILTER [NOT] EXISTS { ... }`` (semi/anti join on the shared
   variables; with disjoint domains the divergent SPARQL specs are
   honored — MINUS removes nothing, NOT EXISTS removes everything
@@ -49,9 +51,8 @@ LCASE/UCASE -> lower/upper) and evaluated by ``F.expr`` — the subset
 is exactly what the composer's ``filters``/``aggs`` fields accept.
 
 Unsupported SPARQL (explicit errors, never silent misparse): prefixed
-IRI declarations, ``<>`` IRIs, blank nodes, ``GRAPH``,
-more than one UNION chain per query (the composer plans one), and
-``UNDEF`` in VALUES.
+IRI declarations, ``<>`` IRIs, blank nodes, ``GRAPH``, and ``UNDEF``
+in VALUES.
 """
 
 from __future__ import annotations
@@ -132,11 +133,13 @@ class _Group:
     filters: list
     values: tuple | None
     subqueries: list
+    union_chains: list
 
     def to_query(self, **mods) -> KGQuery:
         return KGQuery(
             where=tuple(self.where),
             union=tuple(self.union),
+            union_chains=tuple(tuple(c) for c in self.union_chains),
             subqueries=tuple(self.subqueries),
             optional=tuple(self.optional),
             minus=tuple(self.minus),
@@ -419,10 +422,12 @@ class _Parser:
 
     def _group_body(self):
         """Parse ``{ ... }`` at the WHERE level: triples/paths,
-        OPTIONAL/MINUS groups, one UNION chain, FILTER, VALUES."""
+        OPTIONAL/MINUS groups, UNION chains, subqueries, FILTER,
+        BIND, VALUES."""
         self._expect("PUNCT", "{")
         where: list = []
         union: list = []
+        union_chains: list = []
         subqueries: list = []
         optional: list = []
         minus: list = []
@@ -488,11 +493,11 @@ class _Parser:
                         "triples in the WHERE block instead"
                     )
                 if union:
-                    raise SparqlSyntaxError(
-                        "the composer plans one UNION chain per query; "
-                        "merge the branches or split the query"
-                    )
-                union = branches
+                    # further chains are independent bag-unions, each
+                    # joined onto the solutions on its shared variables
+                    union_chains.append(branches)
+                else:
+                    union = branches
             else:
                 where.extend(self._triple_block(allow_paths=True))
         self._expect("PUNCT", "}")
@@ -500,7 +505,7 @@ class _Parser:
             raise SparqlSyntaxError("WHERE block binds no patterns")
         return _Group(
             where, union, optional, minus, exists, not_exists, binds,
-            filters, values, subqueries,
+            filters, values, subqueries, union_chains,
         )
 
     def _braced_triples(self) -> list:

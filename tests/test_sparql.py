@@ -149,11 +149,6 @@ def test_parse_construct_ast():
     [
         ("PREFIX x: <http://x> SELECT ?a WHERE { ?a b ?c }", "subset"),
         ("SELECT ?a WHERE { ?a ?p ?c }", "variable predicate"),
-        (
-            "SELECT ?a WHERE { { ?a b ?c } UNION { ?a d ?c } "
-            "{ ?a e ?c } UNION { ?a f ?c } }",
-            "one UNION chain",
-        ),
         ("SELECT ?a WHERE { ?a b ?c } trailing", "trailing input"),
         (
             "SELECT ?a WHERE { ?a b ?c VALUES (?a ?c) { (x) } }",
@@ -601,3 +596,28 @@ def test_subquery_scope_hides_inner_vars(spark, kg):
             'SELECT ?e WHERE { ?d engine ?e '
             '{ SELECT ?e WHERE { ?d2 engine ?e } } FILTER (?d2 <> "x") }',
         ).collect()
+
+
+def test_exec_multiple_union_chains(spark, kg):
+    # two independent UNION chains: each bag-unions its branches, then
+    # joins the accumulated solutions on ?d — conjunctive semantics
+    t = _triples(spark, kg)
+    got = sparql.sparql(
+        t,
+        """
+        SELECT DISTINCT ?d WHERE {
+          { ?d exec_op "join" } UNION { ?d exec_op "sort" }
+          { ?d engine "spark" } UNION { ?d engine "hash" }
+        }
+        ORDER BY ?d
+        """,
+    )
+    # join|sort docs: d1,d2,d3,d4; spark|hash docs: d1,d2,d3,d5
+    assert [r["d"] for r in got.collect()] == ["d1", "d2", "d3"]
+    p = parse(
+        "SELECT ?d WHERE { { ?d b ?x } UNION { ?d c ?x } "
+        "{ ?d e ?y } UNION { ?d f ?y } { ?d g ?z } UNION { ?d h ?z } }"
+    )
+    assert len(p.query.union) == 2
+    assert len(p.query.union_chains) == 2
+    assert all(len(c) == 2 for c in p.query.union_chains)
