@@ -798,10 +798,14 @@ def sparql(
     obj: str = "obj",
     allow_cartesian: bool = False,
     max_closure_rows: int | None = None,
+    stats=None,
 ) -> DataFrame:
     """Parse and execute ``text`` against ``triples`` — the one-call
     text surface over :func:`composer.compose` /
-    :func:`composer.compose_construct`."""
+    :func:`composer.compose_construct`. ``stats`` (an
+    operators/kgstats.TripleStats, computed once per snapshot)
+    switches join ordering to the cost-based optimizer; results are
+    identical either way."""
     from . import paths as _paths
 
     cap = (
@@ -814,16 +818,18 @@ def sparql(
         return compose_construct(
             triples, pq.query, pq.heads, subj=subj, pred=pred, obj=obj,
             allow_cartesian=allow_cartesian, max_closure_rows=cap,
+            stats=stats,
         )
     if pq.form == "describe":
         return compose_describe(
             triples, pq.query, pq.targets, subj=subj, pred=pred,
             obj=obj, allow_cartesian=allow_cartesian,
-            max_closure_rows=cap,
+            max_closure_rows=cap, stats=stats,
         )
     sol = compose(
         triples, pq.query, subj=subj, pred=pred, obj=obj,
         allow_cartesian=allow_cartesian, max_closure_rows=cap,
+        stats=stats,
     )
     if pq.form == "ask":
         # the composed plan is LIMIT 1, so this count scans at most one
