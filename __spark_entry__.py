@@ -1643,6 +1643,28 @@ def q_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) state query (operators/ranges.asof_state
+    over state_intervals): which event_type state each user held at
+    the fixed instant 2024-01-15 00:00:00, summarized per state. The
+    interval table is the SCD2 output already oracle-checked by
+    state_intervals; the AS OF slice is two range predicates (no join,
+    no window) — at scale the valid_from bound partition-prunes an
+    interval snapshot, the assertion-granular analogue of an Iceberg
+    snapshot read. Oracle: the same gaps-and-islands CTE chain with
+    the covering-interval predicate."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    iv = ranges.state_intervals(ev, "user_id", "event_type", "ts", tie="event_id")
+    snap = ranges.asof_state(iv, "2024-01-15 00:00:00")
+    return snap.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("key").alias("min_user"),
+        F.sum("n_events").alias("n_events_in_state"),
+    )
+
+
 def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk-style random walks
     (operators/graph.random_walks): 2 walks of length 3 from every
@@ -2757,6 +2779,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": q_graph_scc,
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_multiunion": q_kg_sparql_multiunion,
+        "kg_asof_snapshot": q_kg_asof_snapshot,
     }
 
 
@@ -4562,6 +4585,42 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY valid_from, _tie0) AS valid_to,
                    n_events
             FROM iv
+        """,
+        "kg_asof_snapshot": """
+            WITH r AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                          IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+            ),
+            r2 AS (
+              SELECT user_id, event_type, ts, event_id,
+                     sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS _run
+              FROM r
+            ),
+            iv AS (
+              SELECT user_id, _run, event_type AS state,
+                     min(ts) AS valid_from, count(*) AS n_events,
+                     min(event_id) AS _tie0
+              FROM r2 GROUP BY user_id, _run, event_type
+            ),
+            closed AS (
+              SELECT user_id, state, valid_from, n_events,
+                     lead(valid_from) OVER (
+                       PARTITION BY user_id
+                       ORDER BY valid_from, _tie0) AS valid_to
+              FROM iv
+            )
+            SELECT state, count(*) AS n_users, min(user_id) AS min_user,
+                   sum(n_events) AS n_events_in_state
+            FROM closed
+            WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+              AND (valid_to IS NULL
+                   OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+            GROUP BY state
         """,
         "graph_random_walks": _WALKS_SQL,
         "kg_negative_samples": f"""

@@ -22,7 +22,7 @@ match.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -134,4 +134,35 @@ def state_intervals(
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_events",
+    )
+
+
+def asof_state(
+    intervals: DataFrame,
+    at,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (AS OF) slice of an SCD2 interval table: the rows
+    whose validity interval covers ``at`` — one row per key, the state
+    that HELD at that instant (half-open intervals
+    ``[valid_from, valid_to)``; an open interval, valid_to NULL,
+    covers everything from valid_from on).
+
+    This is the KG time-travel primitive over state_intervals output:
+    "the graph as of T" is the asof_state slice of the per-assertion
+    interval table — the query-side analogue of an Iceberg snapshot
+    read, but at ASSERTION granularity rather than file granularity
+    (the reference's corrections timeline answers the same question
+    per-document in pandas, corrections_manager.py latest_state).
+
+    Plan shape: two range predicates on the interval table — no join,
+    no window; with the interval snapshot partitioned/sorted on
+    valid_from, the lower bound prunes files. ``at`` may be a Column
+    or a literal (strings are cast to timestamp).
+    """
+    at_col = at if isinstance(at, Column) else F.lit(at).cast("timestamp")
+    return intervals.filter(
+        (F.col(valid_from) <= at_col)
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > at_col))
     )

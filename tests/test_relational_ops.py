@@ -450,3 +450,39 @@ def test_state_intervals_null_states_merge(spark):
         key=lambda x: x[1],
     )
     assert rows == [(None, 10, 30, 2), ("a", 30, None, 1)]
+
+
+def test_asof_state_boundaries(spark):
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+
+    rows = [
+        ("u1", "a", "2024-01-01 00:00:00", 1),
+        ("u1", "b", "2024-01-10 00:00:00", 2),
+        ("u2", "c", "2024-01-05 00:00:00", 3),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, state string, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = ranges.state_intervals(ev, "user_id", "state", "ts", tie="event_id")
+
+    def states_at(t):
+        return {
+            (r["key"], r["state"])
+            for r in ranges.asof_state(iv, t).collect()
+        }
+
+    # before everything: nothing valid
+    assert states_at("2023-12-31 00:00:00") == set()
+    # at == valid_from is INCLUDED (half-open [from, to))
+    assert states_at("2024-01-01 00:00:00") == {("u1", "a")}
+    # at == next interval's valid_from: old state EXCLUDED, new included
+    assert states_at("2024-01-10 00:00:00") == {("u1", "b"), ("u2", "c")}
+    # open interval (valid_to NULL) covers far future
+    assert states_at("2030-01-01 00:00:00") == {("u1", "b"), ("u2", "c")}
+    # Column-typed `at` works too
+    got = ranges.asof_state(
+        iv, F.lit("2024-01-06 00:00:00").cast("timestamp")
+    )
+    assert {(r["key"], r["state"]) for r in got.collect()} == {
+        ("u1", "a"), ("u2", "c")
+    }
