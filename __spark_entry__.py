@@ -2023,6 +2023,46 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG with topological levels
+    (operators/graph.condensation_levels): SCCs of the same
+    modulo-sliced directed trade graph as graph_scc contracted to
+    super-nodes, each assigned its longest-path level (sources at 0)
+    — the dependency-strata view a topological analysis runs on once
+    cycles are contracted. Summarized per level; the DuckDB oracle
+    restates SCCs as mutual reachability and levels as a recursive
+    DISTINCT (node, path-length) enumeration with a max() roll-up
+    (finite because the condensation is a DAG)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter((F.col("o_custkey") % 10 == 0) & (F.col("l_suppkey") % 2 == 0))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.col("l_quantity").alias("q"),
+        )
+    )
+    edges = (
+        pairs.filter(F.col("q") >= 30)
+        .select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(
+            pairs.filter(F.col("q") <= 10)
+            .select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+        .distinct()
+    )
+    lv = graph.condensation_levels(edges)
+    return lv.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_sccs"),
+        F.sum("n_nodes").alias("n_nodes"),
+        F.min("scc_id").alias("min_scc"),
+    )
+
+
 def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot KG diff (operators/kgvalidate.triple_diff):
     the 'old' build extracted docs with doc_id % 7 != 0, the 'new'
@@ -2780,6 +2820,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_multiunion": q_kg_sparql_multiunion,
         "kg_asof_snapshot": q_kg_asof_snapshot,
+        "graph_condensation": q_graph_condensation,
     }
 
 
@@ -5952,6 +5993,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT scc_size, count(*) AS n_sccs, min(scc_id) AS min_scc
             FROM sizes GROUP BY scc_size
+        """,
+        "graph_condensation": """
+            WITH RECURSIVE pairs AS MATERIALIZED (
+              SELECT DISTINCT
+                     'c:' || CAST(o.o_custkey AS VARCHAR) AS c,
+                     's:' || CAST(l.l_suppkey AS VARCHAR) AS s,
+                     l.l_quantity AS q
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_custkey % 10 = 0 AND l.l_suppkey % 2 = 0
+            ),
+            e AS MATERIALIZED (
+              SELECT c AS src, s AS dst FROM pairs WHERE q >= 30
+              UNION
+              SELECT s AS src, c AS dst FROM pairs WHERE q <= 10
+            ),
+            n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            r AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst
+            ),
+            rm AS MATERIALIZED (SELECT src, dst FROM r),
+            mut AS (
+              SELECT a.src AS v, a.dst AS w
+              FROM rm a JOIN rm b ON b.src = a.dst AND b.dst = a.src
+            ),
+            scc AS MATERIALIZED (
+              SELECT n.node,
+                     greatest(n.node, coalesce(max(m.w), n.node)) AS scc_id
+              FROM n LEFT JOIN mut m ON m.v = n.node
+              GROUP BY n.node
+            ),
+            se AS MATERIALIZED (
+              SELECT DISTINCT s1.scc_id AS sfrom, s2.scc_id AS sto
+              FROM e
+              JOIN scc s1 ON s1.node = e.src
+              JOIN scc s2 ON s2.node = e.dst
+              WHERE s1.scc_id <> s2.scc_id
+            ),
+            -- longest path ending at each super-node: enumerate
+            -- DISTINCT (node, length) pairs (finite on a DAG), max()
+            p AS (
+              SELECT scc_id AS sn, 0 AS l FROM (SELECT DISTINCT scc_id
+                                                FROM scc)
+              UNION
+              SELECT se.sto, p.l + 1 FROM p JOIN se ON se.sfrom = p.sn
+            ),
+            lvl AS (SELECT sn, max(l) AS level FROM p GROUP BY sn),
+            sizes AS (
+              SELECT scc_id, count(*) AS n_nodes FROM scc GROUP BY scc_id
+            )
+            SELECT lvl.level, count(*) AS n_sccs,
+                   sum(sizes.n_nodes) AS n_nodes,
+                   min(sizes.scc_id) AS min_scc
+            FROM sizes JOIN lvl ON lvl.sn = sizes.scc_id
+            GROUP BY lvl.level
         """,
         "graph_hits": _HITS_SQL,
         "kg_sparql_exists": f"""

@@ -1086,3 +1086,86 @@ def scc(
     if assigned is None:  # edge-less input: no endpoints, empty result
         return nodes.select("node", F.col("node").alias("scc_id")).limit(0)
     return assigned
+
+
+def condensation_levels(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 200,
+) -> DataFrame:
+    """Condensation of a directed graph — SCCs contracted to
+    super-nodes — with each super-node's topological LEVEL: the
+    longest super-edge path ending at it (sources sit at level 0).
+    Returns (scc_id, n_nodes, level).
+
+    This is what topological analyses run on once cycles are
+    contracted (the scc() docstring's punchline made executable):
+    dependency strata of a build graph, import layers of a source
+    repo, entity-derivation depth in a KG. The condensation of any
+    digraph is a DAG (Harary, graph-theory textbook material), so
+    longest-path is well-defined and the relaxation below terminates
+    in exactly DAG-depth rounds.
+
+    Plan shape: scc() assigns components; super-edges are two hash
+    joins of the edge table against the (node -> scc_id) map plus a
+    distinct (self-loops dropped); levels run the same frontier-only
+    max-propagation loop as scc()'s coloring — only super-nodes whose
+    level improved last round push candidates, loop_ckpt per round,
+    one bounded isEmpty() scalar per round, RuntimeError past
+    ``max_rounds`` (which bounds CONDENSATION DEPTH — at 200 it
+    exceeds any real dependency graph's strata count). Restated in
+    DuckDB as mutual-reachability SCCs + a recursive distinct
+    (node, length) path-length enumeration with a max() roll-up.
+    """
+    comp = scc(edges, src=src, dst=dst, max_rounds=max_rounds)
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    c_src = comp.select(
+        F.col("node").alias("_s"), F.col("scc_id").alias("_cs")
+    )
+    c_dst = comp.select(
+        F.col("node").alias("_d"), F.col("scc_id").alias("_cd")
+    )
+    se = loop_ckpt(
+        e.join(c_src, "_s")
+        .join(c_dst, "_d")
+        .filter(F.col("_cs") != F.col("_cd"))
+        .select(F.col("_cs").alias("_from"), F.col("_cd").alias("_to"))
+        .distinct()
+    )
+    sizes = comp.groupBy("scc_id").agg(F.count(F.lit(1)).alias("n_nodes"))
+    level = loop_ckpt(
+        sizes.select("scc_id", F.lit(0).alias("level"))
+    )
+    delta = level
+    for _ in range(max_rounds + 1):
+        cand = (
+            delta.join(se, delta["scc_id"] == se["_from"])
+            .groupBy(F.col("_to").alias("scc_id"))
+            .agg((F.max("level") + F.lit(1)).alias("cand"))
+        )
+        improved = (
+            cand.join(level, "scc_id")
+            .filter(F.col("cand") > F.col("level"))
+            .select("scc_id", F.col("cand").alias("level"))
+            .transform(loop_ckpt)
+        )
+        if improved.isEmpty():
+            return sizes.join(level, "scc_id").select(
+                "scc_id", "n_nodes", "level"
+            )
+        level = (
+            level.join(
+                improved.withColumnRenamed("level", "_new"), "scc_id", "left"
+            )
+            .select(
+                "scc_id", F.coalesce("_new", "level").alias("level")
+            )
+            .transform(loop_ckpt)
+        )
+        delta = improved
+    raise RuntimeError(
+        f"condensation_levels did not converge within {max_rounds} "
+        "rounds — the condensation is deeper than the budget (or the "
+        "input is not the graph you think it is)"
+    )

@@ -288,3 +288,62 @@ def test_scc_edge_cases(spark):
     )
     got = {r["node"]: r["scc_id"] for r in graph.scc(dag).collect()}
     assert got == {"a": "a", "b": "b", "c": "c"}
+
+
+def test_condensation_levels_match_python(spark):
+    import sys
+    from collections import Counter
+
+    def reference(edges):
+        sys.setrecursionlimit(10000)
+        adj, nodes = {}, set()
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+            nodes.update((s, d))
+        index, low, onstk, stk, out, ctr = {}, {}, set(), [], {}, [0]
+
+        def strong(v):
+            index[v] = low[v] = ctr[0]
+            ctr[0] += 1
+            stk.append(v)
+            onstk.add(v)
+            for w in adj.get(v, []):
+                if w not in index:
+                    strong(w)
+                    low[v] = min(low[v], low[w])
+                elif w in onstk:
+                    low[v] = min(low[v], index[w])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = max(comp)
+                for w in comp:
+                    out[w] = m
+
+        for v in sorted(nodes):
+            if v not in index:
+                strong(v)
+        se = {(out[s], out[d]) for s, d in edges if out[s] != out[d]}
+        lvl = {c: 0 for c in set(out.values())}
+        changed = True
+        while changed:  # bellman longest-path on the (small) DAG
+            changed = False
+            for a, b in se:
+                if lvl[a] + 1 > lvl[b]:
+                    lvl[b] = lvl[a] + 1
+                    changed = True
+        sz = Counter(out.values())
+        return {(c, sz[c], lvl[c]) for c in lvl}
+
+    for seed, n, m in [(1, 40, 90), (7, 30, 45)]:
+        rng = random.Random(seed)
+        ns = [f"n{i:03d}" for i in range(n)]
+        es = sorted({(rng.choice(ns), rng.choice(ns)) for _ in range(m)})
+        df = spark.createDataFrame(es, "src string, dst string")
+        got = {tuple(r) for r in graph.condensation_levels(df).collect()}
+        assert got == reference(es)
