@@ -2563,6 +2563,34 @@ def q_kg_sparql_multiunion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sparql_aggpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregate builtins + negated property set through the
+    text front-end: GROUP_CONCAT with an explicit SEPARATOR (this
+    engine defines the spec's undefined concatenation order as
+    ASCENDING — array_sort before array_join — so the string is
+    deterministic at any parallelism and restatable as
+    list_sort/array_to_string in the oracle), SAMPLE (defined as min,
+    same determinism argument), and ``!(engine|exec_op)`` — the
+    negated property set compiling to ONE NOT-IN-filtered scan, never
+    a join against the predicate list."""
+    from gliner_transbronchialbiopsy_spark.operators import sparql as _sparql
+
+    t = q_kg_triples(spark, sf_dir)
+    return _sparql.sparql(
+        t,
+        """
+        SELECT ?e (group_concat(DISTINCT ?op; SEPARATOR = "|") AS ?ops)
+               (SAMPLE(?noun) AS ?first_noun) (count(*) AS ?n_bindings)
+        WHERE {
+          ?d engine ?e .
+          ?d exec_op ?op .
+          ?d !(engine|exec_op) ?noun .
+        }
+        GROUP BY ?e
+        """,
+    )
+
+
 def q_kg_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL-lite property entailment (operators/owl.py): the schema is
     DATA, not code — an ontology triple table (subPropertyOf chain
@@ -2821,6 +2849,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_multiunion": q_kg_sparql_multiunion,
         "kg_asof_snapshot": q_kg_asof_snapshot,
         "graph_condensation": q_graph_condensation,
+        "kg_sparql_aggpath": q_kg_sparql_aggpath,
     }
 
 
@@ -5927,6 +5956,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_bindings
             FROM c1 JOIN c2 USING (d)
             GROUP BY e
+        """.format(kw_values=kw_values),
+        "kg_sparql_aggpath": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            e AS (SELECT DISTINCT subj AS d, obj AS e FROM t
+                  WHERE pred = 'engine'),
+            op AS (SELECT DISTINCT subj AS d, obj AS op FROM t
+                   WHERE pred = 'exec_op'),
+            -- negated property set !(engine|exec_op): NOT IN scan
+            nn AS (SELECT DISTINCT subj AS d, obj AS noun FROM t
+                   WHERE pred NOT IN ('engine', 'exec_op')),
+            sol AS (
+              SELECT e.e, op.op, nn.noun
+              FROM e JOIN op USING (d) JOIN nn USING (d)
+            )
+            SELECT e,
+                   array_to_string(list_sort(list(DISTINCT op)), '|') AS ops,
+                   min(noun) AS first_noun,
+                   count(*) AS n_bindings
+            FROM sol GROUP BY e
         """.format(kw_values=kw_values),
         "kg_sparql_subquery": f"""
             WITH t AS MATERIALIZED (

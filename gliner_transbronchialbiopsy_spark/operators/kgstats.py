@@ -163,6 +163,11 @@ def _estimate_spec(spec: tuple, stats: TripleStats) -> float:
     if op == "pred":
         st = stats.pred.get(spec[1])
         return float(st.count) if st else 0.0
+    if op == "neg":
+        excluded = sum(
+            float(stats.pred[p].count) for p in spec[1:] if p in stats.pred
+        )
+        return max(float(stats.total) - excluded, 0.0)
     if op == "inv":
         return _estimate_spec(spec[1], stats)
     if op == "seq":

@@ -125,6 +125,17 @@ def _eval(t: DataFrame, spec, nodes: DataFrame, max_closure_rows: int) -> DataFr
             .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
             .distinct()
         )
+    if op == "neg":
+        # SPARQL negated property set !(p1|...|pk), forward members
+        # only: one scan with a NOT IN filter — still a single
+        # pushed-down predicate, never a join against the pred list
+        if not args or not all(isinstance(a, str) for a in args):
+            raise ValueError(f"('neg', p1, ...) takes predicate strings, got {spec!r}")
+        return (
+            t.filter(~F.col("pred").isin(list(args)))
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .distinct()
+        )
     if op == "inv":
         (inner,) = args
         e = _eval(t, inner, nodes, max_closure_rows)
@@ -220,11 +231,25 @@ def path_reachable(
                 .select(F.col("obj").alias("node"))
                 .distinct()
             )
+        if op == "neg":
+            return (
+                s.join(t.filter(~F.col("pred").isin(list(args))),
+                       s["node"] == F.col("subj"))
+                .select(F.col("obj").alias("node"))
+                .distinct()
+            )
         if op == "inv":
             (inner,) = args
             if inner[0] == "pred":
                 return (
                     s.join(t.filter(F.col("pred") == F.lit(inner[1])),
+                           s["node"] == F.col("obj"))
+                    .select(F.col("subj").alias("node"))
+                    .distinct()
+                )
+            if inner[0] == "neg":
+                return (
+                    s.join(t.filter(~F.col("pred").isin(list(inner[1:]))),
                            s["node"] == F.col("obj"))
                     .select(F.col("subj").alias("node"))
                     .distinct()
@@ -273,7 +298,7 @@ def _invert(sp):
     """Rewrite a path spec to its inverse: ^(a/b) = ^b/^a,
     ^(a|b) = ^a|^b, ^(p+) = (^p)+, ^^p = p."""
     op, args = sp[0], sp[1:]
-    if op == "pred":
+    if op in ("pred", "neg"):
         return ("inv", sp)
     if op == "inv":
         return args[0]

@@ -100,8 +100,10 @@ _UNSUPPORTED_WORDS = {
 _AGG_FNS = {"count", "sum", "min", "max", "avg"}
 
 #: SPARQL builtin -> Spark SQL function, applied inside expressions.
+#: SAMPLE is implementation-defined by the SPARQL spec; this engine
+#: defines it as min() so results are deterministic and restatable.
 _FN_MAP = {"regex": "regexp_like", "strlen": "length",
-           "lcase": "lower", "ucase": "upper"}
+           "lcase": "lower", "ucase": "upper", "sample": "min"}
 
 
 @dataclass(frozen=True)
@@ -589,6 +591,22 @@ class _Parser:
         return parts[0] if len(parts) == 1 else ("seq", *parts)
 
     def _path_unary(self):
+        if self._at("PUNCT", "!"):
+            # negated property set: !p or !(p1|p2|...) — forward
+            # members only (inverse members ^p inside a negated set
+            # are outside the subset and raise, never misparse)
+            self._next()
+            if self._at("PUNCT", "("):
+                self._next()
+                preds = [self._neg_member()]
+                while self._at("PUNCT", "|"):
+                    self._next()
+                    preds.append(self._neg_member())
+                self._expect("PUNCT", ")")
+            else:
+                preds = [self._neg_member()]
+            ast = ("neg", *preds)
+            return self._path_postfix(ast)
         if self._at("PUNCT", "^"):
             self._next()
             return ("inv", self._path_unary())
@@ -610,6 +628,9 @@ class _Parser:
                     f"{t.value!r}"
                 )
             ast = ("pred", t.value)
+        return self._path_postfix(ast)
+
+    def _path_postfix(self, ast):
         while True:
             if self._at("PUNCT", "+"):
                 self._next()
@@ -622,6 +643,20 @@ class _Parser:
                 ast = ("opt", ("plus", ast))
             else:
                 return ast
+
+    def _neg_member(self) -> str:
+        if self._at("PUNCT", "^"):
+            raise SparqlSyntaxError(
+                "inverse members (^p) inside a negated property set "
+                "are outside the supported subset"
+            )
+        t = self._next()
+        if t.kind not in ("WORD", "STRING"):
+            raise SparqlSyntaxError(
+                f"negated property set expects predicates, got "
+                f"{t.value!r} at offset {t.pos}"
+            )
+        return t.value
 
     # -- FILTER / VALUES / aggregate expressions ---------------------
     def _sql_of_tokens(self, toks: list[_Tok]) -> str:
@@ -745,10 +780,62 @@ class _Parser:
             raise SparqlSyntaxError(
                 "aggregate alias must be a single ?var"
             )
-        expr = self._sql_of_tokens(toks[:as_idx])
+        expr_toks = toks[:as_idx]
+        if (
+            expr_toks
+            and expr_toks[0].kind == "WORD"
+            and expr_toks[0].value.lower() == "group_concat"
+        ):
+            expr = self._group_concat_sql(expr_toks)
+        else:
+            expr = self._sql_of_tokens(expr_toks)
         if not expr:
             raise SparqlSyntaxError("empty aggregate expression")
         return expr, alias_tok.value[1:]
+
+    def _group_concat_sql(self, toks: list[_Tok]) -> str:
+        """``GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR = "sep"])`` ->
+        deterministic Spark SQL. SPARQL leaves the concatenation order
+        undefined; this engine defines it as ASCENDING value order
+        (array_sort before array_join), so the result is bit-identical
+        at any parallelism and restatable in SQL oracles
+        (string_agg(... ORDER BY ...))."""
+        j = 1
+
+        def nxt(kind=None, value=None):
+            nonlocal j
+            if j >= len(toks):
+                raise SparqlSyntaxError("malformed GROUP_CONCAT")
+            t = toks[j]
+            if kind and (t.kind != kind or (value and t.value != value)):
+                raise SparqlSyntaxError(
+                    f"malformed GROUP_CONCAT near {t.value!r}"
+                )
+            j += 1
+            return t
+
+        nxt("PUNCT", "(")
+        distinct = False
+        if j < len(toks) and toks[j].kind == "KW" and toks[j].value == "DISTINCT":
+            distinct = True
+            j += 1
+        var = nxt("VAR").value[1:]
+        sep = " "
+        if j < len(toks) and toks[j].kind == "PUNCT" and toks[j].value == ";":
+            j += 1
+            w = nxt("WORD")
+            if w.value.lower() != "separator":
+                raise SparqlSyntaxError(
+                    "GROUP_CONCAT modifier must be SEPARATOR"
+                )
+            nxt("PUNCT", "=")
+            sep = nxt("STRING").value
+        nxt("PUNCT", ")")
+        if j != len(toks):
+            raise SparqlSyntaxError("trailing tokens in GROUP_CONCAT")
+        collect = "collect_set" if distinct else "collect_list"
+        sep_sql = sep.replace("'", "''")
+        return f"array_join(array_sort({collect}({var})), '{sep_sql}')"
 
     def _values_block(self):
         if self._at("VAR"):

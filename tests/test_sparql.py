@@ -621,3 +621,59 @@ def test_exec_multiple_union_chains(spark, kg):
     assert len(p.query.union) == 2
     assert len(p.query.union_chains) == 2
     assert all(len(c) == 2 for c in p.query.union_chains)
+
+
+def test_exec_group_concat_and_sample(spark, kg):
+    t = _triples(spark, kg)
+    got = sparql.sparql(
+        t,
+        'SELECT ?e (group_concat(DISTINCT ?op; SEPARATOR = "|") AS ?ops) '
+        "(SAMPLE(?d) AS ?a_doc) WHERE { ?d engine ?e . ?d exec_op ?op } "
+        "GROUP BY ?e ORDER BY ?e",
+    )
+    # deterministic by definition: sorted concat, min-valued SAMPLE
+    assert [tuple(r) for r in got.collect()] == [
+        ("hash", "filter|join", "d2"),
+        ("spark", "filter|join|sort", "d1"),
+        ("vector", "join|sort", "d4"),
+    ]
+
+
+def test_parse_group_concat_errors():
+    with pytest.raises(SparqlSyntaxError, match="SEPARATOR"):
+        parse(
+            'SELECT (group_concat(?x; FOO = ",") AS ?g) '
+            "WHERE { ?d engine ?x }"
+        )
+    with pytest.raises(SparqlSyntaxError, match="malformed GROUP_CONCAT"):
+        parse("SELECT (group_concat() AS ?g) WHERE { ?d engine ?x }")
+
+
+def test_exec_negated_property_set(spark, kg):
+    t = _triples(spark, kg)
+    got = sparql.sparql(
+        t,
+        "SELECT DISTINCT ?x WHERE { d3 !(engine|a) ?x } ORDER BY ?x",
+    )
+    # d3's non-engine, non-a assertions: exec_op sort + nouns
+    assert [r["x"] for r in got.collect()] == ["row", "sort", "table"]
+    with pytest.raises(SparqlSyntaxError, match="inverse members"):
+        parse("SELECT ?x WHERE { d1 !(engine|^a) ?x }")
+
+
+def test_negated_set_inverse_and_estimate():
+    from gliner_transbronchialbiopsy_spark.operators import kgstats, paths
+    from gliner_transbronchialbiopsy_spark.operators.kgstats import (
+        PredStat,
+        TripleStats,
+    )
+
+    assert paths._invert(("neg", "p", "q")) == ("inv", ("neg", "p", "q"))
+    st = TripleStats(
+        total=100,
+        ndv_subj=10,
+        ndv_obj=10,
+        pred={"p": PredStat(70, 10, 10), "q": PredStat(30, 10, 10)},
+    )
+    assert kgstats._estimate_spec(("neg", "p"), st) == 30.0
+    assert kgstats._estimate_spec(("neg", "p", "q"), st) == 0.0
