@@ -322,6 +322,30 @@ AUDIT = {
         "!BroadcastNestedLoopJoin",
         "!InPandas",
     ),
+    # AS OF slice (round-5): two range predicates over the SCD2
+    # window output — no join anywhere, pure JVM
+    "kg_asof_snapshot": (
+        "Window",
+        "HashAggregate",
+        "!Join",
+        "!InPandas",
+    ),
+    # condensation levels (round-5): same checkpointed-iteration shape
+    # as graph_scc, final plan = super-node joins + aggregates
+    "graph_condensation": (
+        "Scan ExistingRDD",
+        "HashAggregate",
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+    ),
+    # GROUP_CONCAT/SAMPLE + negated property set (round-5): the NOT-IN
+    # scan is a plain filter, aggregation is sort-free collect+sort
+    # inside the agg — all JVM
+    "kg_sparql_aggpath": (
+        "HashAggregate",
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+    ),
     # SCC (round-5): the visible plan is the two nested aggregates over
     # the final peel's checkpointed assignment RDD — every iterative
     # round ran behind loop_ckpt barriers, no Python anywhere
