@@ -47,8 +47,13 @@ Supported subset (everything the composer can plan):
 FILTER / aggregate expressions are translated token-wise to Spark SQL
 (``?var`` -> column, ``&&``/``||``/``!`` -> AND/OR/NOT, double- ->
 single-quoted strings, REGEX -> regexp_like, STRLEN -> length,
-LCASE/UCASE -> lower/upper) and evaluated by ``F.expr`` — the subset
-is exactly what the composer's ``filters``/``aggs`` fields accept.
+LCASE/UCASE -> lower/upper, BOUND -> isnotnull, STR -> string cast,
+STRSTARTS/STRENDS -> startswith/endswith; COALESCE, IF, CONTAINS,
+CONCAT, SUBSTR, ABS, CEIL, FLOOR, ROUND, IN pass through under the
+same names) and evaluated by ``F.expr`` — the subset is exactly what
+the composer's ``filters``/``aggs`` fields accept. Non-aggregate
+projection expressions go through BIND; ``(expr AS ?v)`` inside
+SELECT is the aggregate projection form.
 
 Unsupported SPARQL (explicit errors, never silent misparse): prefixed
 IRI declarations, ``<>`` IRIs, blank nodes, ``GRAPH``, and ``UNDEF``
@@ -102,8 +107,14 @@ _AGG_FNS = {"count", "sum", "min", "max", "avg"}
 #: SPARQL builtin -> Spark SQL function, applied inside expressions.
 #: SAMPLE is implementation-defined by the SPARQL spec; this engine
 #: defines it as min() so results are deterministic and restatable.
+#: BOUND maps to isnotnull (SPARQL's unbound IS this engine's NULL —
+#: OPTIONAL left joins produce NULLs for unmatched groups); STR is the
+#: string cast. COALESCE / IF / ABS / CEIL / FLOOR / ROUND / CONCAT /
+#: SUBSTR pass through untouched — identical names in Spark SQL.
 _FN_MAP = {"regex": "regexp_like", "strlen": "length",
-           "lcase": "lower", "ucase": "upper", "sample": "min"}
+           "lcase": "lower", "ucase": "upper", "sample": "min",
+           "bound": "isnotnull", "str": "string",
+           "strstarts": "startswith", "strends": "endswith"}
 
 
 @dataclass(frozen=True)

@@ -677,3 +677,26 @@ def test_negated_set_inverse_and_estimate():
     )
     assert kgstats._estimate_spec(("neg", "p"), st) == 30.0
     assert kgstats._estimate_spec(("neg", "p", "q"), st) == 0.0
+
+
+def test_filter_builtins_bound_str_starts(spark, kg):
+    t = _triples(spark, kg)
+    # BOUND over an OPTIONAL-produced NULL: docs WITHOUT a data_noun
+    got = sparql.sparql(
+        t,
+        "SELECT ?d WHERE { ?d engine ?e OPTIONAL { ?d data_noun ?n } "
+        "FILTER (!bound(?n)) } ORDER BY ?d",
+    )
+    assert [r["d"] for r in got.collect()] == ["d4"]
+    # STRSTARTS / IF / COALESCE / STR pass through (via BIND — SELECT
+    # (expr AS ?v) is the aggregate projection form in this subset)
+    got = sparql.sparql(
+        t,
+        'SELECT DISTINCT ?e ?kind WHERE { '
+        "?d engine ?e OPTIONAL { ?d data_noun ?none } "
+        'BIND (IF(strstarts(?e, "s"), "s-engine", '
+        'coalesce(str(?none), "other")) AS ?kind) } ORDER BY ?e',
+    )
+    rows = {(r["e"], r["kind"]) for r in got.collect()}
+    assert ("spark", "s-engine") in rows
+    assert ("hash", "other") in rows or ("hash", "column") in rows
