@@ -2591,6 +2591,34 @@ def q_kg_sparql_aggpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sparql_undef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES with UNDEF (SPARQL partial mappings) through the text
+    front-end: three mask groups — fully ground (spark, join),
+    engine-only (hash, UNDEF), op-only (UNDEF, sort) — each compiled
+    to one broadcast join on its DEFINED columns, bag-unioned
+    (bgp._values_with_undef). The multiset subtlety the oracle must
+    restate: a (hash, sort) solution is compatible with BOTH partial
+    rows and appears twice, so n_solutions counts it twice while
+    n_docs collapses — the oracle is a UNION ALL of three per-mask
+    joins, not a single IN filter."""
+    from gliner_transbronchialbiopsy_spark.operators import sparql as _sparql
+
+    t = q_kg_triples(spark, sf_dir)
+    sols = _sparql.sparql(
+        t,
+        """
+        SELECT ?d ?e ?op WHERE {
+          ?d engine ?e . ?d exec_op ?op
+          VALUES (?e ?op) { (spark join) (hash UNDEF) (UNDEF sort) }
+        }
+        """,
+    )
+    return sols.groupBy("e", "op").agg(
+        F.countDistinct("d").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_solutions"),
+    )
+
+
 def q_kg_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL-lite property entailment (operators/owl.py): the schema is
     DATA, not code — an ontology triple table (subPropertyOf chain
@@ -2850,6 +2878,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_asof_snapshot": q_kg_asof_snapshot,
         "graph_condensation": q_graph_condensation,
         "kg_sparql_aggpath": q_kg_sparql_aggpath,
+        "kg_sparql_undef": q_kg_sparql_undef,
     }
 
 
@@ -5956,6 +5985,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_bindings
             FROM c1 JOIN c2 USING (d)
             GROUP BY e
+        """.format(kw_values=kw_values),
+        "kg_sparql_undef": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            e AS (SELECT DISTINCT subj AS d, obj AS e FROM t
+                  WHERE pred = 'engine'),
+            op AS (SELECT DISTINCT subj AS d, obj AS op FROM t
+                   WHERE pred = 'exec_op'),
+            sol AS (SELECT e.d, e.e, op.op FROM e JOIN op USING (d)),
+            -- one branch per defined-column mask group (UNION ALL:
+            -- a solution compatible with two partial rows counts twice)
+            v AS (
+              SELECT * FROM sol WHERE e = 'spark' AND op = 'join'
+              UNION ALL
+              SELECT * FROM sol WHERE e = 'hash'
+              UNION ALL
+              SELECT * FROM sol WHERE op = 'sort'
+            )
+            SELECT e, op, count(DISTINCT d) AS n_docs,
+                   count(*) AS n_solutions
+            FROM v GROUP BY e, op
         """.format(kw_values=kw_values),
         "kg_sparql_aggpath": f"""
             WITH t AS MATERIALIZED (

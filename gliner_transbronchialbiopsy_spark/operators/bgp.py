@@ -69,6 +69,64 @@ def _scan(triples: DataFrame, pattern: tuple) -> tuple[DataFrame, set]:
     return df.select(*proj).distinct(), set(vars_)
 
 
+def _values_with_undef(acc: DataFrame, cols, rows) -> DataFrame:
+    """VALUES with UNDEF cells (None): each row is a PARTIAL mapping,
+    compatible with a solution wherever its defined cells agree — the
+    SPARQL 1.1 join-of-partial-mappings rule. Compiled per
+    defined-column MASK group: rows sharing a mask become one inline
+    relation joined on the mask's defined columns (set semantics per
+    group, matching the no-UNDEF path's distinct); columns the group
+    leaves UNDEF constrain nothing — fresh ones extend the solutions
+    as NULL. A solution compatible with rows in several mask groups
+    appears once per group (bag union), the SPARQL multiset join.
+
+    Every group must share at least one DEFINED column with the bound
+    solutions (the all-UNDEF row, which binds nothing, passes
+    solutions through unchanged); a group whose defined columns are
+    all fresh is the same disconnected cross product the no-UNDEF
+    path rejects, and raises identically."""
+    acc_cols = list(acc.columns)
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        mask = tuple(v is not None for v in r)
+        groups.setdefault(mask, []).append(tuple(r))
+    out_cols = acc_cols + [c for c in cols if c not in acc_cols]
+    parts = []
+    for mask, rws in sorted(groups.items()):
+        def_cols = [c for c, m in zip(cols, mask) if m]
+        undef_fresh = [
+            c
+            for c, m in zip(cols, mask)
+            if not m and c not in acc_cols
+        ]
+        if not def_cols:
+            # the all-UNDEF row: compatible with everything, binds
+            # nothing — solutions pass through, fresh columns NULL
+            part = acc
+        else:
+            shared = sorted(set(def_cols) & set(acc_cols))
+            if not shared:
+                raise ValueError(
+                    f"VALUES mask group on {def_cols!r} shares no "
+                    "variable with the bound set — a disconnected "
+                    "VALUES is a cross product"
+                )
+            proj = [
+                tuple(v for v, m in zip(r, mask) if m) for r in rws
+            ]
+            vdf = acc.sparkSession.createDataFrame(
+                proj, list(def_cols)
+            ).distinct()
+            part = acc.join(F.broadcast(vdf), on=shared, how="inner")
+        for c in undef_fresh:
+            part = part.withColumn(c, F.lit(None).cast("string"))
+        parts.append(part.select(*out_cols))
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionAll(p)
+    return res
+
+
 def _apply_solution_mods(acc: DataFrame, filters, values) -> DataFrame:
     """Shared FILTER / VALUES tail for bgp_match and bgp_union.
 
@@ -81,21 +139,20 @@ def _apply_solution_mods(acc: DataFrame, filters, values) -> DataFrame:
         if not rows:
             raise ValueError("VALUES block has no rows")
         if any(v is None for r in rows for v in r):
-            raise ValueError(
-                "UNDEF (None) in a VALUES row is not supported — "
-                "split the query into UNION branches instead"
-            )
-        vdf = acc.sparkSession.createDataFrame(
-            [tuple(r) for r in rows], list(cols)
-        ).distinct()
-        shared = sorted(set(cols) & set(acc.columns))
-        if not shared:
-            raise ValueError(
-                f"VALUES columns {list(cols)!r} share no variable with "
-                "the bound set — a disconnected VALUES is a cross product"
-            )
-        # inline data is query-literal-sized: always broadcast
-        acc = acc.join(F.broadcast(vdf), on=shared, how="inner")
+            acc = _values_with_undef(acc, cols, rows)
+        else:
+            vdf = acc.sparkSession.createDataFrame(
+                [tuple(r) for r in rows], list(cols)
+            ).distinct()
+            shared = sorted(set(cols) & set(acc.columns))
+            if not shared:
+                raise ValueError(
+                    f"VALUES columns {list(cols)!r} share no variable "
+                    "with the bound set — a disconnected VALUES is a "
+                    "cross product"
+                )
+            # inline data is query-literal-sized: always broadcast
+            acc = acc.join(F.broadcast(vdf), on=shared, how="inner")
     for flt in filters or []:
         acc = acc.filter(F.expr(flt) if isinstance(flt, str) else flt)
     return acc

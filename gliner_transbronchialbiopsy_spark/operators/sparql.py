@@ -35,7 +35,9 @@ Supported subset (everything the composer can plan):
   honored — MINUS removes nothing, NOT EXISTS removes everything
   when the group matches), ``BIND (expr AS ?v)`` (fresh variables
   only, the SPARQL scope rule),
-  ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }``
+  ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }`` with
+  ``UNDEF`` cells (partial mappings, compiled per defined-column
+  mask group — bgp._values_with_undef)
 - ``GROUP BY``, ``HAVING (constraint) ...`` (inline aggregates are
   rewritten to hidden agg aliases filtered after the aggregation),
   ``ORDER BY [ASC|DESC(?v)]``, ``OFFSET``, ``LIMIT``
@@ -56,8 +58,7 @@ projection expressions go through BIND; ``(expr AS ?v)`` inside
 SELECT is the aggregate projection form.
 
 Unsupported SPARQL (explicit errors, never silent misparse): prefixed
-IRI declarations, ``<>`` IRIs, blank nodes, ``GRAPH``, and ``UNDEF``
-in VALUES.
+IRI declarations, ``<>`` IRIs, blank nodes, and ``GRAPH``.
 """
 
 from __future__ import annotations
@@ -854,7 +855,7 @@ class _Parser:
             self._expect("PUNCT", "{")
             rows = []
             while not self._at("PUNCT", "}"):
-                rows.append((self._term(),))
+                rows.append((self._values_term(),))
             self._next()
             return cols, tuple(rows)
         self._expect("PUNCT", "(")
@@ -870,16 +871,25 @@ class _Parser:
             self._expect("PUNCT", "(")
             row = []
             while not self._at("PUNCT", ")"):
-                row.append(self._term())
+                row.append(self._values_term())
             self._next()
             if len(row) != len(cols):
                 raise SparqlSyntaxError(
-                    f"VALUES row arity {len(row)} != {len(cols)} vars "
-                    "(UNDEF is not supported)"
+                    f"VALUES row arity {len(row)} != {len(cols)} vars"
                 )
             rows.append(tuple(row))
         self._next()
         return tuple(cols), tuple(rows)
+
+    def _values_term(self):
+        """A VALUES cell: a ground term, or UNDEF -> None (the
+        partial-mapping wildcard the composer compiles per
+        defined-column mask group)."""
+        t = self._peek()
+        if t is not None and t.kind == "WORD" and t.value.upper() == "UNDEF":
+            self._next()
+            return None
+        return self._term()
 
 
 def parse(text: str) -> ParsedQuery:

@@ -374,11 +374,12 @@ def test_bgp_values_disconnected_raises(spark):
             t, [("?doc", "engine", "?e")],
             values=(["zzz"], [("x",)]),
         )
-    with pytest.raises(ValueError, match="UNDEF"):
-        bgp.bgp_match(
-            t, [("?doc", "engine", "?e")],
-            values=(["e"], [(None,)]),
-        )
+    # an all-UNDEF row binds nothing: solutions pass through once
+    got = bgp.bgp_match(
+        t, [("?doc", "engine", "?e")],
+        values=(["e"], [(None,)]),
+    )
+    assert [tuple(r) for r in got.collect()] == [("d1", "spark")]
 
 
 def test_bgp_union_bag_semantics_and_null_padding(spark):

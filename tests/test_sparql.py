@@ -700,3 +700,47 @@ def test_filter_builtins_bound_str_starts(spark, kg):
     rows = {(r["e"], r["kind"]) for r in got.collect()}
     assert ("spark", "s-engine") in rows
     assert ("hash", "other") in rows or ("hash", "column") in rows
+
+
+def test_values_undef_partial_mappings(spark, kg):
+    t = _triples(spark, kg)
+    # three mask groups: fully ground, engine-only, op-only
+    got = sparql.sparql(
+        t,
+        """
+        SELECT ?d ?e ?op WHERE {
+          ?d engine ?e . ?d exec_op ?op
+          VALUES (?e ?op) { (spark join) (hash UNDEF) (UNDEF sort) }
+        }
+        ORDER BY ?d ?e ?op
+        """,
+    )
+    # d1 spark/join + spark/filter: only (spark join) matches join;
+    # d2 hash: every op; d3 spark/sort + d4 vector/sort via (UNDEF sort)
+    assert [tuple(r) for r in got.collect()] == [
+        ("d1", "spark", "join"),
+        ("d2", "hash", "join"),
+        ("d3", "spark", "sort"),
+        ("d4", "vector", "sort"),
+        ("d5", "hash", "filter"),
+    ]
+
+
+def test_values_undef_fresh_column_and_multiset(spark, kg):
+    t = _triples(spark, kg)
+    got = sparql.sparql(
+        t,
+        """
+        SELECT ?d ?tag WHERE {
+          ?d engine ?e
+          VALUES (?e ?tag) { (spark star) (UNDEF UNDEF) }
+        }
+        ORDER BY ?d ?tag
+        """,
+    )
+    rows = [tuple(r) for r in got.collect()]
+    # every doc passes the all-UNDEF row (tag NULL); spark docs ALSO
+    # match (spark, star) — one result per compatible row (multiset)
+    assert rows.count(("d1", "star")) == 1 and rows.count(("d1", None)) == 1
+    assert rows.count(("d2", None)) == 1 and ("d2", "star") not in rows
+    assert len(rows) == 7  # 5 docs x all-UNDEF + 2 spark docs x star
