@@ -2591,6 +2591,32 @@ def q_kg_sparql_aggpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (textstats.winnow_fingerprints
+    — Schleimer/Wilkerson/Aiken SIGMOD'03, the MOSS algorithm) over
+    the documents table, k=8 char-grams, window w=4, portable sha256
+    hash family: per-doc fingerprint count, distinct count, and min
+    fingerprint. The selection rule (rightmost window minimum,
+    restated position-locally as left-run + right-run >= w-1) is
+    bit-exact in the DuckDB oracle via 3 lag + 3 lead window columns
+    per position — every selected fingerprint value participates in
+    the hash check. One flat JVM pass per doc, no gram-array
+    intermediate, no Python."""
+    from gliner_transbronchialbiopsy_spark.operators import textstats
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = textstats.winnow_fingerprints(
+        docs, k=8, w=4, portable_hash=True
+    )
+    fp_vals = F.transform(F.col("fps"), lambda x: x["fp"])
+    return fps.select(
+        "doc_id",
+        F.size("fps").alias("n_fps"),
+        F.size(F.array_distinct(fp_vals)).alias("n_distinct"),
+        F.array_min(fp_vals).alias("min_fp"),
+    )
+
+
 def q_kg_sparql_undef(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VALUES with UNDEF (SPARQL partial mappings) through the text
     front-end: three mask groups — fully ground (spark, join),
@@ -2879,6 +2905,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_condensation": q_graph_condensation,
         "kg_sparql_aggpath": q_kg_sparql_aggpath,
         "kg_sparql_undef": q_kg_sparql_undef,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -5986,6 +6013,52 @@ def oracle_sql() -> dict[str, str]:
             FROM c1 JOIN c2 USING (d)
             GROUP BY e
         """.format(kw_values=kw_values),
+        "winnow_fingerprints": """
+            WITH g AS (
+              SELECT d.doc_id, t.i,
+                     CAST('0x' || substr(sha256(substr(d.text,
+                       CAST(t.i AS INT) + 1, 8)), 1, 15) AS BIGINT) AS h
+              FROM documents d,
+              LATERAL unnest(range(greatest(len(d.text) - 7, 0))) AS t(i)
+            ),
+            r AS (
+              SELECT doc_id, i, h,
+                     count(*) OVER (PARTITION BY doc_id) AS n,
+                     lag(h, 1) OVER w AS l1, lag(h, 2) OVER w AS l2,
+                     lag(h, 3) OVER w AS l3,
+                     lead(h, 1) OVER w AS r1, lead(h, 2) OVER w AS r2,
+                     lead(h, 3) OVER w AS r3
+              FROM g
+              WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            runs AS (
+              SELECT doc_id, i, h, n,
+                CASE WHEN l1 IS NOT NULL AND l1 >= h THEN
+                  1 + CASE WHEN l2 IS NOT NULL AND l2 >= h THEN
+                    1 + CASE WHEN l3 IS NOT NULL AND l3 >= h
+                        THEN 1 ELSE 0 END ELSE 0 END ELSE 0 END AS lrun,
+                CASE WHEN r1 IS NOT NULL AND r1 > h THEN
+                  1 + CASE WHEN r2 IS NOT NULL AND r2 > h THEN
+                    1 + CASE WHEN r3 IS NOT NULL AND r3 > h
+                        THEN 1 ELSE 0 END ELSE 0 END ELSE 0 END AS rrun
+              FROM r
+            ),
+            sel AS (
+              SELECT doc_id, i, h FROM runs
+              WHERE lrun + rrun >= 3
+                 OR (lrun = i AND rrun = n - 1 - i)
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_fps,
+                     count(DISTINCT h) AS n_distinct, min(h) AS min_fp
+              FROM sel GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(agg.n_fps, 0) AS INT) AS n_fps,
+                   CAST(coalesce(agg.n_distinct, 0) AS INT) AS n_distinct,
+                   agg.min_fp
+            FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+        """,
         "kg_sparql_undef": f"""
             WITH t AS MATERIALIZED (
               SELECT DISTINCT

@@ -1012,3 +1012,69 @@ def test_duplicate_passages_validation(spark):
         dedup.duplicate_passages(docs, min_docs=1)
     with pytest.raises(ValueError, match="n must"):
         dedup.duplicate_passages(docs, n=0)
+
+
+def test_winnow_matches_bruteforce_and_guarantee(spark):
+    import hashlib
+    import random
+
+    from gliner_transbronchialbiopsy_spark.operators import textstats
+
+    def py_winnow(t, k, w):
+        if len(t) < k:
+            return []
+        hs = [
+            int(hashlib.sha256(t[i:i + k].encode()).hexdigest()[:15], 16)
+            for i in range(len(t) - k + 1)
+        ]
+        if len(hs) <= w - 1:
+            m = min(hs)
+            i = max(j for j, v in enumerate(hs) if v == m)
+            return [(i, hs[i])]
+        sel = set()
+        for j in range(len(hs) - w + 1):
+            win = hs[j:j + w]
+            m = min(win)
+            i = j + max(q for q, v in enumerate(win) if v == m)
+            sel.add((i, hs[i]))
+        return sorted(sel)
+
+    rng = random.Random(13)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaa",          # all-ties: rightmost-min rule matters
+        "abcabcabcabc",          # periodic
+        "xy",                    # shorter than k -> no fingerprints
+        "hello",                 # fewer hashes than w -> global min
+        "",                      # empty
+    ] + [
+        "".join(rng.choice("abcdef ") for _ in range(rng.randint(3, 80)))
+        for _ in range(20)
+    ]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: [(x["pos"], x["fp"]) for x in r["fps"]]
+        for r in textstats.winnow_fingerprints(
+            df, k=3, w=4, portable_hash=True
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[str(i)] == py_winnow(t, 3, 4), (i, t)
+
+    # the winnowing guarantee: a shared substring of length >= k+w-1
+    # produces at least one identical fingerprint in both documents
+    shared = "zqvwxzyqpr"  # length 10 >= 3+4-1
+    a, b = "AAA" + shared + "BBBB", "cc" + shared + "ddddddd"
+    df2 = spark.createDataFrame(
+        [("a", a), ("b", b)], "doc_id string, text string"
+    )
+    fps = {
+        r["doc_id"]: {x["fp"] for x in r["fps"]}
+        for r in textstats.winnow_fingerprints(
+            df2, k=3, w=4, portable_hash=True
+        ).collect()
+    }
+    assert fps["a"] & fps["b"]
