@@ -322,6 +322,22 @@ AUDIT = {
         "!BroadcastNestedLoopJoin",
         "!InPandas",
     ),
+    # VALUES UNDEF (round-5): one broadcast join per defined-column
+    # mask group, bag-unioned — no nested loop, no Python
+    "kg_sparql_undef": (
+        "BroadcastHashJoin",
+        "Union",
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+    ),
+    # winnowing (round-5): a pure projection — the scan reads ONLY
+    # (doc_id, text), the fingerprint selection runs as flat HOFs, and
+    # there is NO shuffle anywhere in the per-doc plan
+    "winnow_fingerprints": (
+        "ReadSchema: struct<doc_id:bigint,text:string",
+        "!Exchange",
+        "!InPandas",
+    ),
     # AS OF slice (round-5): two range predicates over the SCD2
     # window output — no join anywhere, pure JVM
     "kg_asof_snapshot": (
