@@ -2617,6 +2617,30 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-robust cross-doc near-dup pairs (textstats.winnow_pairs):
+    documents sharing >= 2 winnowing fingerprints, fingerprints shared
+    by > 50 docs dropped pre-join (the boilerplate hot-key cap —
+    lower-bound semantics like every capped pair miner here).
+    Complements passage_dedup's verbatim token windows: a shared
+    >= k+w-1-char run collides regardless of surrounding edits.
+    Summarized per n_shared bucket (n_pairs + per-column min ids) so
+    the contract row count stays bounded at any sf; the oracle
+    restates selection (lag/lead runs), census cap, canonical
+    self-join, and bucketing."""
+    from gliner_transbronchialbiopsy_spark.operators import textstats
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = textstats.winnow_pairs(
+        docs, k=8, w=4, min_shared=2, max_fp_docs=50, portable_hash=True
+    )
+    return pairs.groupBy("n_shared").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("doc_a").alias("min_doc_a"),
+        F.min("doc_b").alias("min_doc_b"),
+    )
+
+
 def q_kg_sparql_undef(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VALUES with UNDEF (SPARQL partial mappings) through the text
     front-end: three mask groups — fully ground (spark, join),
@@ -2906,6 +2930,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_aggpath": q_kg_sparql_aggpath,
         "kg_sparql_undef": q_kg_sparql_undef,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -6058,6 +6083,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.n_distinct, 0) AS INT) AS n_distinct,
                    agg.min_fp
             FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+        """,
+        "winnow_pairs": """
+            WITH g AS (
+              SELECT d.doc_id, t.i,
+                     CAST('0x' || substr(sha256(substr(d.text,
+                       CAST(t.i AS INT) + 1, 8)), 1, 15) AS BIGINT) AS h
+              FROM documents d,
+              LATERAL unnest(range(greatest(len(d.text) - 7, 0))) AS t(i)
+            ),
+            r AS (
+              SELECT doc_id, i, h,
+                     count(*) OVER (PARTITION BY doc_id) AS n,
+                     lag(h, 1) OVER w AS l1, lag(h, 2) OVER w AS l2,
+                     lag(h, 3) OVER w AS l3,
+                     lead(h, 1) OVER w AS r1, lead(h, 2) OVER w AS r2,
+                     lead(h, 3) OVER w AS r3
+              FROM g
+              WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            runs AS (
+              SELECT doc_id, i, h, n,
+                CASE WHEN l1 IS NOT NULL AND l1 >= h THEN
+                  1 + CASE WHEN l2 IS NOT NULL AND l2 >= h THEN
+                    1 + CASE WHEN l3 IS NOT NULL AND l3 >= h
+                        THEN 1 ELSE 0 END ELSE 0 END ELSE 0 END AS lrun,
+                CASE WHEN r1 IS NOT NULL AND r1 > h THEN
+                  1 + CASE WHEN r2 IS NOT NULL AND r2 > h THEN
+                    1 + CASE WHEN r3 IS NOT NULL AND r3 > h
+                        THEN 1 ELSE 0 END ELSE 0 END ELSE 0 END AS rrun
+              FROM r
+            ),
+            ex AS (
+              SELECT DISTINCT doc_id, h AS fp FROM runs
+              WHERE lrun + rrun >= 3
+                 OR (lrun = i AND rrun = n - 1 - i)
+            ),
+            keep AS (
+              SELECT fp FROM ex GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 50
+            ),
+            kx AS (SELECT ex.doc_id, ex.fp FROM ex JOIN keep USING (fp)),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_shared
+              FROM kx a JOIN kx b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) >= 2
+            )
+            SELECT n_shared, count(*) AS n_pairs,
+                   min(doc_a) AS min_doc_a, min(doc_b) AS min_doc_b
+            FROM pairs GROUP BY n_shared
         """,
         "kg_sparql_undef": f"""
             WITH t AS MATERIALIZED (

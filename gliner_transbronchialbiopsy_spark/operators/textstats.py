@@ -342,3 +342,60 @@ def winnow_fingerprints(
     return df.withColumn(
         "fps", F.when(n > 0, fps).otherwise(F.array())
     ).drop("_wh")
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int = 50,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Cross-document near-dup candidate pairs from shared winnowing
+    fingerprints -> (doc_a, doc_b, n_shared): document pairs sharing
+    at least ``min_shared`` selected fingerprints. The winnowing
+    guarantee makes this the EDIT-ROBUST complement of
+    dedup.duplicate_passages' verbatim token windows: any shared run
+    of >= k+w-1 characters yields a collision however the surrounding
+    text was edited, and only ~2/(w+1) of positions carry a
+    fingerprint, so the joined relation is a bounded fraction of the
+    corpus (MOSS runs exactly this shape over all submissions).
+
+    Scale discipline (the LSH-bucket-cap pattern of
+    operators/linking.py): fingerprints shared by more than
+    ``max_fp_docs`` documents are dropped BEFORE the self-join —
+    boilerplate license headers are the corpus hot keys, and an
+    uncapped fp group fans out quadratically. Results are therefore
+    lower-bound semantics, documented like every capped pair miner in
+    this engine. Pair order is canonical (doc_a < doc_b).
+    """
+    fps = winnow_fingerprints(
+        df.select(id_col, text_col), text_col, k=k, w=w,
+        portable_hash=portable_hash,
+    )
+    ex = (
+        fps.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(F.col("fps"), lambda x: x["fp"])
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    census = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+    keep = census.filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= max_fp_docs)
+    ).select("fp")
+    keyed = ex.join(keep, "fp", "left_semi")
+    a = keyed.select(F.col("fp"), F.col("_id").alias("doc_a"))
+    b = keyed.select(F.col("fp"), F.col("_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

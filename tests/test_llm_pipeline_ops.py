@@ -1078,3 +1078,33 @@ def test_winnow_matches_bruteforce_and_guarantee(spark):
         ).collect()
     }
     assert fps["a"] & fps["b"]
+
+
+def test_winnow_pairs_finds_edited_copy(spark):
+    from gliner_transbronchialbiopsy_spark.operators import textstats
+
+    shared = "def compute_totals(rows): return sum(r.value for r in rows)"
+    docs = [
+        ("a", "HEADER V1\n" + shared + "\nfooter alpha"),
+        ("b", "completely different preamble. " + shared + " trailing z"),
+        ("c", "nothing in common with the others at all, truly."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in textstats.winnow_pairs(
+            df, k=8, w=4, min_shared=2, portable_hash=True
+        ).collect()
+    }
+    assert ("a", "b") in got and got[("a", "b")] >= 2
+    assert all({p} <= {("a", "b")} for p in got)
+
+    # hot-key cap: a fingerprint shared by every doc is dropped when
+    # max_fp_docs excludes it
+    boiler = [("d%d" % i, "LICENSE APACHE 2.0 common header")
+              for i in range(5)]
+    df2 = spark.createDataFrame(boiler, "doc_id string, text string")
+    n = textstats.winnow_pairs(
+        df2, k=8, w=4, min_shared=1, max_fp_docs=4, portable_hash=True
+    ).count()
+    assert n == 0  # every fp hits 5 docs > cap 4

@@ -338,6 +338,13 @@ AUDIT = {
         "!Exchange",
         "!InPandas",
     ),
+    # winnow pair mining (round-5): census-capped fp self-join —
+    # hash joins + aggregates only
+    "winnow_pairs": (
+        "HashAggregate",
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+    ),
     # AS OF slice (round-5): two range predicates over the SCD2
     # window output — no join anywhere, pure JVM
     "kg_asof_snapshot": (
