@@ -1903,6 +1903,62 @@ def q_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update (operators/update.update_apply): DELETE/
+    INSERT WHERE as a declarative graph-to-graph transform — for every
+    doc that mentions the 'spark' engine, retract its exec_op
+    assertions and re-assert them under the spark_op predicate, both
+    template sets evaluated against the PRE-update graph (the spec's
+    §3.1.3 semantics). The delete is one solution-sized left_anti
+    against the store; the insert-dedup anti-join's store side is
+    restricted to the constant template predicate (a pushed pred
+    filter that partition-prunes a pred-partitioned snapshot). The
+    reference's analogue is the corrections editor rewriting rows in
+    place (src/streamlit/app/app.py corrections tab). Result
+    summarized per predicate; oracle restates (G \\ D) ∪ I with
+    EXCEPT/UNION ALL over set-semantic CTEs."""
+    from gliner_transbronchialbiopsy_spark.operators import update
+    from gliner_transbronchialbiopsy_spark.operators.composer import KGQuery
+
+    triples = q_kg_triples(spark, sf_dir).distinct()
+    out = update.update_apply(
+        triples,
+        where=KGQuery(
+            where=(("?d", "engine", "spark"), ("?d", "exec_op", "?o"))
+        ),
+        delete=[("?d", "exec_op", "?o")],
+        insert=[("?d", "spark_op", "?o")],
+    )
+    return out.groupBy("pred").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+    )
+
+
+def q_kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL Update through the TEXT front-end
+    (operators/sparql.sparql_update): INSERT..WHERE derives
+    vocabulary-sized (engine, uses, noun) facts from corpus-scale
+    co-mention solutions and adds them to the store — the
+    update-shaped sibling of CONSTRUCT (which builds a NEW graph;
+    INSERT extends the queried one, deduped against it). Parser owns
+    only syntax; semantics are update_apply's. Summarized per
+    predicate so the contract row count stays catalog-sized."""
+    from gliner_transbronchialbiopsy_spark.operators import sparql as _sparql
+
+    triples = q_kg_triples(spark, sf_dir).distinct()
+    out = _sparql.sparql_update(
+        triples,
+        "INSERT { ?e uses ?n } WHERE { ?d engine ?e . ?d data_noun ?n }",
+    )
+    return out.groupBy("pred").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+    )
+
+
 def q_kg_rule_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datalog-lite rule materialization (operators/rules.materialize):
     three user-stated rules run to the semi-naive fixed point over the
@@ -2885,6 +2941,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cluster_eval": q_kg_cluster_eval,
         "kg_rule_closure": q_kg_rule_closure,
         "kg_construct": q_kg_construct,
+        "kg_update_where": q_kg_update_where,
+        "kg_sparql_update": q_kg_sparql_update,
         "kg_direct_map": q_kg_direct_map,
         "kg_charsets": q_kg_charsets,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -5157,6 +5215,63 @@ def oracle_sql() -> dict[str, str]:
             FROM per_subj GROUP BY cs, n_preds
         """.format(kw_values=kw_values),
         # CONSTRUCT = one distinct join + template projection
+        # SPARQL Update: (G \ D) ∪ I, both template sets bound from
+        # the PRE-update graph — EXCEPT/UNION ALL over set CTEs
+        "kg_update_where": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            sols AS (
+              SELECT DISTINCT e.subj AS d, o.obj AS o
+              FROM t e JOIN t o ON e.subj = o.subj
+              WHERE e.pred = 'engine' AND e.obj = 'spark'
+                AND o.pred = 'exec_op'),
+            del AS (SELECT DISTINCT d AS subj, 'exec_op' AS pred, o AS obj
+                    FROM sols),
+            ins AS (SELECT DISTINCT d AS subj, 'spark_op' AS pred, o AS obj
+                    FROM sols),
+            surv AS (SELECT subj, pred, obj FROM t
+                     EXCEPT SELECT subj, pred, obj FROM del),
+            adds AS (SELECT subj, pred, obj FROM ins
+                     EXCEPT SELECT subj, pred, obj FROM surv),
+            g AS (SELECT * FROM surv UNION ALL SELECT * FROM adds)
+            SELECT pred, count(*) AS n_triples,
+                   count(DISTINCT subj) AS n_subj,
+                   count(DISTINCT obj) AS n_obj
+            FROM g GROUP BY pred
+        """.format(kw_values=kw_values),
+        # INSERT..WHERE: store extended by deduped template fires
+        "kg_sparql_update": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            sols AS (
+              SELECT DISTINCT e.obj AS e, n.obj AS n
+              FROM t e JOIN t n ON e.subj = n.subj
+              WHERE e.pred = 'engine' AND n.pred = 'data_noun'),
+            ins AS (SELECT DISTINCT e AS subj, 'uses' AS pred, n AS obj
+                    FROM sols),
+            adds AS (SELECT subj, pred, obj FROM ins
+                     EXCEPT SELECT subj, pred, obj FROM t),
+            g AS (SELECT subj, pred, obj FROM t
+                  UNION ALL SELECT * FROM adds)
+            SELECT pred, count(*) AS n_triples,
+                   count(DISTINCT subj) AS n_subj,
+                   count(DISTINCT obj) AS n_obj
+            FROM g GROUP BY pred
+        """.format(kw_values=kw_values),
         "kg_construct": f"""
             WITH t AS MATERIALIZED (
               SELECT DISTINCT

@@ -94,11 +94,11 @@ _KEYWORDS = {
     "SELECT", "CONSTRUCT", "WHERE", "OPTIONAL", "MINUS", "UNION",
     "FILTER", "VALUES", "GROUP", "ORDER", "BY", "ASC", "DESC",
     "LIMIT", "DISTINCT", "AS", "ASK", "DESCRIBE", "HAVING", "OFFSET",
-    "BIND", "EXISTS", "NOT",
+    "BIND", "EXISTS", "NOT", "INSERT", "DELETE",
 }
 
 _UNSUPPORTED_WORDS = {
-    "PREFIX", "BASE", "GRAPH", "SERVICE", "INSERT", "DELETE",
+    "PREFIX", "BASE", "GRAPH", "SERVICE",
 }
 
 #: aggregate function heads recognized inside HAVING constraints —
@@ -127,6 +127,16 @@ class ParsedQuery:
     query: KGQuery
     heads: tuple | None = None
     targets: tuple | None = None  # DESCRIBE resources (?vars / terms)
+
+
+@dataclass(frozen=True)
+class ParsedUpdate:
+    """Result of :func:`parse_update`: DELETE / INSERT template lists
+    and the WHERE body (None for the ground DATA forms)."""
+
+    delete: tuple
+    insert: tuple
+    where: KGQuery | None
 
 
 class SparqlSyntaxError(ValueError):
@@ -246,6 +256,11 @@ class _Parser:
             pq = self._ask_query()
         elif self._at("KW", "DESCRIBE"):
             pq = self._describe_query()
+        elif self._at("KW", "DELETE") or self._at("KW", "INSERT"):
+            raise SparqlSyntaxError(
+                "update forms (DELETE/INSERT) run through "
+                "sparql_update(), not sparql()"
+            )
         else:
             t = self._peek()
             raise SparqlSyntaxError(
@@ -258,6 +273,91 @@ class _Parser:
                 f"trailing input at offset {t.pos}: {t.value!r}"
             )
         return pq
+
+    # -- SPARQL 1.1 Update forms ------------------------------------
+    def _at_word(self, word: str) -> bool:
+        t = self._peek()
+        return (
+            t is not None and t.kind == "WORD" and t.value.upper() == word
+        )
+
+    def parse_update(self) -> ParsedUpdate:
+        """``INSERT DATA { }`` / ``DELETE DATA { }`` /
+        ``DELETE { } INSERT { } WHERE { }`` (either template clause
+        optional) / ``DELETE WHERE { }`` sugar. DATA is matched as a
+        bare word, not a reserved keyword, so ``data`` stays usable
+        as a term elsewhere."""
+        if self._at("KW", "INSERT"):
+            self._next()
+            if self._at_word("DATA"):
+                self._next()
+                pu = ParsedUpdate((), tuple(self._template_triples()), None)
+            else:
+                insert = tuple(self._template_triples())
+                pu = ParsedUpdate((), insert, self._update_where())
+        elif self._at("KW", "DELETE"):
+            self._next()
+            if self._at_word("DATA"):
+                self._next()
+                pu = ParsedUpdate(tuple(self._template_triples()), (), None)
+            elif self._at("KW", "WHERE"):
+                # DELETE WHERE sugar: the group IS the template list,
+                # so only a plain conjunctive triple group is legal
+                # (SPARQL 1.1 Update QuadPattern grammar).
+                self._next()
+                grp = self._group_body()
+                if (
+                    grp.union or grp.union_chains or grp.optional
+                    or grp.minus or grp.exists or grp.not_exists
+                    or grp.binds or grp.filters or grp.values is not None
+                    or grp.subqueries
+                    or any(isinstance(it, Path) for it in grp.where)
+                ):
+                    raise SparqlSyntaxError(
+                        "DELETE WHERE takes a plain triple-pattern "
+                        "group (no paths, OPTIONAL, UNION, MINUS, "
+                        "FILTER, BIND, VALUES or subqueries) — use "
+                        "DELETE { } ... WHERE { } for the general form"
+                    )
+                pu = ParsedUpdate(
+                    tuple(grp.where), (), grp.to_query(select=None)
+                )
+            else:
+                delete = tuple(self._template_triples())
+                insert: tuple = ()
+                if self._at("KW", "INSERT"):
+                    self._next()
+                    insert = tuple(self._template_triples())
+                pu = ParsedUpdate(delete, insert, self._update_where())
+        else:
+            t = self._peek()
+            raise SparqlSyntaxError(
+                f"update must start with INSERT or DELETE, got "
+                f"{t.value!r}" if t else "empty update"
+            )
+        if self._peek() is not None:
+            t = self._peek()
+            raise SparqlSyntaxError(
+                f"trailing input at offset {t.pos}: {t.value!r}"
+            )
+        return pu
+
+    def _template_triples(self) -> list:
+        self._expect("PUNCT", "{")
+        heads: list[tuple] = []
+        while not self._at("PUNCT", "}"):
+            heads.extend(self._triple_block(allow_paths=False))
+        self._expect("PUNCT", "}")
+        if not heads:
+            raise SparqlSyntaxError("empty update template")
+        return heads
+
+    def _update_where(self) -> KGQuery:
+        self._expect("KW", "WHERE")
+        # solution modifiers after the group fall through to
+        # parse_update's trailing-input error — an update evaluates
+        # raw solutions, so GROUP/ORDER/LIMIT are never legal here.
+        return self._group_body().to_query(select=None)
 
     def _select_query(self) -> ParsedQuery:
         self._expect("KW", "SELECT")
@@ -896,6 +996,43 @@ def parse(text: str) -> ParsedQuery:
     """Parse SPARQL-subset text into a :class:`ParsedQuery` (the
     logical :class:`composer.KGQuery` plus CONSTRUCT templates)."""
     return _Parser(text).parse()
+
+
+def parse_update(text: str) -> ParsedUpdate:
+    """Parse a SPARQL 1.1 Update operation (INSERT DATA / DELETE DATA
+    / DELETE..INSERT..WHERE / DELETE WHERE) into a
+    :class:`ParsedUpdate`."""
+    return _Parser(text).parse_update()
+
+
+def sparql_update(
+    triples: DataFrame,
+    text: str,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    allow_cartesian: bool = False,
+    max_closure_rows: int | None = None,
+    stats=None,
+) -> DataFrame:
+    """Parse and apply a SPARQL Update operation, returning the
+    post-update store (operators/update.update_apply semantics:
+    ``(G \\ D) ∪ I`` with both template sets evaluated against the
+    pre-update graph)."""
+    from . import paths as _paths
+    from . import update as _update
+
+    cap = (
+        max_closure_rows
+        if max_closure_rows is not None
+        else _paths.DEFAULT_MAX_CLOSURE_ROWS
+    )
+    pu = parse_update(text)
+    return _update.update_apply(
+        triples, where=pu.where, delete=pu.delete, insert=pu.insert,
+        subj=subj, pred=pred, obj=obj, allow_cartesian=allow_cartesian,
+        max_closure_rows=cap, stats=stats,
+    )
 
 
 def sparql(
