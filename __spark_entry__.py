@@ -1360,6 +1360,56 @@ def q_kg_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_nodes"))
 
 
+def q_graph_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled closeness/harmonic centrality
+    (operators/graph.centrality_estimate — Eppstein & Wang 2001):
+    BFS from 8 pivots drawn by the portable (sha256(node), node)
+    order over the symmetric customer-supplier trade graph, 4 hops;
+    every reached node scored from its sample of incoming distances
+    in exact fixed-point (harmonic_fp sums 1e9 div d as longs,
+    closeness_fp = n_from*1e9 div sum_dist). The k pivot BFS trees
+    share each round's single frontier join (frontier keyed on
+    (pivot, node)) — never k jobs. Top 30 under the total order
+    (harmonic_fp DESC, node); DuckDB restates pivots, the BFS as a
+    recursive CTE with min-dist roll-up, and the integer scoring."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rel = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = rel.unionAll(
+        rel.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    cent = graph.centrality_estimate(edges, n_pivots=8, max_hops=4)
+    return cent.orderBy(
+        F.desc("harmonic_fp"), F.col("node").asc()
+    ).limit(30)
+
+
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity
+    (operators/graph.jaccard_similarity) over the part-supplier
+    graph: top-50 structurally-equivalent pairs by intersection-over-
+    union of neighbor sets, intersections enumerated only at centers
+    with deg <= 32 (the adamic_adar skew guard — hubs emit no wedges,
+    counts are documented lower bounds), degrees exact, jaccard_fp =
+    n_common*1e9 div (deg_u+deg_w-n_common) over exact longs. The
+    entity-canonicalization companion to adamic_adar: similarity
+    keeps ADJACENT pairs too (aliases of one entity are often
+    directly linked). Oracle restates wedge counting + the fp math."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 3 == 0
+    ).select("l_partkey", "l_suppkey")
+    rel = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return graph.jaccard_similarity(
+        rel, max_center_deg=32, min_common=2, k=50
+    )
+
+
 def q_kg_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFS-lite entailment (operators/graph.infer_types): asserted
     instance types are the distinct (surface, label) pairs from the
@@ -2950,6 +3000,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_random_walks": q_graph_random_walks,
         "state_intervals": q_state_intervals,
         "graph_communities": q_graph_communities,
+        "graph_centrality": q_graph_centrality,
+        "graph_jaccard": q_graph_jaccard,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
@@ -5815,6 +5867,80 @@ def oracle_sql() -> dict[str, str]:
         # same oriented closure as graph_triangles, then each closed
         # wedge (tail,b,c) explodes to its three member nodes; coef_fp
         # and the decile cut are integer division of exact longs
+        # pivot BFS as a recursive CTE with min-dist roll-up; pivots
+        # by the portable (sha256(node), node) order; integer scoring
+        "graph_centrality": """
+            WITH RECURSIVE base AS MATERIALIZED (
+              SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
+                     's:' || CAST(l.l_suppkey AS VARCHAR) AS dst
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            e AS MATERIALIZED (
+              SELECT src, dst FROM base
+              UNION
+              SELECT dst AS src, src AS dst FROM base
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM e),
+            piv AS MATERIALIZED (
+              SELECT node FROM nodes
+              ORDER BY sha256(node), node LIMIT 8
+            ),
+            r AS (
+              SELECT node AS pv, node, 0 AS dist FROM piv
+              UNION
+              SELECT r.pv, e.dst AS node, r.dist + 1 AS dist
+              FROM r JOIN e ON r.node = e.src
+              WHERE r.dist < 4
+            ),
+            m AS (SELECT pv, node, min(dist) AS dist
+                  FROM r GROUP BY pv, node),
+            sc AS (
+              SELECT node,
+                     count(*) AS n_from,
+                     CAST(sum(dist) AS BIGINT) AS sum_dist,
+                     CAST(sum(1000000000 // dist) AS BIGINT) AS harmonic_fp
+              FROM m WHERE dist >= 1 GROUP BY node)
+            SELECT node, n_from, sum_dist, harmonic_fp,
+                   CAST((n_from * 1000000000) // sum_dist AS BIGINT)
+                     AS closeness_fp
+            FROM sc
+            ORDER BY harmonic_fp DESC, node ASC LIMIT 30
+        """,
+        # capped-center wedge counting + exact-degree fp Jaccard
+        "graph_jaccard": """
+            WITH und AS (
+              SELECT DISTINCT
+                     least('p:' || CAST(l_partkey AS VARCHAR),
+                           's:' || CAST(l_suppkey AS VARCHAR)) AS u,
+                     greatest('p:' || CAST(l_partkey AS VARCHAR),
+                              's:' || CAST(l_suppkey AS VARCHAR)) AS v
+              FROM lineitem WHERE l_orderkey % 3 = 0
+            ),
+            adj AS (
+              SELECT u AS ctr, v AS nbr FROM und
+              UNION ALL
+              SELECT v AS ctr, u AS nbr FROM und
+            ),
+            deg AS (SELECT ctr, count(*) AS deg FROM adj GROUP BY ctr),
+            ctrs AS (SELECT ctr FROM deg WHERE deg BETWEEN 2 AND 32),
+            pairs AS (
+              SELECT a1.nbr AS u, a2.nbr AS w, count(*) AS n_common
+              FROM adj a1
+              JOIN ctrs c ON a1.ctr = c.ctr
+              JOIN adj a2 ON a1.ctr = a2.ctr
+              WHERE a1.nbr < a2.nbr
+              GROUP BY a1.nbr, a2.nbr
+              HAVING count(*) >= 2)
+            SELECT p.u, p.w, p.n_common,
+                   du.deg AS deg_u, dw.deg AS deg_w,
+                   CAST((p.n_common * 1000000000)
+                        // (du.deg + dw.deg - p.n_common) AS BIGINT)
+                     AS jaccard_fp
+            FROM pairs p
+            JOIN deg du ON p.u = du.ctr
+            JOIN deg dw ON p.w = dw.ctr
+            ORDER BY jaccard_fp DESC, p.u ASC, p.w ASC LIMIT 50
+        """,
         "graph_clustering": """
             WITH und AS (
               SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

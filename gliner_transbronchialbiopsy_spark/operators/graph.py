@@ -1169,3 +1169,202 @@ def condensation_levels(
         "rounds — the condensation is deeper than the budget (or the "
         "input is not the graph you think it is)"
     )
+
+
+def pivot_distances(
+    edges: DataFrame,
+    pivots: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Per-source BFS: exact hop distance from EVERY pivot to every
+    node it reaches within ``max_hops`` -> (pivot, node, dist).
+
+    :func:`reachable` elects one min distance across all sources;
+    this keeps the sources apart — the frontier is keyed on
+    (pivot, node), so k pivot BFS trees run in the same synchronous
+    rounds (k× the join work of one BFS, never k separate jobs).
+    That per-source relation is what pivot-sampling estimators
+    (centrality, diameter probes) consume. Same loop discipline as
+    reachable: frontier-only joins, left_anti against the visited
+    set, localCheckpoint per round, early exit on an empty frontier.
+    Pivots sit at dist 0 from themselves."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(
+        F.col(src).alias("_e_src"), F.col(dst).alias("_e_dst")
+    ).distinct()
+    visited = loop_ckpt(
+        pivots.select(F.col(node).alias("pivot"))
+        .distinct()
+        .select("pivot", F.col("pivot").alias("node"))
+        .withColumn("dist", F.lit(0))
+    )
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_e_src"])
+            .select("pivot", F.col("_e_dst").alias("node"))
+            .distinct()
+            .join(
+                visited.select("pivot", "node"),
+                ["pivot", "node"],
+                "left_anti",
+            )
+            .withColumn("dist", F.lit(d))
+        )
+        nxt = loop_ckpt(nxt)
+        if nxt.isEmpty():
+            break
+        visited = loop_ckpt(visited.unionAll(nxt))
+        frontier = nxt
+    return visited
+
+
+_CENT_SCALE = 1_000_000_000
+
+
+def centrality_estimate(
+    edges: DataFrame,
+    n_pivots: int = 16,
+    max_hops: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Pivot-sampled closeness/harmonic centrality (Eppstein & Wang
+    2001/2004, "Fast approximation of centrality") -> one row per
+    reached node: (node, n_from, sum_dist, harmonic_fp,
+    closeness_fp).
+
+    Exact single-source distances from every node is O(n·m) — dead at
+    KG scale. The published estimator runs BFS from k sampled pivots
+    and scores every node from the SAMPLE of incoming distances:
+    harmonic(v) ~ sum over pivots p, d(p,v)>0 of 1/d(p,v);
+    closeness(v) ~ n_from / sum d(p,v). Hoeffding gives
+    O(log n / eps^2) pivots for eps·diameter additive error — the
+    k-vs-accuracy trade is the user's knob.
+
+    Determinism end-to-end: pivots are the ``n_pivots`` nodes minimal
+    under (sha256(node), node) — a portable uniform draw both engines
+    compute identically (no RNG, no collect; the cut is a
+    TakeOrderedAndProject). Scores are fixed-point over exact longs:
+    harmonic_fp sums SCALE div d (integer division per pivot), and
+    closeness_fp = (n_from * SCALE) div sum_dist — bit-identical at
+    any parallelism and restatable verbatim in DuckDB. Pivots
+    contribute only at d >= 1 (a pivot's 0-distance to itself says
+    nothing about centrality).
+
+    Plan shape: one distinct node projection, the sha-ordered pivot
+    cut, :func:`pivot_distances`' frontier rounds (k trees share each
+    round's single join), then ONE aggregate keyed on node. Directed
+    semantics: distances follow edge direction (closeness-in);
+    symmetrize edges upstream for the undirected notion."""
+    if n_pivots < 1:
+        raise ValueError("n_pivots must be >= 1")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    pivots = nodes.orderBy(
+        F.sha2(F.col("node").cast("string"), 256).asc(), F.col("node").asc()
+    ).limit(int(n_pivots))
+    pd_ = pivot_distances(e, pivots, max_hops=max_hops)
+    scale = F.lit(_CENT_SCALE).cast("long")
+    return (
+        pd_.filter(F.col("dist") >= 1)
+        .groupBy("node")
+        .agg(
+            F.count("*").alias("n_from"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.sum(F.expr(f"CAST({_CENT_SCALE} AS BIGINT) div dist"))
+            .cast("long")
+            .alias("harmonic_fp"),
+        )
+        .withColumn(
+            "closeness_fp",
+            F.expr("(n_from * CAST(%d AS BIGINT)) div sum_dist" % _CENT_SCALE)
+            .cast("long"),
+        )
+    )
+
+
+def jaccard_similarity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_center_deg: int = 32,
+    min_common: int = 1,
+    k: int = 100,
+) -> DataFrame:
+    """Neighbor-set Jaccard similarity over the undirected simple
+    graph -> top-k pairs (u, w, n_common, deg_u, deg_w, jaccard_fp):
+    J(u,w) = |N(u) ∩ N(w)| / |N(u) ∪ N(w)| — the classic structural
+    -equivalence signal (Salton/Jaccard link overlap), the
+    entity-canonicalization companion to :func:`adamic_adar` (which
+    ranks NON-adjacent pairs for link prediction; similarity keeps
+    adjacent pairs too, because two aliases of one real-world entity
+    are often directly linked).
+
+    Same skew discipline as adamic_adar: only centers with deg <=
+    ``max_center_deg`` enumerate neighbor pairs, so a boilerplate hub
+    emits no wedges and intersection counts are documented LOWER
+    bounds under the cap (degrees stay exact — only the common-
+    neighbor enumeration is capped). jaccard_fp = (n_common * 1e9)
+    div (deg_u + deg_w - n_common) over exact longs; the top-k cut
+    (jaccard_fp DESC, u, w) is a total order, so the result is
+    parallelism-invariant and the DuckDB oracle restates it verbatim.
+
+    Plan shape: one distinct on canonical pairs, one degree agg, the
+    broadcast-eligible center filter, one self-join keyed on the
+    center (fan-out <= max_center_deg^2/2 per key), one count agg on
+    the pair key, two degree-attach joins, TakeOrderedAndProject."""
+    if max_center_deg < 2:
+        raise ValueError("max_center_deg must be >= 2")
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("ctr"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("ctr"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("ctr").agg(F.count("*").alias("deg"))
+    centers = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= F.lit(int(max_center_deg)))
+    ).select("ctr")
+    a1 = adj.join(centers, "ctr").select("ctr", F.col("nbr").alias("n1"))
+    a2 = adj.select("ctr", F.col("nbr").alias("n2"))
+    pairs = (
+        a1.join(a2, "ctr")
+        .filter(F.col("n1") < F.col("n2"))
+        .groupBy(F.col("n1").alias("u"), F.col("n2").alias("w"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= F.lit(int(min_common)))
+    )
+    du = deg.select(F.col("ctr").alias("u"), F.col("deg").alias("deg_u"))
+    dw = deg.select(F.col("ctr").alias("w"), F.col("deg").alias("deg_w"))
+    scored = (
+        pairs.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u", "w", "n_common", "deg_u", "deg_w",
+            F.expr(
+                "(n_common * CAST(%d AS BIGINT)) div "
+                "(deg_u + deg_w - n_common)" % _CENT_SCALE
+            ).cast("long").alias("jaccard_fp"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard_fp"), F.col("u").asc(), F.col("w").asc()
+    ).limit(int(k))

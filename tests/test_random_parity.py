@@ -347,3 +347,101 @@ def test_condensation_levels_match_python(spark):
         df = spark.createDataFrame(es, "src string, dst string")
         got = {tuple(r) for r in graph.condensation_levels(df).collect()}
         assert got == reference(es)
+
+
+def _bfs_dists(adj, src, max_hops):
+    dist = {src: 0}
+    frontier = [src]
+    for d in range(1, max_hops + 1):
+        nxt = []
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = d
+                    nxt.append(m)
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+def test_pivot_distances_and_centrality_match_python(spark):
+    import hashlib
+
+    for seed in (7, 8):
+        edges = _rand_edges(seed, n_nodes=15, n_edges=40)
+        df = spark.createDataFrame(
+            [(str(a), str(b)) for a, b in edges], "src string, dst string"
+        )
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(str(a), []).append(str(b))
+        nodes = sorted({str(x) for e in edges for x in e})
+        piv = sorted(
+            nodes,
+            key=lambda n: (hashlib.sha256(n.encode()).hexdigest(), n),
+        )[:4]
+        pdf = spark.createDataFrame([(p,) for p in piv], "node string")
+        got = {
+            (r["pivot"], r["node"], r["dist"])
+            for r in graph.pivot_distances(df, pdf, max_hops=3).collect()
+        }
+        want = set()
+        for p in piv:
+            for n, d in _bfs_dists(adj, p, 3).items():
+                want.add((p, n, d))
+        assert got == want, f"seed {seed}"
+        cent = {
+            r["node"]: (
+                r["n_from"], r["sum_dist"], r["harmonic_fp"],
+                r["closeness_fp"],
+            )
+            for r in graph.centrality_estimate(
+                df, n_pivots=4, max_hops=3
+            ).collect()
+        }
+        agg = {}
+        for p in piv:
+            for n, d in _bfs_dists(adj, p, 3).items():
+                if d >= 1:
+                    e = agg.setdefault(n, [0, 0, 0])
+                    e[0] += 1
+                    e[1] += d
+                    e[2] += 10**9 // d
+        wantc = {
+            n: (c, s, h, (c * 10**9) // s) for n, (c, s, h) in agg.items()
+        }
+        assert cent == wantc, f"seed {seed}"
+
+
+def test_jaccard_matches_python(spark):
+    from collections import Counter
+
+    for seed in (9, 10):
+        edges = _rand_edges(seed, n_nodes=14, n_edges=45)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        nbr = {}
+        for a, b in und:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        cap = 5
+        common = Counter()
+        for c, ns in nbr.items():
+            if 2 <= len(ns) <= cap:
+                s = sorted(ns)
+                for i in range(len(s)):
+                    for j in range(i + 1, len(s)):
+                        common[(s[i], s[j])] += 1
+        rows = []
+        for (u, w), nc in common.items():
+            du, dw = len(nbr[u]), len(nbr[w])
+            rows.append((u, w, nc, du, dw, (nc * 10**9) // (du + dw - nc)))
+        want = set(sorted(rows, key=lambda r: (-r[5], r[0], r[1]))[:20])
+        got = {
+            tuple(r)
+            for r in graph.jaccard_similarity(
+                df, max_center_deg=cap, min_common=1, k=20
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"
