@@ -1410,6 +1410,50 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival reachability over a TEMPORAL graph
+    (operators/graph.temporal_reachable — Wu et al. VLDB'14): edges
+    are same-type-same-hour event successions (u influenced the next
+    actor; lead() per (event_type, hour) ordered by (ts, event_id)),
+    a walk is valid only when each edge fires no earlier than the
+    walk's arrival, and the answer is the MIN arrival per node within
+    4 hops starting 2024-01-10 from the user_id<5 seeds — the
+    information-flow question static BFS over-approximates. Per-node
+    min arrival is a sufficient DP state (arriving earlier never
+    removes an outgoing option), so the loop relaxes improved
+    frontiers only; timestamps totally ordered -> parallelism-
+    invariant. Summarized per arrival hour; DuckDB enumerates
+    time-respecting walks in a recursive CTE with a min(arrival)
+    roll-up — definitionally the same optimum."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy(
+        "event_type", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    nx = ev.select(
+        F.col("user_id").alias("src"),
+        F.lead("user_id").over(w).alias("dst"),
+        F.lead("ts").over(w).alias("etime"),
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    seeds = (
+        ev.filter(F.col("user_id") < 5)
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    best = graph.temporal_reachable(
+        nx, seeds, "2024-01-10 00:00:00", max_hops=4
+    )
+    return best.groupBy(
+        F.date_trunc("hour", F.col("arrival")).alias("hr")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+    )
+
+
 def q_kg_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFS-lite entailment (operators/graph.infer_types): asserted
     instance types are the distinct (surface, label) pairs from the
@@ -3002,6 +3046,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "graph_centrality": q_graph_centrality,
         "graph_jaccard": q_graph_jaccard,
+        "kg_temporal_reach": q_kg_temporal_reach,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
@@ -5867,6 +5912,49 @@ def oracle_sql() -> dict[str, str]:
         # same oriented closure as graph_triangles, then each closed
         # wedge (tail,b,c) explodes to its three member nodes; coef_fp
         # and the decile cut are integer division of exact longs
+        # time-respecting walks enumerated recursively, min(arrival)
+        # roll-up = the earliest-arrival optimum the DP loop computes
+        "kg_temporal_reach": """
+            WITH RECURSIVE ev AS (
+              SELECT user_id, event_type, ts, event_id,
+                     date_trunc('hour', ts) AS hr
+              FROM events
+            ),
+            nx AS (
+              SELECT user_id AS src,
+                     lead(user_id) OVER (
+                       PARTITION BY event_type, hr
+                       ORDER BY ts, event_id) AS dst,
+                     lead(ts) OVER (
+                       PARTITION BY event_type, hr
+                       ORDER BY ts, event_id) AS etime
+              FROM ev
+            ),
+            e AS MATERIALIZED (
+              SELECT src, dst, etime FROM nx
+              WHERE dst IS NOT NULL AND src <> dst
+            ),
+            seeds AS (
+              SELECT DISTINCT user_id AS node FROM events
+              WHERE user_id < 5
+            ),
+            r AS (
+              SELECT node,
+                     TIMESTAMP '2024-01-10 00:00:00' AS arrival,
+                     0 AS hops
+              FROM seeds
+              UNION
+              SELECT e.dst AS node, e.etime AS arrival,
+                     r.hops + 1 AS hops
+              FROM r JOIN e ON r.node = e.src AND e.etime >= r.arrival
+              WHERE r.hops < 4
+            ),
+            best AS (SELECT node, min(arrival) AS arrival
+                     FROM r GROUP BY node)
+            SELECT date_trunc('hour', arrival) AS hr,
+                   count(*) AS n_nodes, min(node) AS min_node
+            FROM best GROUP BY hr
+        """,
         # pivot BFS as a recursive CTE with min-dist roll-up; pivots
         # by the portable (sha256(node), node) order; integer scoring
         "graph_centrality": """

@@ -32,7 +32,7 @@ a principled graph centrality over the emitted triples.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .loops import loop_ckpt
@@ -1368,3 +1368,102 @@ def jaccard_similarity(
     return scored.orderBy(
         F.desc("jaccard_fp"), F.col("u").asc(), F.col("w").asc()
     ).limit(int(k))
+
+
+def temporal_reachable(
+    edges: DataFrame,
+    sources: DataFrame,
+    start,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    time: str = "etime",
+    node: str = "node",
+) -> DataFrame:
+    """Earliest-arrival reachability over a TEMPORAL graph (edges
+    carry an occurrence time; a walk is time-respecting when each
+    edge fires no earlier than the walk's current arrival — Wu et
+    al., VLDB'14 "Path problems in temporal graphs") ->
+    (node, arrival): the minimum arrival time at every node reachable
+    from ``sources`` within ``max_hops`` hops, starting no earlier
+    than ``start``. This is the information-flow / provenance
+    primitive a KG event log needs: static reachability says "a path
+    exists", temporal reachability says "influence could actually
+    have propagated", which static BFS over the flattened edge set
+    over-approximates.
+
+    Correctness rests on the earliest-arrival optimal substructure:
+    arriving EARLIER at u never removes an outgoing option (the
+    constraint is etime >= arrival), so per-node min arrival is a
+    sufficient state and the relaxation
+    A_h(v) = min(A_{h-1}(v), min{t of (u,v,t): t >= A_{h-1}(u)})
+    converges to the hop-bounded optimum — no per-walk enumeration.
+
+    Iteration shape (the BFS/Bellman-Ford loop discipline of
+    :func:`reachable` / weighted_paths): per round only the IMPROVED
+    frontier joins the edge table, one min-agg keyed on dst, one
+    left join against the best table to keep strict improvements,
+    localCheckpoint per round, early exit when nothing improves.
+    Timestamps are totally ordered, so results are set-semantic and
+    parallelism-invariant, restatable as a recursive CTE with a
+    min(arrival) roll-up. Sources sit at ``start``; parallel temporal
+    edges (same pair, different times) are all kept — the min-agg
+    elects per round."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    start_col = (
+        start if isinstance(start, Column) else F.lit(start).cast("timestamp")
+    )
+    e = edges.select(
+        F.col(src).alias("_e_src"),
+        F.col(dst).alias("_e_dst"),
+        F.col(time).alias("_e_t"),
+    ).filter(F.col("_e_t").isNotNull())
+    best = loop_ckpt(
+        sources.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("arrival", start_col)
+    )
+    frontier = best
+    for _ in range(max_hops):
+        relax = (
+            frontier.join(
+                e,
+                (frontier["node"] == e["_e_src"])
+                & (e["_e_t"] >= frontier["arrival"]),
+            )
+            .groupBy(F.col("_e_dst").alias("node"))
+            .agg(F.min("_e_t").alias("_new"))
+        )
+        improved = (
+            relax.join(best, "node", "left")
+            .filter(
+                F.col("arrival").isNull()
+                | (F.col("_new") < F.col("arrival"))
+            )
+            .select("node", F.col("_new").alias("arrival"))
+        )
+        improved = loop_ckpt(improved)
+        if improved.isEmpty():
+            break
+        best = loop_ckpt(
+            best.join(
+                improved.withColumnRenamed("arrival", "_new"),
+                "node",
+                "full_outer",
+            ).select(
+                "node",
+                F.when(
+                    F.col("_new").isNotNull()
+                    & (
+                        F.col("arrival").isNull()
+                        | (F.col("_new") < F.col("arrival"))
+                    ),
+                    F.col("_new"),
+                )
+                .otherwise(F.col("arrival"))
+                .alias("arrival"),
+            )
+        )
+        frontier = improved
+    return best

@@ -445,3 +445,36 @@ def test_jaccard_matches_python(spark):
             ).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_temporal_reachable_matches_walk_enumeration(spark):
+    for seed in (11, 12, 13):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(10), rng.randrange(10), rng.randrange(20))
+            for _ in range(40)
+        ]
+        edges = [(a, b, t) for a, b, t in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long, etime long")
+        seeds_df = spark.createDataFrame([(0,), (1,)], "node long")
+        got = {
+            (r["node"], r["arrival"])
+            for r in graph.temporal_reachable(
+                df, seeds_df, F.lit(3), max_hops=3
+            ).collect()
+        }
+        # brute force: enumerate time-respecting walk states level by
+        # level (the recursive-CTE shape), min arrival per node
+        cur = {(0, 3), (1, 3)}
+        best = {n: a for n, a in cur}
+        for _ in range(3):
+            nxt = set()
+            for n, a in cur:
+                for s, d, t in edges:
+                    if s == n and t >= a:
+                        nxt.add((d, t))
+            cur = nxt
+            for d, t in nxt:
+                if d not in best or t < best[d]:
+                    best[d] = t
+        assert got == set(best.items()), f"seed {seed}"
