@@ -1454,6 +1454,37 @@ def q_kg_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bucket multinomial Naive Bayes (operators/nbayes.py),
+    the one-counting-pass supervised classifier production curation
+    gates on (the fastText-quality-filter shape, no gradient loop):
+    train language-ID on the even doc_ids (label = lang), classify
+    the odd ones, report the (true lang × predicted) confusion matrix
+    with exact long score sums. Model is the dense 5×256 fixed-point
+    grid broadcast onto per-doc bucket counts; argmax is a min over
+    (−score, label) structs — a total order, so predictions are
+    parallelism-invariant. portable sha256 bucket hash gives the SQL
+    oracle; production default stays xxhash64."""
+    from gliner_transbronchialbiopsy_spark.operators import nbayes
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("lang").alias("label"), "text"
+    )
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    pred = nbayes.naive_bayes_classify(
+        train, test, n_buckets=256, alpha=1, portable_hash=True
+    )
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("score_fp").alias("sum_score_fp"),
+        )
+    )
+
+
 def q_kg_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFS-lite entailment (operators/graph.infer_types): asserted
     instance types are the distinct (surface, label) pairs from the
@@ -3047,6 +3078,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_centrality": q_graph_centrality,
         "graph_jaccard": q_graph_jaccard,
         "kg_temporal_reach": q_kg_temporal_reach,
+        "nb_classify": q_nb_classify,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
@@ -5912,6 +5944,76 @@ def oracle_sql() -> dict[str, str]:
         # same oriented closure as graph_triangles, then each closed
         # wedge (tail,b,c) explodes to its three member nodes; coef_fp
         # and the decile cut are integer division of exact longs
+        # NB: priors + dense smoothed log-likelihood grid, long
+        # dot-product scores, argmax via ROW_NUMBER (score DESC, label)
+        "nb_classify": r"""
+            WITH tr AS MATERIALIZED (
+              SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0
+            ),
+            te AS MATERIALIZED (
+              SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1
+            ),
+            cls AS (SELECT lang AS label, count(*) AS n_docs
+                    FROM tr GROUP BY lang),
+            nt AS (SELECT sum(n_docs) AS n_total FROM cls),
+            priors AS (
+              SELECT label,
+                     CAST(floor(ln(n_docs / CAST(n_total AS DOUBLE))
+                          * 1000000000) AS BIGINT) AS prior_fp
+              FROM cls, nt),
+            trt AS (
+              SELECT t.lang AS label,
+                     CAST(concat('0x', substr(sha256(u.token), 1, 15))
+                          AS BIGINT) % 256 AS bucket
+              FROM tr t, LATERAL unnest(
+                CASE WHEN trim(t.text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(t.text)), '\s+')
+                END) u(token)),
+            cb AS (SELECT label, bucket, count(*) AS c
+                   FROM trt GROUP BY label, bucket),
+            tot AS (SELECT label, sum(c) AS tot FROM cb GROUP BY label),
+            grid AS (SELECT cls.label, r.range AS bucket
+                     FROM cls, range(256) r),
+            model AS (
+              SELECT g.label, g.bucket,
+                     CAST(floor(ln((coalesce(cb.c, 0) + 1)
+                          / CAST(coalesce(tot.tot, 0) + 256 AS DOUBLE))
+                          * 1000000000) AS BIGINT) AS llh_fp
+              FROM grid g
+              LEFT JOIN cb ON g.label = cb.label AND g.bucket = cb.bucket
+              LEFT JOIN tot ON g.label = tot.label),
+            tb AS (
+              SELECT t.doc_id,
+                     CAST(concat('0x', substr(sha256(u.token), 1, 15))
+                          AS BIGINT) % 256 AS bucket,
+                     count(*) AS n
+              FROM te t, LATERAL unnest(
+                CASE WHEN trim(t.text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(t.text)), '\s+')
+                END) u(token)
+              GROUP BY t.doc_id, bucket),
+            ts AS (SELECT tb.doc_id, m.label,
+                          sum(tb.n * m.llh_fp) AS tok_fp
+                   FROM tb JOIN model m USING (bucket)
+                   GROUP BY tb.doc_id, m.label),
+            sc AS (
+              SELECT te.doc_id, p.label,
+                     CAST(p.prior_fp + coalesce(ts.tok_fp, 0) AS BIGINT)
+                       AS score_fp
+              FROM te CROSS JOIN priors p
+              LEFT JOIN ts ON te.doc_id = ts.doc_id AND p.label = ts.label),
+            best AS (
+              SELECT doc_id, label AS pred, score_fp,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_fp DESC, label ASC) AS rn
+              FROM sc)
+            SELECT te.lang, b.pred, count(*) AS n_docs,
+                   CAST(sum(b.score_fp) AS BIGINT) AS sum_score_fp
+            FROM best b JOIN te ON b.doc_id = te.doc_id
+            WHERE b.rn = 1
+            GROUP BY te.lang, b.pred
+        """,
         # time-respecting walks enumerated recursively, min(arrival)
         # roll-up = the earliest-arrival optimum the DP loop computes
         "kg_temporal_reach": """

@@ -478,3 +478,66 @@ def test_temporal_reachable_matches_walk_enumeration(spark):
                 if d not in best or t < best[d]:
                     best[d] = t
         assert got == set(best.items()), f"seed {seed}"
+
+
+def test_naive_bayes_matches_python(spark):
+    import hashlib
+
+    from gliner_transbronchialbiopsy_spark.operators import nbayes
+
+    rng = random.Random(21)
+    vocab = {
+        "a": ["foo", "bar", "baz", "zap"],
+        "b": ["qux", "quux", "bar", "zip"],
+        "c": ["corge", "foo", "grault"],
+    }
+    labels = sorted(vocab)
+    train = [
+        (lbl, " ".join(rng.choices(vocab[lbl], k=rng.randrange(3, 9))))
+        for lbl in labels
+        for _ in range(8)
+    ]
+    test = [
+        (i, " ".join(rng.choices(vocab[rng.choice(labels)], k=rng.randrange(0, 7))))
+        for i in range(12)
+    ]
+    B, ALPHA, S = 16, 1, 10**9
+
+    got = {
+        (r["doc_id"], r["pred"], r["score_fp"])
+        for r in nbayes.naive_bayes_classify(
+            spark.createDataFrame(train, "label string, text string"),
+            spark.createDataFrame(test, "doc_id long, text string"),
+            n_buckets=B, alpha=ALPHA, portable_hash=True,
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.sha256(tok.encode()).hexdigest()[:15], 16) % B
+
+    n_docs = {l: sum(1 for x, _ in train if x == l) for l in labels}
+    prior = {
+        l: math.floor(math.log(n_docs[l] / len(train)) * S) for l in labels
+    }
+    cb, tot = {}, {l: 0 for l in labels}
+    for l, text in train:
+        for t in text.lower().split():
+            cb[(l, bucket(t))] = cb.get((l, bucket(t)), 0) + 1
+            tot[l] += 1
+    llh = {
+        (l, b): math.floor(
+            math.log((cb.get((l, b), 0) + ALPHA) / (tot[l] + ALPHA * B)) * S
+        )
+        for l in labels
+        for b in range(B)
+    }
+    want = set()
+    for i, text in test:
+        scores = {
+            l: prior[l]
+            + sum(llh[(l, bucket(t))] for t in text.lower().split())
+            for l in labels
+        }
+        pred = min(labels, key=lambda l: (-scores[l], l))
+        want.add((i, pred, scores[pred]))
+    assert got == want
