@@ -383,6 +383,48 @@ AUDIT = {
     # inferred-triples output is ONLY the checkpointed delta RDDs —
     # compiled axiom rules never stack into one mega-plan; zero Python
     "kg_owl_entail": ("Scan ExistingRDD", "!InPandas"),
+    # SPARQL Update (round-5 resumed): delete = solution-sized
+    # left_anti (broadcast build side), insert-dedup anti-join, no
+    # Python, no cartesian anywhere
+    "kg_update_where": (
+        "BroadcastHashJoin",
+        "LeftAnti",
+        "!InPandas",
+        "!BroadcastNestedLoopJoin",
+    ),
+    "kg_sparql_update": (
+        "LeftAnti",
+        "!InPandas",
+        "!BroadcastNestedLoopJoin",
+    ),
+    # earliest-arrival temporal reachability: the DP loop runs behind
+    # per-round localCheckpoints, so the visible plan is checkpointed
+    # frontier RDDs + the hour roll-up; zero Python
+    "kg_temporal_reach": ("Scan ExistingRDD", "HashAggregate", "!InPandas"),
+    # pivot-sampled centrality: same checkpointed-loop shape; the
+    # final plan is one aggregate over the checkpointed distance
+    # relation — never a per-pivot job
+    "graph_centrality": (
+        "Scan ExistingRDD",
+        "HashAggregate",
+        "TakeOrderedAndProject",
+        "!InPandas",
+    ),
+    # capped-center wedge join: hash joins on the center key only,
+    # top-k via TakeOrdered, no cartesian, pure JVM
+    "graph_jaccard": (
+        "TakeOrderedAndProject",
+        "!InPandas",
+        "!BroadcastNestedLoopJoin",
+    ),
+    # Naive Bayes: dense model broadcast onto per-doc bucket counts,
+    # partial-combine aggregates, argmax is an agg (no window), JVM
+    "nb_classify": (
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "!InPandas",
+        "!Window",
+    ),
 }
 
 
