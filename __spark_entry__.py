@@ -1454,6 +1454,62 @@ def q_kg_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_graph_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 named graphs (composer GRAPH groups, §13.3): the
+    quad relation tags every assertion with its source corpus as the
+    graph name (g = the subj's source prefix — at production scale the
+    graph column IS the provenance partition of the triples snapshot,
+    so a ground GRAPH term partition-prunes and a variable one binds
+    provenance per solution). The query joins a default-graph pattern
+    (docs mentioning exec_op join) with GRAPH ?g { ?d engine ?e } —
+    solutions carry WHICH named graph supplied the engine assertion —
+    and aggregates per (g, e). Oracle restates the quad scan as a
+    source-keyed projection joined on the doc."""
+    from gliner_transbronchialbiopsy_spark.operators import composer
+
+    triples = q_kg_triples(spark, sf_dir).distinct()
+    quads = triples.withColumn(
+        "g", F.regexp_extract("subj", "^([^/]+)/", 1)
+    )
+    out = composer.compose(
+        triples,
+        composer.KGQuery(
+            where=(("?d", "exec_op", "join"),),
+            graphs=(("?g", (("?d", "engine", "?e"),)),),
+        ),
+        quads=quads,
+    )
+    return out.groupBy("g", "e").agg(
+        F.count("*").alias("n_bindings"),
+        F.countDistinct("d").alias("n_docs"),
+    )
+
+
+def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH through the SPARQL TEXT front-end: a two-pattern GRAPH
+    group (both patterns must match within the SAME named graph —
+    the quad scans share ?g and ?d, so the group joins on both) with
+    aggregate modifiers. Parser owns syntax only; the group compiles
+    through composer._compile_graph_group's 4-term scans."""
+    from gliner_transbronchialbiopsy_spark.operators import sparql as _sparql
+
+    triples = q_kg_triples(spark, sf_dir).distinct()
+    quads = triples.withColumn(
+        "g", F.regexp_extract("subj", "^([^/]+)/", 1)
+    )
+    return _sparql.sparql(
+        triples,
+        """
+        SELECT ?g (count(DISTINCT ?d) AS ?n_docs)
+               (count(*) AS ?n_bindings) WHERE {
+          GRAPH ?g { ?d engine ?e . ?d data_noun ?n }
+        }
+        GROUP BY ?g
+        """,
+        quads=quads,
+    )
+
+
 def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-bucket multinomial Naive Bayes (operators/nbayes.py),
     the one-counting-pass supervised classifier production curation
@@ -3079,6 +3135,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_jaccard": q_graph_jaccard,
         "kg_temporal_reach": q_kg_temporal_reach,
         "nb_classify": q_nb_classify,
+        "kg_graph_bgp": q_kg_graph_bgp,
+        "kg_sparql_graph": q_kg_sparql_graph,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
@@ -5944,6 +6002,49 @@ def oracle_sql() -> dict[str, str]:
         # same oriented closure as graph_triangles, then each closed
         # wedge (tail,b,c) explodes to its three member nodes; coef_fp
         # and the decile cut are integer division of exact longs
+        # named graphs: the quad scan is a (g, subj, obj) projection
+        # keyed on source; default-graph pattern joined on the doc
+        "kg_graph_bgp": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT d.source AS g,
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            p1 AS (SELECT DISTINCT subj AS d FROM t
+                   WHERE pred = 'exec_op' AND obj = 'join'),
+            p2 AS (SELECT DISTINCT g, subj AS d, obj AS e FROM t
+                   WHERE pred = 'engine')
+            SELECT p2.g, p2.e,
+                   count(*) AS n_bindings,
+                   count(DISTINCT p2.d) AS n_docs
+            FROM p1 JOIN p2 USING (d)
+            GROUP BY p2.g, p2.e
+        """.format(kw_values=kw_values),
+        # two quad patterns sharing ?g and ?d: join on both columns
+        "kg_sparql_graph": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT d.source AS g,
+                     d.source || '/' || CAST(d.doc_id AS VARCHAR) || '@HEAD' AS subj,
+                     l.label AS pred,
+                     u.obj AS obj
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            p1 AS (SELECT DISTINCT g, subj AS d, obj AS e FROM t
+                   WHERE pred = 'engine'),
+            p2 AS (SELECT DISTINCT g, subj AS d, obj AS n FROM t
+                   WHERE pred = 'data_noun')
+            SELECT p1.g,
+                   count(DISTINCT p1.d) AS n_docs,
+                   count(*) AS n_bindings
+            FROM p1 JOIN p2 ON p1.g = p2.g AND p1.d = p2.d
+            GROUP BY p1.g
+        """.format(kw_values=kw_values),
         # NB: priors + dense smoothed log-likelihood grid, long
         # dot-product scores, argmax via ROW_NUMBER (score DESC, label)
         "nb_classify": r"""

@@ -98,6 +98,7 @@ class KGQuery:
     away."""
 
     where: tuple = ()
+    graphs: tuple = ()  # (graph_term, patterns) GRAPH groups over quads
     union: tuple = ()
     union_chains: tuple = ()  # additional UNION chains (tuple of chains)
     subqueries: tuple = ()  # nested KGQuery SELECTs, natural-joined
@@ -120,6 +121,98 @@ class KGQuery:
 
 def _is_path(item) -> bool:
     return isinstance(item, Path)
+
+
+_QPOS = ("g", "subj", "pred", "obj")
+
+
+def _quad_scan(qt: DataFrame, pattern4: tuple) -> tuple[DataFrame, set]:
+    """One 4-term (g, s, p, o) pattern over the quad relation ->
+    (deduped scan with variable columns, var set) — bgp._scan
+    generalized to the graph position. Constants (including a ground
+    graph name) become pushed-down predicates that partition-prune a
+    graph-partitioned quad snapshot."""
+    cond, proj = [], []
+    vars_: dict[str, str] = {}
+    for pos, term in zip(_QPOS, pattern4):
+        if _bgp._is_var(term):
+            name = term[1:]
+            if not name:
+                raise ValueError(f"empty variable name in quad {pattern4!r}")
+            if name in vars_:
+                cond.append(F.col(pos) == F.col(vars_[name]))
+            else:
+                vars_[name] = pos
+                proj.append(F.col(pos).alias(name))
+        else:
+            cond.append(F.col(pos) == F.lit(term))
+    df = qt
+    for c in cond:
+        df = df.filter(c)
+    if not proj:
+        return df.select(F.lit(1).alias("_ask")).distinct(), set()
+    return df.select(*proj).distinct(), set(vars_)
+
+
+def _compile_graph_group(
+    qt: DataFrame, gterm: str, items: Sequence, allow_cartesian: bool
+) -> tuple[DataFrame, set]:
+    """One GRAPH group (SPARQL 1.1 §13.3): every pattern inside the
+    group matches within the SAME named graph, so each compiles as a
+    4-term scan with the graph term prepended — a variable graph term
+    binds ?g and automatically connects the group's scans; a ground
+    term is a pushed graph-partition predicate. Plain triple patterns
+    only (property paths inside GRAPH raise — their compilers are
+    defined over one homogeneous edge relation)."""
+    if not items:
+        raise ValueError("empty GRAPH group")
+    rels: list[tuple[DataFrame, set]] = []
+    n_consts: list[int] = []
+    for it in items:
+        if _is_path(it) or len(it) != 3:
+            raise ValueError(
+                "GRAPH groups take plain (s, p, o) triple patterns "
+                f"(no property paths), got {it!r}"
+            )
+        rels.append(_quad_scan(qt, (gterm, *it)))
+        n_consts.append(
+            sum(not _bgp._is_var(x) for x in (gterm, *it))
+        )
+    ask = [i for i in range(len(rels)) if not rels[i][1]]
+    var_idx = [i for i in range(len(rels)) if rels[i][1]]
+    if not var_idx:
+        acc = rels[ask[0]][0]
+        for i in ask[1:]:
+            acc = acc.crossJoin(
+                rels[i][0].select(F.lit(1).alias(f"_ask{i}"))
+            ).drop(f"_ask{i}")
+        return acc, set()
+    order = sorted(var_idx, key=lambda i: (-n_consts[i], i))
+    pending = list(order)
+    first = pending.pop(0)
+    acc, bound = rels[first]
+    while pending:
+        nxt = next((i for i in pending if rels[i][1] & bound), None)
+        if nxt is None:
+            if not allow_cartesian:
+                raise ValueError(
+                    "disconnected GRAPH group (no shared variable); "
+                    "pass allow_cartesian=True to cross-join components"
+                )
+            nxt = pending[0]
+        pending.remove(nxt)
+        df, vs = rels[nxt]
+        shared = sorted(vs & bound)
+        if shared:
+            acc = acc.join(df, on=shared, how="inner")
+        else:
+            acc = acc.crossJoin(df)
+        bound |= vs
+    for n, i in enumerate(ask):
+        acc = acc.crossJoin(
+            rels[i][0].select(F.lit(1).alias(f"_askg{n}"))
+        ).drop(f"_askg{n}")
+    return acc, bound
 
 
 def _path_relation(
@@ -281,6 +374,8 @@ def compose(
     allow_cartesian: bool = False,
     max_closure_rows: int = _paths.DEFAULT_MAX_CLOSURE_ROWS,
     stats: "_kgstats.TripleStats | None" = None,
+    quads: DataFrame | None = None,
+    graph_col: str = "g",
 ) -> DataFrame:
     """Compile ``q`` against ``triples`` into one DataFrame plan.
 
@@ -303,9 +398,10 @@ def compose(
     chains = tuple(q.union_chains)
     if q.union:
         chains = (tuple(q.union),) + chains
-    if not q.where and not chains and not q.subqueries:
+    if not q.where and not chains and not q.subqueries and not q.graphs:
         raise ValueError(
-            "query needs a where block, union branches, or subqueries"
+            "query needs a where block, GRAPH group, union branches, "
+            "or subqueries"
         )
     acc: DataFrame | None = None
     bound: set = set()
@@ -313,6 +409,43 @@ def compose(
         acc, bound = _compile_group(
             t, q.where, max_closure_rows, allow_cartesian, stats
         )
+    if q.graphs:
+        # GRAPH groups match within NAMED graphs (the quad relation),
+        # never the default graph — SPARQL 1.1 §13.3
+        if quads is None:
+            raise ValueError(
+                "query has GRAPH groups but no quads relation was "
+                "passed (compose(..., quads=...))"
+            )
+        qt = quads.select(
+            F.col(graph_col).alias("g"),
+            F.col(subj).alias("subj"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+        )
+        for gterm, gitems in q.graphs:
+            gdf, gvs = _compile_graph_group(
+                qt, gterm, gitems, allow_cartesian
+            )
+            if acc is None:
+                acc, bound = gdf, gvs
+                continue
+            shared = sorted(gvs & bound)
+            if shared:
+                acc = acc.join(gdf, on=shared, how="inner")
+            elif not gvs:
+                acc = acc.crossJoin(gdf.select(F.lit(1).alias("_ag"))).drop(
+                    "_ag"
+                )
+            elif allow_cartesian:
+                acc = acc.crossJoin(gdf)
+            else:
+                raise ValueError(
+                    "GRAPH group shares no variable with the bound "
+                    "solutions — a disconnected GRAPH group is a cross "
+                    "product; pass allow_cartesian=True if intended"
+                )
+            bound |= gvs
     for chain in chains:
         branches = [
             _compile_group(t, br, max_closure_rows, allow_cartesian, stats)
@@ -342,6 +475,7 @@ def compose(
             triples, sq, subj=subj, pred=pred, obj=obj,
             allow_cartesian=allow_cartesian,
             max_closure_rows=max_closure_rows, stats=stats,
+            quads=quads, graph_col=graph_col,
         )
         vs = set(rel.columns)
         if acc is None:
@@ -458,6 +592,8 @@ def compose_construct(
     allow_cartesian: bool = False,
     max_closure_rows: int = _paths.DEFAULT_MAX_CLOSURE_ROWS,
     stats: "_kgstats.TripleStats | None" = None,
+    quads: DataFrame | None = None,
+    graph_col: str = "g",
 ) -> DataFrame:
     """SPARQL CONSTRUCT over a composed WHERE: evaluate ``q`` (its
     full block algebra — paths, OPTIONAL, MINUS, VALUES, FILTER) and
@@ -487,7 +623,7 @@ def compose_construct(
     sols = compose(
         triples, q, subj=subj, pred=pred, obj=obj,
         allow_cartesian=allow_cartesian, max_closure_rows=max_closure_rows,
-        stats=stats,
+        stats=stats, quads=quads, graph_col=graph_col,
     )
     head_vars = {t[1:] for h in heads for t in h if _bgp._is_var(t)}
     missing = sorted(head_vars - set(sols.columns))
@@ -511,6 +647,8 @@ def compose_describe(
     allow_cartesian: bool = False,
     max_closure_rows: int = _paths.DEFAULT_MAX_CLOSURE_ROWS,
     stats: "_kgstats.TripleStats | None" = None,
+    quads: DataFrame | None = None,
+    graph_col: str = "g",
 ) -> DataFrame:
     """SPARQL DESCRIBE over a composed WHERE: return the sub-graph
     describing each target resource. DESCRIBE's output form is
@@ -543,6 +681,7 @@ def compose_describe(
     if vars_:
         if q is None or not (
             q.where or q.union or q.union_chains or q.subqueries
+            or q.graphs
         ):
             raise ValueError("DESCRIBE ?var needs a WHERE group")
         if (
@@ -557,6 +696,7 @@ def compose_describe(
         sols = compose(
             triples, q, subj=subj, pred=pred, obj=obj,
             allow_cartesian=allow_cartesian,
+            quads=quads, graph_col=graph_col,
             max_closure_rows=max_closure_rows,
             stats=stats,
         )

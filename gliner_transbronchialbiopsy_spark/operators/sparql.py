@@ -57,8 +57,15 @@ the composer's ``filters``/``aggs`` fields accept. Non-aggregate
 projection expressions go through BIND; ``(expr AS ?v)`` inside
 SELECT is the aggregate projection form.
 
+- ``GRAPH <term> { plain triples }`` groups matching within the
+  named-graph quad relation (pass ``quads=`` to the executors; a
+  variable graph term binds, a ground term partition-prunes)
+- SPARQL 1.1 Update via :func:`sparql_update` (INSERT DATA / DELETE
+  DATA / DELETE..INSERT..WHERE / DELETE WHERE)
+
 Unsupported SPARQL (explicit errors, never silent misparse): prefixed
-IRI declarations, ``<>`` IRIs, blank nodes, and ``GRAPH``.
+IRI declarations, ``<>`` IRIs, blank nodes, SERVICE, and property
+paths inside GRAPH groups.
 """
 
 from __future__ import annotations
@@ -94,11 +101,11 @@ _KEYWORDS = {
     "SELECT", "CONSTRUCT", "WHERE", "OPTIONAL", "MINUS", "UNION",
     "FILTER", "VALUES", "GROUP", "ORDER", "BY", "ASC", "DESC",
     "LIMIT", "DISTINCT", "AS", "ASK", "DESCRIBE", "HAVING", "OFFSET",
-    "BIND", "EXISTS", "NOT", "INSERT", "DELETE",
+    "BIND", "EXISTS", "NOT", "INSERT", "DELETE", "GRAPH",
 }
 
 _UNSUPPORTED_WORDS = {
-    "PREFIX", "BASE", "GRAPH", "SERVICE",
+    "PREFIX", "BASE", "SERVICE",
 }
 
 #: aggregate function heads recognized inside HAVING constraints —
@@ -158,10 +165,12 @@ class _Group:
     values: tuple | None
     subqueries: list
     union_chains: list
+    graphs: list
 
     def to_query(self, **mods) -> KGQuery:
         return KGQuery(
             where=tuple(self.where),
+            graphs=tuple(self.graphs),
             union=tuple(self.union),
             union_chains=tuple(tuple(c) for c in self.union_chains),
             subqueries=tuple(self.subqueries),
@@ -307,7 +316,7 @@ class _Parser:
                 self._next()
                 grp = self._group_body()
                 if (
-                    grp.union or grp.union_chains or grp.optional
+                    grp.graphs or grp.union or grp.union_chains or grp.optional
                     or grp.minus or grp.exists or grp.not_exists
                     or grp.binds or grp.filters or grp.values is not None
                     or grp.subqueries
@@ -421,7 +430,7 @@ class _Parser:
                 self._next()
             q = self._group_body().to_query(select=None)
         if any(t.startswith("?") for t in targets) and not (
-            q.where or q.union
+            q.where or q.union or q.graphs
         ):
             raise SparqlSyntaxError("DESCRIBE ?var needs a WHERE group")
         # solution modifiers after the group fall through to parse()'s
@@ -550,6 +559,7 @@ class _Parser:
         binds: list = []
         filters: list = []
         values = None
+        graphs: list = []
         while not self._at("PUNCT", "}"):
             if self._at("KW", "OPTIONAL"):
                 self._next()
@@ -575,6 +585,19 @@ class _Parser:
                     continue
                 grp = tuple(self._braced_triples())
                 (not_exists if neg else exists).append(grp)
+            elif self._at("KW", "GRAPH"):
+                # GRAPH <term> { plain triples } — matches within the
+                # named-graph quad relation (composer.graphs); property
+                # paths inside GRAPH are outside the subset
+                self._next()
+                gterm = self._term()
+                inner = self._braced_triples()
+                if any(isinstance(it, Path) for it in inner):
+                    raise SparqlSyntaxError(
+                        "property paths inside GRAPH are outside the "
+                        "supported subset"
+                    )
+                graphs.append((gterm, tuple(inner)))
             elif self._at("KW", "VALUES"):
                 if values is not None:
                     raise SparqlSyntaxError(
@@ -615,11 +638,11 @@ class _Parser:
             else:
                 where.extend(self._triple_block(allow_paths=True))
         self._expect("PUNCT", "}")
-        if not where and not union and not subqueries:
+        if not where and not union and not subqueries and not graphs:
             raise SparqlSyntaxError("WHERE block binds no patterns")
         return _Group(
             where, union, optional, minus, exists, not_exists, binds,
-            filters, values, subqueries, union_chains,
+            filters, values, subqueries, union_chains, graphs,
         )
 
     def _braced_triples(self) -> list:
@@ -1014,6 +1037,8 @@ def sparql_update(
     allow_cartesian: bool = False,
     max_closure_rows: int | None = None,
     stats=None,
+    quads: DataFrame | None = None,
+    graph_col: str = "g",
 ) -> DataFrame:
     """Parse and apply a SPARQL Update operation, returning the
     post-update store (operators/update.update_apply semantics:
@@ -1031,7 +1056,8 @@ def sparql_update(
     return _update.update_apply(
         triples, where=pu.where, delete=pu.delete, insert=pu.insert,
         subj=subj, pred=pred, obj=obj, allow_cartesian=allow_cartesian,
-        max_closure_rows=cap, stats=stats,
+        max_closure_rows=cap, stats=stats, quads=quads,
+        graph_col=graph_col,
     )
 
 
@@ -1044,6 +1070,8 @@ def sparql(
     allow_cartesian: bool = False,
     max_closure_rows: int | None = None,
     stats=None,
+    quads: DataFrame | None = None,
+    graph_col: str = "g",
 ) -> DataFrame:
     """Parse and execute ``text`` against ``triples`` — the one-call
     text surface over :func:`composer.compose` /
@@ -1063,18 +1091,19 @@ def sparql(
         return compose_construct(
             triples, pq.query, pq.heads, subj=subj, pred=pred, obj=obj,
             allow_cartesian=allow_cartesian, max_closure_rows=cap,
-            stats=stats,
+            stats=stats, quads=quads, graph_col=graph_col,
         )
     if pq.form == "describe":
         return compose_describe(
             triples, pq.query, pq.targets, subj=subj, pred=pred,
             obj=obj, allow_cartesian=allow_cartesian,
-            max_closure_rows=cap, stats=stats,
+            max_closure_rows=cap, stats=stats, quads=quads,
+            graph_col=graph_col,
         )
     sol = compose(
         triples, pq.query, subj=subj, pred=pred, obj=obj,
         allow_cartesian=allow_cartesian, max_closure_rows=cap,
-        stats=stats,
+        stats=stats, quads=quads, graph_col=graph_col,
     )
     if pq.form == "ask":
         # the composed plan is LIMIT 1, so this count scans at most one

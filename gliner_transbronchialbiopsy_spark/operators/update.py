@@ -104,6 +104,8 @@ def update_apply(
     allow_cartesian: bool = False,
     max_closure_rows: int = _paths.DEFAULT_MAX_CLOSURE_ROWS,
     stats=None,
+    quads: "DataFrame | None" = None,
+    graph_col: str = "g",
 ) -> DataFrame:
     """Apply one SPARQL-Update operation to the triple store and
     return the post-update store as (subj, pred, obj).
@@ -149,6 +151,7 @@ def update_apply(
             triples, where, subj=subj, pred=pred, obj=obj,
             allow_cartesian=allow_cartesian,
             max_closure_rows=max_closure_rows, stats=stats,
+            quads=quads, graph_col=graph_col,
         )
         missing = sorted(tvars - set(sols.columns))
         if missing:

@@ -744,3 +744,88 @@ def test_values_undef_fresh_column_and_multiset(spark, kg):
     assert rows.count(("d1", "star")) == 1 and rows.count(("d1", None)) == 1
     assert rows.count(("d2", None)) == 1 and ("d2", "star") not in rows
     assert len(rows) == 7  # 5 docs x all-UNDEF + 2 spark docs x star
+
+
+# -- named graphs (GRAPH groups over the quad relation) --------------
+@pytest.fixture(scope="module")
+def quads(spark):
+    return spark.createDataFrame(
+        [
+            ("g1", "d1", "engine", "spark"),
+            ("g1", "d1", "exec_op", "join"),
+            ("g2", "d2", "engine", "hash"),
+            ("g2", "d2", "exec_op", "join"),
+            ("g2", "d3", "engine", "spark"),
+            ("g3", "d3", "engine", "spark"),
+        ],
+        "g string, subj string, pred string, obj string",
+    )
+
+
+def test_graph_var_term_binds_provenance(spark, kg, quads):
+    out = sparql.sparql(
+        _triples(spark, kg), "SELECT ?g ?d ?e WHERE { GRAPH ?g { ?d engine ?e } }",
+        quads=quads,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("g1", "d1", "spark"),
+        ("g2", "d2", "hash"),
+        ("g2", "d3", "spark"),
+        ("g3", "d3", "spark"),
+    ]
+
+
+def test_graph_ground_term_prunes(spark, kg, quads):
+    out = sparql.sparql(
+        _triples(spark, kg), "SELECT ?d WHERE { GRAPH g2 { ?d engine ?e } }", quads=quads
+    )
+    assert sorted(r["d"] for r in out.collect()) == ["d2", "d3"]
+
+
+def test_graph_two_patterns_same_graph(spark, kg, quads):
+    # both patterns must match within the SAME named graph: d3's
+    # engine lives in g2/g3 but its exec_op in none, so only d1/d2
+    out = sparql.sparql(
+        _triples(spark, kg),
+        "SELECT ?g ?d WHERE { GRAPH ?g { ?d engine ?e . "
+        "?d exec_op join } }",
+        quads=quads,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("g1", "d1"), ("g2", "d2"),
+    ]
+
+
+def test_graph_joins_default_graph(spark, quads):
+    t = _triples(spark, [("d1", "kind", "alpha"), ("d3", "kind", "beta")])
+    out = sparql.sparql(
+        t,
+        "SELECT ?g ?d ?k WHERE { ?d kind ?k . "
+        "GRAPH ?g { ?d engine spark } }",
+        quads=quads,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("g1", "d1", "alpha"), ("g2", "d3", "beta"), ("g3", "d3", "beta"),
+    ]
+
+
+def test_graph_errors(spark, kg, quads):
+    with pytest.raises(ValueError, match="no quads relation"):
+        sparql.sparql(
+            _triples(spark, kg),
+            "SELECT ?d WHERE { GRAPH ?g { ?d engine ?e } }",
+        )
+    with pytest.raises(SparqlSyntaxError, match="paths inside GRAPH"):
+        parse("SELECT ?d WHERE { GRAPH ?g { ?d engine+ ?e } }")
+    with pytest.raises(SparqlSyntaxError, match="SERVICE"):
+        parse("SELECT ?d WHERE { SERVICE x { ?d p ?o } }")
+    # DELETE WHERE sugar rejects GRAPH groups (templates are triples)
+    with pytest.raises(SparqlSyntaxError, match="plain triple-pattern"):
+        sparql.parse_update("DELETE WHERE { GRAPH ?g { ?d p ?o } }")
+
+
+def test_graph_parse_shape():
+    pq = parse("SELECT ?g WHERE { GRAPH ?g { ?d engine ?e } }")
+    assert pq.query.graphs == (("?g", (("?d", "engine", "?e"),)),)
+    pq2 = parse('SELECT ?d WHERE { GRAPH "g one" { ?d engine ?e } }')
+    assert pq2.query.graphs[0][0] == "g one"

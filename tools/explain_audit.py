@@ -417,6 +417,13 @@ AUDIT = {
         "!InPandas",
         "!BroadcastNestedLoopJoin",
     ),
+    # named graphs: quad scans join the default-graph pattern as hash
+    # joins on the doc key; no cartesian, no Python
+    "kg_graph_bgp": (
+        "HashAggregate",
+        "!InPandas",
+        "!BroadcastNestedLoopJoin",
+    ),
     # Naive Bayes: dense model broadcast onto per-doc bucket counts,
     # partial-combine aggregates, argmax is an agg (no window), JVM
     "nb_classify": (
