@@ -1510,6 +1510,22 @@ def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM scoring with Stupid Backoff
+    (operators/termstats.stupid_backoff_score — Brants et al., EMNLP
+    2007): S(w|prev) = c(prev w)/c(prev), backoff α·c(w)/N defined in
+    fixed-point as lp_uni_fp + floor(ln 0.4 · 1e9). The 25 highest-
+    perplexity documents under the exact long per-token mean
+    (m_fp DESC, doc_id — a total order). Unigram tables broadcast;
+    the sharded bigram-count join is the one shuffle, the Brants
+    MapReduce-LM design. Oracle rebuilds the (prev, cur) pair stream
+    with list_transform and restates both count tables and the
+    three-way CASE."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    sc = termstats.stupid_backoff_score(docs)
+    return sc.orderBy(F.desc("m_fp"), F.col("doc_id").asc()).limit(25)
+
+
 def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-bucket multinomial Naive Bayes (operators/nbayes.py),
     the one-counting-pass supervised classifier production curation
@@ -3137,6 +3153,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "kg_graph_bgp": q_kg_graph_bgp,
         "kg_sparql_graph": q_kg_sparql_graph,
+        "lm_stupid_backoff": q_lm_stupid_backoff,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
@@ -6002,6 +6019,57 @@ def oracle_sql() -> dict[str, str]:
         # same oriented closure as graph_triangles, then each closed
         # wedge (tail,b,c) explodes to its three member nodes; coef_fp
         # and the decile cut are integer division of exact longs
+        # Stupid Backoff: pair stream via list_transform, two count
+        # tables, three-way CASE; backoff = lp_uni + floor(ln .4 * 1e9)
+        "lm_stupid_backoff": r"""
+            WITH pairs AS MATERIALIZED (
+              SELECT d.doc_id, u.pair.prev AS prev, u.pair.cur AS cur
+              FROM documents d, LATERAL unnest(
+                CASE WHEN trim(d.text) = ''
+                     THEN CAST([] AS STRUCT(prev VARCHAR, cur VARCHAR)[])
+                ELSE list_transform(
+                  range(len(string_split_regex(trim(lower(d.text)), '\s+'))),
+                  i -> {'prev': CASE WHEN i = 0 THEN NULL
+                          ELSE string_split_regex(trim(lower(d.text)), '\s+')[i] END,
+                        'cur': string_split_regex(trim(lower(d.text)), '\s+')[i+1]})
+                END) u(pair)
+            ),
+            uni AS (SELECT cur AS tok, count(*) AS c_uni
+                    FROM pairs GROUP BY cur),
+            tot AS (SELECT sum(c_uni) AS n FROM uni),
+            unil AS (SELECT tok, c_uni,
+                            CAST(floor(ln(c_uni / CAST(n AS DOUBLE))
+                                 * 1000000000) AS BIGINT) AS lp_uni
+                     FROM uni, tot),
+            bi AS (SELECT prev, cur, count(*) AS c_bi FROM pairs
+                   WHERE prev IS NOT NULL GROUP BY prev, cur),
+            lp AS (
+              SELECT p.doc_id,
+                     CASE WHEN p.prev IS NULL THEN ul.lp_uni
+                          WHEN b.c_bi IS NOT NULL THEN
+                            CAST(floor(ln(b.c_bi / CAST(up.c_uni AS DOUBLE))
+                                 * 1000000000) AS BIGINT)
+                          ELSE __ALPHA__ + ul.lp_uni END AS lp
+              FROM pairs p
+              JOIN unil ul ON p.cur = ul.tok
+              LEFT JOIN unil up ON p.prev = up.tok
+              LEFT JOIN bi b ON p.prev = b.prev AND p.cur = b.cur
+            ),
+            pd AS (SELECT doc_id, count(*) AS n_tokens,
+                          CAST(-sum(lp) AS BIGINT) AS nll_fp
+                   FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(pd.n_tokens, 0) AS n_tokens,
+                   coalesce(pd.nll_fp, 0) AS nll_fp,
+                   CASE WHEN pd.n_tokens IS NULL THEN 0
+                        ELSE CAST(pd.nll_fp // pd.n_tokens AS BIGINT)
+                   END AS m_fp,
+                   CASE WHEN pd.n_tokens IS NULL THEN 0.0
+                        ELSE round(pd.nll_fp / pd.n_tokens / 1000000000.0, 4)
+                   END AS avg_nll
+            FROM documents d LEFT JOIN pd USING (doc_id)
+            ORDER BY m_fp DESC, d.doc_id ASC LIMIT 25
+        """.replace("__ALPHA__", str(termstats.STUPID_BACKOFF_ALPHA_LN_FP)),
         # named graphs: the quad scan is a (g, subj, obj) projection
         # keyed on source; default-graph pattern joined on the doc
         "kg_graph_bgp": f"""

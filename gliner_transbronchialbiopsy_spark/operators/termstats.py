@@ -26,6 +26,8 @@ stats tab); here generalized to corpus-scale term statistics.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -344,4 +346,111 @@ def perplexity_buckets(
             .otherwise(F.lit("tail")),
         )
         .drop("_qs")
+    )
+
+
+#: floor(ln(0.4) * SCALE) — the Stupid Backoff discount as ONE
+#: fixed-point constant, so the backoff score is defined as
+#: lp_uni_fp + ALPHA_LN_FP (a sum of two floors, exactly restatable)
+#: rather than floor(ln(0.4 * p) * SCALE)
+STUPID_BACKOFF_ALPHA_LN_FP = math.floor(math.log(0.4) * SCALE)
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha_ln_fp: int = STUPID_BACKOFF_ALPHA_LN_FP,
+) -> DataFrame:
+    """Bigram-LM document scoring with Stupid Backoff (Brants, Popat,
+    Xu, Och & Dean, EMNLP 2007 "Large language models in machine
+    translation") -> (id_col, n_tokens, nll_fp, m_fp, avg_nll).
+
+    S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1}) when the bigram was
+    seen, else α · c(w_i)/N with α = 0.4 — no discounting, no
+    normalization, which is exactly why it was THE MapReduce-scale LM:
+    training is counting, scoring is two table lookups. The backoff
+    term is DEFINED here as lp_uni_fp + alpha_ln_fp (two floors summed,
+    engine-portable) and a document's first token scores by its
+    unigram alone (no ``<s>`` context, so no backoff penalty). nll_fp
+    = −Σ lp over the doc's tokens is an exact long; m_fp = nll_fp div
+    n_tokens is the exact per-token mean the ranking/bucketing cut
+    uses; avg_nll is its rounded display form. Empty docs score 0.
+
+    Distributed shape (the Brants design): the unigram table
+    broadcasts (vocab-sized, twice: cur-lookup and context counts);
+    the bigram count table is corpus-vocabulary-sized and therefore
+    SHARDED — the one shuffle joins (doc, prev, cur) pairs against it
+    keyed on the bigram, with map-side combine on both count aggs.
+    Document text never shuffles; only token pairs move. The pair
+    stream is built by posexplode over the materialized token array
+    (prev = _toks[pos-1], a projection — no self-join, no window)."""
+    base = df.select(
+        F.col(id_col), textstats.word_tokens(F.col(text_col)).alias("_toks")
+    )
+    pairs = base.select(
+        id_col,
+        F.posexplode("_toks").alias("_pos", "cur"),
+        F.col("_toks"),
+    ).select(
+        id_col,
+        F.expr("CASE WHEN _pos = 0 THEN NULL ELSE _toks[_pos-1] END").alias(
+            "prev"
+        ),
+        "cur",
+    )
+    uni = pairs.groupBy("cur").agg(F.count("*").alias("c_uni"))
+    total = uni.agg(F.sum("c_uni").alias("_total"))
+    uni_lp = uni.crossJoin(F.broadcast(total)).select(
+        "cur",
+        "c_uni",
+        quantize_ln(F.col("c_uni") / F.col("_total")).alias("lp_uni"),
+    )
+    bi = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c_bi"))
+    )
+    ctx = uni_lp.select(
+        F.col("cur").alias("prev"), F.col("c_uni").alias("c_prev")
+    )
+    scored = (
+        pairs.join(F.broadcast(uni_lp.select("cur", "lp_uni")), "cur")
+        .join(F.broadcast(ctx), "prev", "left")
+        .join(bi, ["prev", "cur"], "left")
+        .select(
+            id_col,
+            F.when(F.col("prev").isNull(), F.col("lp_uni"))
+            .when(
+                F.col("c_bi").isNotNull(),
+                quantize_ln(F.col("c_bi") / F.col("c_prev")),
+            )
+            .otherwise(F.lit(int(alpha_ln_fp)) + F.col("lp_uni"))
+            .alias("_lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        (-F.sum("_lp")).cast("long").alias("nll_fp"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("nll_fp", F.lit(0)).cast("long").alias("nll_fp"),
+            F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.expr("nll_fp div n_tokens"))
+            .cast("long")
+            .alias("m_fp"),
+            F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("nll_fp") / F.col("n_tokens") / F.lit(float(SCALE)),
+                    4,
+                )
+            )
+            .alias("avg_nll"),
+        )
     )

@@ -541,3 +541,48 @@ def test_naive_bayes_matches_python(spark):
         pred = min(labels, key=lambda l: (-scores[l], l))
         want.add((i, pred, scores[pred]))
     assert got == want
+
+
+def test_stupid_backoff_matches_python(spark):
+    from collections import Counter
+
+    from gliner_transbronchialbiopsy_spark.operators import termstats
+
+    rng = random.Random(31)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = [
+        (i, " ".join(rng.choices(words, k=rng.randrange(0, 12))))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["n_tokens"], r["nll_fp"], r["m_fp"], r["avg_nll"])
+        for r in termstats.stupid_backoff_score(df).collect()
+    }
+    S = 10**9
+    A = math.floor(math.log(0.4) * S)
+
+    def q(x):
+        return math.floor(math.log(x) * S)
+
+    toks = {i: t.lower().split() for i, t in docs}
+    allt = [w for v in toks.values() for w in v]
+    N = len(allt)
+    uni = Counter(allt)
+    bi = Counter(
+        (v[i - 1], v[i]) for v in toks.values() for i in range(1, len(v))
+    )
+    want = set()
+    for d, v in toks.items():
+        if not v:
+            want.add((d, 0, 0, 0, 0.0))
+            continue
+        lp = q(uni[v[0]] / N)
+        for i in range(1, len(v)):
+            pr, cu = v[i - 1], v[i]
+            lp += q(bi[(pr, cu)] / uni[pr]) if (pr, cu) in bi else A + q(
+                uni[cu] / N
+            )
+        nll = -lp
+        want.add((d, len(v), nll, nll // len(v), round(nll / len(v) / S, 4)))
+    assert got == want
