@@ -1510,6 +1510,61 @@ def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (operators/ranges.funnel_steps):
+    view -> click -> purchase per user, greedy earliest matching
+    (exact for the unbounded funnel — the earliest feasible event at
+    each step only enlarges the downstream feasible set). One
+    filtered min-agg per step, k-1 user-keyed hash joins, no windows.
+    Contract row: per-step user counts plus the exact total
+    seconds-to-convert over fully-converted users (floor-epoch longs,
+    engine-portable). Oracle: chained LEFT JOIN + min() CTEs."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fn = ranges.funnel_steps(ev, ["view", "click", "purchase"])
+    sec = lambda c: F.col(c).cast("timestamp_ltz").cast("long")  # noqa: E731
+    return fn.agg(
+        F.count("t_1").alias("n_view"),
+        F.count("t_2").alias("n_click"),
+        F.count("t_3").alias("n_purchase"),
+        F.sum(
+            F.when(F.col("t_3").isNotNull(), sec("t_3") - sec("t_1"))
+        ).cast("long").alias("convert_seconds"),
+    )
+
+
+def q_graph_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-function / effective-diameter probe
+    (operators/graph.pivot_distances): the distance distribution from
+    8 portable sha-ordered pivots over the symmetric customer-supplier
+    trade graph, 4 hops — the sampled approximation of the
+    neighborhood function N(h) that HyperANF estimates with sketches
+    (Boldi-Rosa-Vigna 2011); here the pivot sample is exact and
+    engine-portable. One aggregate over the shared-frontier BFS
+    relation; oracle = the recursive min-dist CTE grouped by dist."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rel = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = rel.unionAll(
+        rel.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    pivots = nodes.orderBy(
+        F.sha2(F.col("node").cast("string"), 256).asc(), F.col("node").asc()
+    ).limit(8)
+    pd_ = graph.pivot_distances(edges, pivots, max_hops=4)
+    return pd_.groupBy("dist").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("node").alias("n_nodes"),
+    )
+
+
 def q_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM scoring with Stupid Backoff
     (operators/termstats.stupid_backoff_score — Brants et al., EMNLP
@@ -3154,6 +3209,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_bgp": q_kg_graph_bgp,
         "kg_sparql_graph": q_kg_sparql_graph,
         "lm_stupid_backoff": q_lm_stupid_backoff,
+        "event_funnel": q_event_funnel,
+        "graph_distance_hist": q_graph_distance_hist,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
@@ -6019,6 +6076,61 @@ def oracle_sql() -> dict[str, str]:
         # same oriented closure as graph_triangles, then each closed
         # wedge (tail,b,c) explodes to its three member nodes; coef_fp
         # and the decile cut are integer division of exact longs
+        # greedy-earliest funnel: chained LEFT JOIN + min() per step
+        "event_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+              SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+              FROM s1 LEFT JOIN events e
+                ON e.user_id = s1.user_id AND e.event_type = 'click'
+               AND e.ts > s1.t1
+              GROUP BY s1.user_id, s1.t1),
+            s3 AS (
+              SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+              FROM s2 LEFT JOIN events e
+                ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+               AND e.ts > s2.t2
+              GROUP BY s2.user_id, s2.t1, s2.t2)
+            SELECT count(t1) AS n_view, count(t2) AS n_click,
+                   count(t3) AS n_purchase,
+                   CAST(sum(CASE WHEN t3 IS NOT NULL THEN
+                        CAST(floor(epoch(t3)) AS BIGINT)
+                      - CAST(floor(epoch(t1)) AS BIGINT) END) AS BIGINT)
+                     AS convert_seconds
+            FROM s3
+        """,
+        # pivot-BFS distance distribution: recursive CTE + min rollup
+        "graph_distance_hist": """
+            WITH RECURSIVE base AS MATERIALIZED (
+              SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
+                     's:' || CAST(l.l_suppkey AS VARCHAR) AS dst
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            e AS MATERIALIZED (
+              SELECT src, dst FROM base
+              UNION
+              SELECT dst AS src, src AS dst FROM base
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM e),
+            piv AS MATERIALIZED (
+              SELECT node FROM nodes
+              ORDER BY sha256(node), node LIMIT 8
+            ),
+            r AS (
+              SELECT node AS pv, node, 0 AS dist FROM piv
+              UNION
+              SELECT r.pv, e.dst AS node, r.dist + 1 AS dist
+              FROM r JOIN e ON r.node = e.src
+              WHERE r.dist < 4
+            ),
+            m AS (SELECT pv, node, min(dist) AS dist
+                  FROM r GROUP BY pv, node)
+            SELECT dist, count(*) AS n_pairs,
+                   count(DISTINCT node) AS n_nodes
+            FROM m GROUP BY dist
+        """,
         # Stupid Backoff: pair stream via list_transform, two count
         # tables, three-way CASE; backoff = lp_uni + floor(ln .4 * 1e9)
         "lm_stupid_backoff": r"""

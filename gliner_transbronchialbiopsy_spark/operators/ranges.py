@@ -166,3 +166,59 @@ def asof_state(
         (F.col(valid_from) <= at_col)
         & (F.col(valid_to).isNull() | (F.col(valid_to) > at_col))
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel matching over an event stream -> one row per
+    user who reached step 1: (user_col, t_1, ..., t_k), where t_i is
+    the EARLIEST timestamp of a step-i event strictly after t_{i-1}
+    (NULL from the first unreached step on). The classic conversion
+    funnel ("view -> click -> purchase"): step counts are
+    count(t_i IS NOT NULL).
+
+    Greedy earliest matching is exact for the unbounded funnel: an
+    increasing event subsequence exists iff the greedy one does
+    (taking the earliest feasible event at each step only enlarges
+    the feasible set downstream). A per-funnel time budget would
+    break that optimality (a later start can beat an earlier one);
+    bounded-window funnels need per-start enumeration and are out of
+    scope here — temporal_reachable covers the bounded-propagation
+    question on the graph side.
+
+    Distributed shape: one filtered min-agg per step, each a join
+    keyed on the user id (k-1 hash joins for a k-step funnel, no
+    windows, no per-user sort); every aggregate combines map-side.
+    Ties inside a step collapse via min(); results are exact
+    timestamps, parallelism-invariant, restated by the oracle as
+    chained LEFT JOIN + min() CTEs."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    u = F.col(user_col)
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(u.alias(user_col))
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, st in enumerate(steps[1:], start=2):
+        e_i = events.filter(F.col(type_col) == st).select(
+            u.alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        prev_cols = cur.columns
+        cur = (
+            cur.join(
+                e_i,
+                (cur[user_col] == e_i["_u"])
+                & (e_i["_ts"] > cur[f"t_{i-1}"]),
+                "left",
+            )
+            .groupBy(*[cur[c] for c in prev_cols])
+            .agg(F.min("_ts").alias(f"t_{i}"))
+        )
+    return cur

@@ -586,3 +586,43 @@ def test_stupid_backoff_matches_python(spark):
         nll = -lp
         want.add((d, len(v), nll, nll // len(v), round(nll / len(v) / S, 4)))
     assert got == want
+
+
+def test_funnel_steps_matches_python(spark):
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+
+    for seed in (41, 42):
+        rng = random.Random(seed)
+        types = ["view", "click", "purchase", "error"]
+        rows = [
+            (rng.randrange(6), rng.choice(types), rng.randrange(100))
+            for _ in range(60)
+        ]
+        # ints-as-timestamps would break the ts cast downstream; the
+        # operator itself only compares/mins, so longs work here
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long"
+        )
+        got = {
+            (r["user_id"], r["t_1"], r["t_2"], r["t_3"])
+            for r in ranges.funnel_steps(
+                df, ["view", "click", "purchase"]
+            ).collect()
+        }
+        want = set()
+        by_user = {}
+        for u, et, ts in rows:
+            by_user.setdefault(u, []).append((et, ts))
+        for u, evs in by_user.items():
+            v = [t for e, t in evs if e == "view"]
+            if not v:
+                continue
+            t1 = min(v)
+            c = [t for e, t in evs if e == "click" and t > t1]
+            t2 = min(c) if c else None
+            t3 = None
+            if t2 is not None:
+                p = [t for e, t in evs if e == "purchase" and t > t2]
+                t3 = min(p) if p else None
+            want.add((u, t1, t2, t3))
+        assert got == want, f"seed {seed}"

@@ -417,6 +417,22 @@ AUDIT = {
         "!InPandas",
         "!BroadcastNestedLoopJoin",
     ),
+    # greedy funnel: per-step min-aggs + user-keyed joins, no window
+    "event_funnel": ("HashAggregate", "!Window", "!InPandas"),
+    # pivot-BFS distance histogram: one agg over checkpointed rounds
+    "graph_distance_hist": (
+        "Scan ExistingRDD",
+        "HashAggregate",
+        "!InPandas",
+    ),
+    # Stupid Backoff: broadcast unigram lookups; the bigram count
+    # join is the one sharded shuffle (SortMergeJoin is acceptable
+    # there), scoring all JVM
+    "lm_stupid_backoff": (
+        "BroadcastHashJoin",
+        "TakeOrderedAndProject",
+        "!InPandas",
+    ),
     # named graphs: quad scans join the default-graph pattern as hash
     # joins on the doc key; no cartesian, no Python
     "kg_graph_bgp": (
