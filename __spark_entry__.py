@@ -1565,6 +1565,30 @@ def q_graph_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled betweenness centrality
+    (operators/graph.betweenness_estimate — Brandes 2001 accumulation,
+    Brandes-Pich/Geisberger source sampling): σ-carrying BFS from 8
+    portable sha-ordered pivots over the symmetric customer-supplier
+    trade graph (3 hops), then deepest-first δ accumulation in exact
+    long fixed-point — each node's δ computed exactly once at its
+    level round, so the integer divisions happen in a fixed order and
+    the broker scores are parallelism-invariant. Top 30 under
+    (bet_fp DESC, node). Oracle: chained per-level CTEs for both the
+    σ forward pass and the δ backward pass."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rel = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = rel.unionAll(
+        rel.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    bet = graph.betweenness_estimate(edges, n_pivots=8, max_hops=3)
+    return bet.orderBy(F.desc("bet_fp"), F.col("node").asc()).limit(30)
+
+
 def q_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM scoring with Stupid Backoff
     (operators/termstats.stupid_backoff_score — Brants et al., EMNLP
@@ -3211,6 +3235,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_stupid_backoff": q_lm_stupid_backoff,
         "event_funnel": q_event_funnel,
         "graph_distance_hist": q_graph_distance_hist,
+        "graph_betweenness": q_graph_betweenness,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
@@ -6076,6 +6101,82 @@ def oracle_sql() -> dict[str, str]:
         # same oriented closure as graph_triangles, then each closed
         # wedge (tail,b,c) explodes to its three member nodes; coef_fp
         # and the decile cut are integer division of exact longs
+        # Brandes sampled betweenness: chained per-level CTEs for the
+        # sigma forward pass and the fixed-point delta backward pass
+        "graph_betweenness": """
+            WITH base AS MATERIALIZED (
+              SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
+                     's:' || CAST(l.l_suppkey AS VARCHAR) AS dst
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            e AS MATERIALIZED (
+              SELECT src, dst FROM base
+              UNION
+              SELECT dst AS src, src AS dst FROM base
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM e),
+            piv AS MATERIALIZED (
+              SELECT node FROM nodes
+              ORDER BY sha256(node), node LIMIT 8
+            ),
+            l0 AS MATERIALIZED (
+              SELECT node AS pv, node, CAST(1 AS BIGINT) AS sigma
+              FROM piv),
+            l1 AS MATERIALIZED (
+              SELECT u.pv, e.dst AS node,
+                     CAST(sum(u.sigma) AS BIGINT) AS sigma
+              FROM l0 u JOIN e ON u.node = e.src
+              WHERE NOT EXISTS (SELECT 1 FROM l0 x
+                                WHERE x.pv = u.pv AND x.node = e.dst)
+              GROUP BY u.pv, e.dst),
+            l2 AS MATERIALIZED (
+              SELECT u.pv, e.dst AS node,
+                     CAST(sum(u.sigma) AS BIGINT) AS sigma
+              FROM l1 u JOIN e ON u.node = e.src
+              WHERE NOT EXISTS (SELECT 1 FROM l0 x
+                                WHERE x.pv = u.pv AND x.node = e.dst)
+                AND NOT EXISTS (SELECT 1 FROM l1 x
+                                WHERE x.pv = u.pv AND x.node = e.dst)
+              GROUP BY u.pv, e.dst),
+            l3 AS MATERIALIZED (
+              SELECT u.pv, e.dst AS node,
+                     CAST(sum(u.sigma) AS BIGINT) AS sigma
+              FROM l2 u JOIN e ON u.node = e.src
+              WHERE NOT EXISTS (SELECT 1 FROM l0 x
+                                WHERE x.pv = u.pv AND x.node = e.dst)
+                AND NOT EXISTS (SELECT 1 FROM l1 x
+                                WHERE x.pv = u.pv AND x.node = e.dst)
+                AND NOT EXISTS (SELECT 1 FROM l2 x
+                                WHERE x.pv = u.pv AND x.node = e.dst)
+              GROUP BY u.pv, e.dst),
+            d3 AS (SELECT pv, node, CAST(0 AS BIGINT) AS delta FROM l3),
+            d2 AS MATERIALIZED (
+              SELECT u.pv, u.node,
+                     COALESCE(CAST(sum((u.sigma * (1000000000 + d3.delta))
+                                       // w.sigma) AS BIGINT), 0) AS delta
+              FROM l2 u
+              LEFT JOIN e ON u.node = e.src
+              LEFT JOIN l3 w ON w.pv = u.pv AND w.node = e.dst
+              LEFT JOIN d3 ON d3.pv = w.pv AND d3.node = w.node
+              GROUP BY u.pv, u.node),
+            d1 AS MATERIALIZED (
+              SELECT u.pv, u.node,
+                     COALESCE(CAST(sum((u.sigma * (1000000000 + d2.delta))
+                                       // w.sigma) AS BIGINT), 0) AS delta
+              FROM l1 u
+              LEFT JOIN e ON u.node = e.src
+              LEFT JOIN l2 w ON w.pv = u.pv AND w.node = e.dst
+              LEFT JOIN d2 ON d2.pv = w.pv AND d2.node = w.node
+              GROUP BY u.pv, u.node),
+            alln AS (
+              SELECT pv, node, delta FROM d1
+              UNION ALL SELECT pv, node, delta FROM d2
+              UNION ALL SELECT pv, node, delta FROM d3)
+            SELECT node, CAST(sum(delta) AS BIGINT) AS bet_fp
+            FROM alln WHERE node <> pv
+            GROUP BY node HAVING sum(delta) > 0
+            ORDER BY bet_fp DESC, node ASC LIMIT 30
+        """,
         # greedy-earliest funnel: chained LEFT JOIN + min() per step
         "event_funnel": """
             WITH s1 AS (

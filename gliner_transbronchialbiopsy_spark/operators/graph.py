@@ -1467,3 +1467,140 @@ def temporal_reachable(
         )
         frontier = improved
     return best
+
+
+def betweenness_estimate(
+    edges: DataFrame,
+    n_pivots: int = 8,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Pivot-sampled betweenness centrality -> (node, bet_fp):
+    Brandes' dependency accumulation (Brandes 2001, "A faster
+    algorithm for betweenness centrality") run from a deterministic
+    pivot sample (the source-sampling estimator of Brandes & Pich
+    2007 / Geisberger et al. 2008), hop-bounded — the broker/bridge
+    score a KG audit uses to find entities that sit BETWEEN
+    communities, which degree and PageRank both miss.
+
+    Forward phase: per-pivot BFS where the frontier carries σ (the
+    count of shortest paths), accumulated per level as
+    σ(v) = Σ_{u ∈ preds(v)} σ(u) — one frontier join + one sum-agg
+    per hop, all k pivot trees sharing each round (the
+    :func:`pivot_distances` discipline). Backward phase: levels
+    processed deepest-first, δ(u) = Σ_{w ∈ succs(u)}
+    (σ_u · (SCALE + δ_fp(w))) div σ_w — Brandes' recurrence in exact
+    long fixed-point (each node's δ is computed exactly ONCE, at its
+    level round, so the integer divisions happen in a fixed order and
+    the result is parallelism-invariant and restatable as chained
+    per-level CTEs). bet_fp(v) = Σ over pivots p≠v of δ_p(v).
+
+    Overflow budget: σ counts shortest paths (grows with path
+    multiplicity — hop-bound keeps it polynomial) and every product
+    σ_u · (SCALE + δ_w) must stay inside int64; keep max_hops small
+    (<= 4) on high-multiplicity graphs. Driver-side scalars: one
+    bounded max(dist) lookup sizing the backward loop.
+
+    Sampled scores are exact for the sample, estimates of the full
+    betweenness (scale by n/k for the unnormalized estimator)."""
+    if n_pivots < 1:
+        raise ValueError("n_pivots must be >= 1")
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = edges.select(
+        F.col(src).alias("_e_src"), F.col(dst).alias("_e_dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("_e_src").alias("node"))
+        .union(e.select(F.col("_e_dst").alias("node")))
+        .distinct()
+    )
+    pivots = nodes.orderBy(
+        F.sha2(F.col("node").cast("string"), 256).asc(), F.col("node").asc()
+    ).limit(int(n_pivots))
+    visited = loop_ckpt(
+        pivots.select(F.col("node").alias("pivot"))
+        .select(
+            "pivot",
+            F.col("pivot").alias("node"),
+            F.lit(0).alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+    )
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_e_src"])
+            .groupBy("pivot", F.col("_e_dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(
+                visited.select("pivot", "node"),
+                ["pivot", "node"],
+                "left_anti",
+            )
+            .withColumn("dist", F.lit(d))
+            .select("pivot", "node", "dist", "sigma")
+        )
+        nxt = loop_ckpt(nxt)
+        if nxt.isEmpty():
+            break
+        visited = loop_ckpt(visited.unionByName(nxt))
+        frontier = nxt
+    max_d = visited.agg(F.max("dist")).head()[0]  # one bounded scalar
+    deltas = loop_ckpt(
+        visited.filter(F.col("dist") == max_d).select(
+            "pivot", "node", F.lit(0).cast("long").alias("delta_fp")
+        )
+    )
+    scale = int(_CENT_SCALE)
+    for d in range(max_d, 0, -1):
+        w_rel = (
+            visited.filter(F.col("dist") == d)
+            .join(deltas, ["pivot", "node"])
+            .select(
+                "pivot",
+                F.col("node").alias("_w"),
+                F.col("sigma").alias("_sigma_w"),
+                F.col("delta_fp").alias("_delta_w"),
+            )
+        )
+        u_rel = visited.filter(F.col("dist") == d - 1).select(
+            "pivot", "node", F.col("sigma").alias("_sigma_u")
+        )
+        contrib = (
+            u_rel.join(e, u_rel["node"] == e["_e_src"])
+            .join(
+                w_rel,
+                (u_rel["pivot"] == w_rel["pivot"])
+                & (e["_e_dst"] == w_rel["_w"]),
+            )
+            .select(
+                u_rel["pivot"].alias("pivot"),
+                u_rel["node"].alias("node"),
+                F.expr(
+                    f"(_sigma_u * (CAST({scale} AS BIGINT) + _delta_w)) "
+                    "div _sigma_w"
+                ).alias("_c"),
+            )
+            .groupBy("pivot", "node")
+            .agg(F.sum("_c").cast("long").alias("_contrib"))
+        )
+        lvl = (
+            u_rel.select("pivot", "node")
+            .join(contrib, ["pivot", "node"], "left")
+            .select(
+                "pivot",
+                "node",
+                F.coalesce("_contrib", F.lit(0)).cast("long").alias(
+                    "delta_fp"
+                ),
+            )
+        )
+        deltas = loop_ckpt(deltas.unionByName(lvl))
+    return (
+        deltas.filter(F.col("node") != F.col("pivot"))
+        .groupBy("node")
+        .agg(F.sum("delta_fp").cast("long").alias("bet_fp"))
+        .filter(F.col("bet_fp") > 0)
+    )

@@ -626,3 +626,61 @@ def test_funnel_steps_matches_python(spark):
                 t3 = min(p) if p else None
             want.add((u, t1, t2, t3))
         assert got == want, f"seed {seed}"
+
+
+def test_betweenness_matches_python(spark):
+    import hashlib
+
+    S = 10**9
+    for seed in (51, 52, 53):
+        edges = [
+            (a, b) for a, b in _rand_edges(seed, n_nodes=12, n_edges=35)
+            if a != b
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["node"], r["bet_fp"])
+            for r in graph.betweenness_estimate(
+                df, n_pivots=4, max_hops=3
+            ).collect()
+        }
+        eset = set(edges)
+        adj = {}
+        for a, b in eset:
+            adj.setdefault(a, set()).add(b)
+        nodes = sorted({x for e in edges for x in e})
+        piv = sorted(
+            nodes,
+            key=lambda n: (hashlib.sha256(str(n).encode()).hexdigest(), n),
+        )[:4]
+        bet = {}
+        for p in piv:
+            # forward: levels + sigma
+            dist, sigma = {p: 0}, {p: 1}
+            levels = [[p]]
+            for d in range(1, 4):
+                nxt = {}
+                for u in levels[d - 1]:
+                    for w in adj.get(u, ()):
+                        if w not in dist:
+                            nxt[w] = nxt.get(w, 0) + sigma[u]
+                if not nxt:
+                    break
+                for w, s in nxt.items():
+                    dist[w] = d
+                    sigma[w] = s
+                levels.append(sorted(nxt))
+            # backward: deepest level first, Brandes fp recurrence
+            delta = {v: 0 for v in dist}
+            for d in range(len(levels) - 1, 0, -1):
+                for u in levels[d - 1]:
+                    c = 0
+                    for w in adj.get(u, ()):
+                        if dist.get(w) == d:
+                            c += (sigma[u] * (S + delta[w])) // sigma[w]
+                    delta[u] = c
+            for v, dl in delta.items():
+                if v != p:
+                    bet[v] = bet.get(v, 0) + dl
+        want = {(v, b) for v, b in bet.items() if b > 0}
+        assert got == want, f"seed {seed}"

@@ -417,6 +417,14 @@ AUDIT = {
         "!InPandas",
         "!BroadcastNestedLoopJoin",
     ),
+    # Brandes sampled betweenness: checkpointed forward/backward
+    # rounds, final plan one agg + TakeOrdered, pure JVM
+    "graph_betweenness": (
+        "Scan ExistingRDD",
+        "HashAggregate",
+        "TakeOrderedAndProject",
+        "!InPandas",
+    ),
     # greedy funnel: per-step min-aggs + user-keyed joins, no window
     "event_funnel": ("HashAggregate", "!Window", "!InPandas"),
     # pivot-BFS distance histogram: one agg over checkpointed rounds
