@@ -1565,6 +1565,22 @@ def q_graph_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering
+    (operators/dedup.prefix_filter_jaccard_pairs — Chaudhuri et al.
+    ICDE'06, PPJoin WWW'08): every document pair with set-Jaccard >=
+    0.3 over distinct word 3-grams, candidates generated ONLY from
+    each set's rarest-first prefix (p = sz − ceil(t·sz) + 1 grams)
+    and then verified exactly. The oracle is the NAIVE exact join
+    (every shared gram) — equality proves the prefix filter lossless
+    on this corpus, which is the algorithm's guarantee: the lossy
+    DF-cap of dedup_ngram_jaccard is replaced by an exact
+    candidate-pruning rule where hot shingles fall out of prefixes
+    by construction."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.prefix_filter_jaccard_pairs(docs, n=3, threshold=0.3)
+
+
 def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot-sampled betweenness centrality
     (operators/graph.betweenness_estimate — Brandes 2001 accumulation,
@@ -3236,6 +3252,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "graph_distance_hist": q_graph_distance_hist,
         "graph_betweenness": q_graph_betweenness,
+        "jaccard_prefix_join": q_jaccard_prefix_join,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
@@ -6101,6 +6118,33 @@ def oracle_sql() -> dict[str, str]:
         # same oriented closure as graph_triangles, then each closed
         # wedge (tail,b,c) explodes to its three member nodes; coef_fp
         # and the decile cut are integer division of exact longs
+        # prefix-filter join oracle = the NAIVE exact join: equality
+        # proves the prefix candidate pruning lossless on this corpus
+        "jaccard_prefix_join": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, u.gram
+              FROM toks, LATERAL unnest(
+                CASE WHEN len(t) >= 3
+                     THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           FOR i IN range(1, len(t) - 1)]
+                     ELSE [array_to_string(t, ' ')] END) u(gram)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT s.id_a, s.id_b, s.c AS shared,
+                   sa.sz AS sz_a, sb.sz AS sz_b,
+                   s.c / CAST(sa.sz + sb.sz - s.c AS DOUBLE) AS jaccard
+            FROM shared s
+            JOIN sizes sa ON sa.doc_id = s.id_a
+            JOIN sizes sb ON sb.doc_id = s.id_b
+            WHERE s.c / CAST(sa.sz + sb.sz - s.c AS DOUBLE) >= 0.3
+        """,
         # Brandes sampled betweenness: chained per-level CTEs for the
         # sigma forward pass and the fixed-point delta backward pass
         "graph_betweenness": """

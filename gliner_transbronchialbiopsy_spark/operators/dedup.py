@@ -728,3 +728,103 @@ def duplicate_passages(
             ),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-Jaccard similarity join via prefix filtering
+    (Chaudhuri-Ganti-Kaushik ICDE'06; Xiao-Wang-Lin-Yu WWW'08
+    "PPJoin") -> (id_a, id_b, shared, sz_a, sz_b, jaccard) for every
+    pair with J >= threshold over DISTINCT word-n-gram sets.
+
+    The other exact path here (:func:`ngram_jaccard_pairs`) joins on
+    EVERY shared shingle and needs a document-frequency cap on hot
+    shingles — which makes its scores lower bounds under the cap.
+    Prefix filtering is the LOSSLESS alternative: order each set by
+    ascending global document frequency (rarest first, gram asc
+    tie-break — one canonical total order), keep only the first
+    p = |x| − ceil(t·|x|) + 1 grams as the PREFIX, and join on prefix
+    grams only. Two sets with J >= t MUST share a prefix gram (if
+    they miss each other's prefixes, the overlap is bounded below
+    t·|union|), so the candidate set is a superset of the answer and
+    the verification step computes exact Jaccard — no cap semantics.
+    Hot shingles sit at the END of the frequency order and almost
+    never enter a prefix: the skew guard falls out of the algorithm
+    instead of a lossy cap.
+
+    Plan shape: one distinct-gram explode, one DF count agg, a
+    per-document row_number window (keyed on the doc id) for the
+    prefix cut, the prefix self-equi-join keyed on the gram, then
+    candidate verification as two joins against the full gram sets
+    (candidate-sized fan-out) and one count agg. All shuffle keys are
+    grams or doc ids; no Python, no cartesian."""
+    from pyspark.sql import Window as _W
+
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    tokens = (
+        df.select(
+            F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    sizes = tokens.groupBy(id_col).agg(F.count("*").alias("sz"))
+    dfreq = tokens.groupBy("gram").agg(F.count("*").alias("_df"))
+    ranked = (
+        tokens.join(dfreq, "gram")
+        .join(sizes, id_col)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                _W.partitionBy(id_col).orderBy(
+                    F.col("_df").asc(), F.col("gram").asc()
+                )
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    ).select(id_col, "gram")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ta = tokens.select(F.col(id_col).alias("id_a"), "gram")
+    tb = tokens.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "sz_a", "sz_b", "jaccard")
+    )

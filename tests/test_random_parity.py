@@ -684,3 +684,42 @@ def test_betweenness_matches_python(spark):
                     bet[v] = bet.get(v, 0) + dl
         want = {(v, b) for v, b in bet.items() if b > 0}
         assert got == want, f"seed {seed}"
+
+
+def test_prefix_filter_jaccard_is_lossless(spark):
+    from gliner_transbronchialbiopsy_spark.operators import dedup
+
+    for seed in (61, 62):
+        rng = random.Random(seed)
+        words = [f"w{k}" for k in range(12)]
+        docs = [
+            (i, " ".join(rng.choices(words, k=rng.randrange(3, 15))))
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        t = 0.4
+        got = {
+            (r["id_a"], r["id_b"], r["shared"], r["sz_a"], r["sz_b"])
+            for r in dedup.prefix_filter_jaccard_pairs(
+                df, n=3, threshold=t
+            ).collect()
+        }
+        # brute force over distinct 3-gram sets (word_ngrams semantics:
+        # short docs collapse to the single whole-text gram)
+        def gset(text):
+            ws = text.lower().split()
+            if len(ws) >= 3:
+                return {
+                    " ".join(ws[i:i + 3]) for i in range(len(ws) - 2)
+                }
+            return {" ".join(ws)}
+
+        sets = {i: gset(tx) for i, tx in docs}
+        want = set()
+        for a in sets:
+            for b in sets:
+                if a < b:
+                    inter = len(sets[a] & sets[b])
+                    if inter and inter / len(sets[a] | sets[b]) >= t:
+                        want.add((a, b, inter, len(sets[a]), len(sets[b])))
+        assert got == want, f"seed {seed}"

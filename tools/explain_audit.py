@@ -417,6 +417,14 @@ AUDIT = {
         "!InPandas",
         "!BroadcastNestedLoopJoin",
     ),
+    # prefix-filter Jaccard: gram-keyed equi-joins + one per-doc
+    # window for the prefix cut; no cartesian, pure JVM
+    "jaccard_prefix_join": (
+        "Window",
+        "HashAggregate",
+        "!InPandas",
+        "!BroadcastNestedLoopJoin",
+    ),
     # Brandes sampled betweenness: checkpointed forward/backward
     # rounds, final plan one agg + TakeOrdered, pure JVM
     "graph_betweenness": (
