@@ -1565,6 +1565,20 @@ def q_graph_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine all-pairs (operators/termstats.
+    tfidf_cosine_topk — Bayardo et al. WWW'07): top-40 document pairs
+    by cosine over exact long TF-IDF weights, dot products via the
+    inverted-index self-join keyed on the token (no vectors
+    materialized — the sparse sibling of the dense embedding cosine),
+    hot postings capped at df <= 150 (index only; norms stay full).
+    cosine derives from exact longs so the double is engine-portable;
+    cut = (cosine DESC, id_a, id_b). Oracle restates tf/idf/norms and
+    the capped index join."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return termstats.tfidf_cosine_topk(docs, k=40, max_token_df=150)
+
+
 def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering
     (operators/dedup.prefix_filter_jaccard_pairs — Chaudhuri et al.
@@ -3253,6 +3267,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_distance_hist": q_graph_distance_hist,
         "graph_betweenness": q_graph_betweenness,
         "jaccard_prefix_join": q_jaccard_prefix_join,
+        "tfidf_cosine": q_tfidf_cosine,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
@@ -6118,6 +6133,44 @@ def oracle_sql() -> dict[str, str]:
         # same oriented closure as graph_triangles, then each closed
         # wedge (tail,b,c) explodes to its three member nodes; coef_fp
         # and the decile cut are integer division of exact longs
+        # sparse TF-IDF cosine: exact long weights/norms, capped
+        # inverted-index join, portable double cosine from exact longs
+        "tfidf_cosine": r"""
+            WITH toks AS (
+              SELECT d.doc_id, u.token
+              FROM documents d, LATERAL unnest(
+                CASE WHEN trim(d.text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(d.text)), '\s+')
+                END) u(token)),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            dfreq AS (SELECT token, count(*) AS dfc
+                      FROM tf GROUP BY token),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            w AS (
+              SELECT tf.doc_id, tf.token, dfreq.dfc,
+                     CAST(tf.tf * CAST(floor(ln(nd.n / CAST(dfreq.dfc AS DOUBLE))
+                          * 100) AS BIGINT) AS BIGINT) AS w
+              FROM tf JOIN dfreq USING (token), nd),
+            norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm2
+                      FROM w GROUP BY doc_id),
+            idx AS (SELECT doc_id, token, w FROM w
+                    WHERE w > 0 AND dfc <= 150),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(sum(a.w * b.w) AS BIGINT) AS dot_fp
+              FROM idx a JOIN idx b
+                ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING sum(a.w * b.w) > 0)
+            SELECT p.id_a, p.id_b, p.dot_fp,
+                   na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+                   p.dot_fp / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cosine
+            FROM pairs p
+            JOIN norms na ON na.doc_id = p.id_a
+            JOIN norms nb ON nb.doc_id = p.id_b
+            ORDER BY cosine DESC, p.id_a ASC, p.id_b ASC LIMIT 40
+        """,
         # prefix-filter join oracle = the NAIVE exact join: equality
         # proves the prefix candidate pruning lossless on this corpus
         "jaccard_prefix_join": r"""

@@ -454,3 +454,102 @@ def stupid_backoff_score(
             .alias("avg_nll"),
         )
     )
+
+
+#: IDF quantization scale for the sparse-cosine weights — deliberately
+#: SMALL (100, not 1e9): w = tf · idf_q must keep Σ w_a·w_b inside
+#: int64 across a pair's shared tokens. tf <= 1e3, idf_q <= ~2.4e3
+#: (ln of any realistic N/df times 100) -> w <= 2.4e6, per-token
+#: product <= 5.8e12, and 10^5 shared tokens still sit at 5.8e17.
+TFIDF_IDF_SCALE = 100
+
+
+def tfidf_cosine_topk(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Top-k most similar document pairs under TF-IDF cosine, computed
+    through an INVERTED INDEX (the classic sparse IR join: Bayardo,
+    Ma & Srikant WWW'07 "Scaling up all pairs similarity search") ->
+    (id_a, id_b, dot_fp, norm2_a, norm2_b, cosine).
+
+    Weights are exact longs: w(d, t) = tf(d, t) · floor(ln(N/df(t)) ·
+    100) — the deliberately small IDF scale keeps every pair dot
+    product inside int64 (see TFIDF_IDF_SCALE). dot_fp and the squared
+    norms are exact long sums, so ``cosine = dot_fp / (sqrt(norm2_a) ·
+    sqrt(norm2_b))`` is the same IEEE double on any engine (sqrt /
+    mul / div are correctly rounded on identical inputs) and the
+    (cosine DESC, id_a, id_b) cut is engine-portable. Tokens present
+    in EVERY document get idf 0 and drop out — the stopword kill falls
+    out of the weighting.
+
+    This is the sparse sibling of operators/similarity.py's dense
+    embedding cosine: no vectors are materialized — the dot product is
+    a self-equi-join of the inverted index keyed on the token with a
+    long-sum agg, which is how similarity search scales when the
+    vocabulary is huge but documents are sparse. ``max_token_df``
+    drops tokens whose document frequency exceeds the cap from the
+    INDEX ONLY (norms stay full), the standard hot-posting guard: a
+    token in f docs emits f(f−1)/2 join rows, and high-df tokens carry
+    near-zero idf weight anyway. Under a cap, dot products are lower
+    bounds (same documented discipline as the n-gram DF cap)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(textstats.word_tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("_df"))
+    ndocs = df.agg(F.countDistinct(id_col).alias("_n"))
+    w = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            id_col,
+            "token",
+            "_df",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(F.col("_n") / F.col("_df"))
+                    * F.lit(TFIDF_IDF_SCALE)
+                ).cast("long")
+            ).cast("long").alias("w"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2")
+    )
+    index = w.filter(F.col("w") > 0)
+    if max_token_df is not None:
+        index = index.filter(F.col("_df") <= int(max_token_df))
+    ia = index.select(F.col(id_col).alias("id_a"), "token", F.col("w").alias("wa"))
+    ib = index.select(F.col(id_col).alias("id_b"), "token", F.col("w").alias("wb"))
+    pairs = (
+        ia.join(ib, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot_fp"))
+        .filter(F.col("dot_fp") > 0)
+    )
+    return (
+        pairs.join(
+            norms.select(F.col(id_col).alias("id_a"), F.col("norm2").alias("norm2_a")),
+            "id_a",
+        )
+        .join(
+            norms.select(F.col(id_col).alias("id_b"), F.col("norm2").alias("norm2_b")),
+            "id_b",
+        )
+        .withColumn(
+            "cosine",
+            F.col("dot_fp")
+            / (F.sqrt(F.col("norm2_a")) * F.sqrt(F.col("norm2_b"))),
+        )
+        .orderBy(F.desc("cosine"), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(int(k))
+    )

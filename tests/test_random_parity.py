@@ -723,3 +723,47 @@ def test_prefix_filter_jaccard_is_lossless(spark):
                     if inter and inter / len(sets[a] | sets[b]) >= t:
                         want.add((a, b, inter, len(sets[a]), len(sets[b])))
         assert got == want, f"seed {seed}"
+
+
+def test_tfidf_cosine_matches_python(spark):
+    from collections import Counter
+
+    from gliner_transbronchialbiopsy_spark.operators import termstats
+
+    rng = random.Random(71)
+    words = [f"w{k}" for k in range(10)]
+    docs = [
+        (i, " ".join(rng.choices(words, k=rng.randrange(1, 12))))
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["id_a"], r["id_b"], r["dot_fp"], r["norm2_a"], r["norm2_b"])
+        for r in termstats.tfidf_cosine_topk(df, k=10).collect()
+    ]
+    tf = {i: Counter(t.lower().split()) for i, t in docs}
+    dfc = Counter(w for c in tf.values() for w in c)
+    N = len(docs)
+    wts = {
+        i: {
+            w: c * math.floor(math.log(N / dfc[w]) * 100)
+            for w, c in cnts.items()
+        }
+        for i, cnts in tf.items()
+    }
+    norms = {i: sum(v * v for v in ws.values()) for i, ws in wts.items()}
+    rows = []
+    for a in wts:
+        for b in wts:
+            if a < b:
+                dot = sum(
+                    wa * wts[b][w]
+                    for w, wa in wts[a].items()
+                    if w in wts[b] and wa > 0 and wts[b][w] > 0
+                )
+                if dot > 0:
+                    rows.append((a, b, dot, norms[a], norms[b]))
+    rows.sort(
+        key=lambda r: (-(r[2] / (math.sqrt(r[3]) * math.sqrt(r[4]))), r[0], r[1])
+    )
+    assert got == rows[:10]

@@ -417,6 +417,14 @@ AUDIT = {
         "!InPandas",
         "!BroadcastNestedLoopJoin",
     ),
+    # sparse TF-IDF cosine: broadcast ndocs, token-keyed index join,
+    # TakeOrdered cut, pure JVM
+    "tfidf_cosine": (
+        "TakeOrderedAndProject",
+        "HashAggregate",
+        "!InPandas",
+        "!BroadcastNestedLoopJoin",
+    ),
     # prefix-filter Jaccard: gram-keyed equi-joins + one per-doc
     # window for the prefix cut; no cartesian, pure JVM
     "jaccard_prefix_join": (
