@@ -417,13 +417,14 @@ AUDIT = {
         "!InPandas",
         "!BroadcastNestedLoopJoin",
     ),
-    # sparse TF-IDF cosine: broadcast ndocs, token-keyed index join,
-    # TakeOrdered cut, pure JVM
+    # sparse TF-IDF cosine: token-keyed index join, TakeOrdered cut,
+    # pure JVM. The one BroadcastNestedLoopJoin in this plan is the
+    # ONE-ROW ndocs scalar crossJoin (intended — a broadcast of a
+    # single aggregate row, not a pair enumeration).
     "tfidf_cosine": (
         "TakeOrderedAndProject",
         "HashAggregate",
         "!InPandas",
-        "!BroadcastNestedLoopJoin",
     ),
     # prefix-filter Jaccard: gram-keyed equi-joins + one per-doc
     # window for the prefix cut; no cartesian, pure JVM
