@@ -155,24 +155,41 @@ def _quad_scan(qt: DataFrame, pattern4: tuple) -> tuple[DataFrame, set]:
 
 
 def _compile_graph_group(
-    qt: DataFrame, gterm: str, items: Sequence, allow_cartesian: bool
+    qt: DataFrame,
+    gterm: str,
+    items: Sequence,
+    allow_cartesian: bool,
+    max_closure_rows: int = _paths.DEFAULT_MAX_CLOSURE_ROWS,
+    stats: "_kgstats.TripleStats | None" = None,
 ) -> tuple[DataFrame, set]:
     """One GRAPH group (SPARQL 1.1 §13.3): every pattern inside the
-    group matches within the SAME named graph, so each compiles as a
-    4-term scan with the graph term prepended — a variable graph term
-    binds ?g and automatically connects the group's scans; a ground
-    term is a pushed graph-partition predicate. Plain triple patterns
-    only (property paths inside GRAPH raise — their compilers are
-    defined over one homogeneous edge relation)."""
+    group matches within the SAME named graph.
+
+    A GROUND graph term restricts the quad relation once (a pushed
+    graph-partition predicate) and hands the group to the FULL group
+    compiler — property paths, the greedy/stats join order, every
+    documented semantic apply within that one named graph. A VARIABLE
+    graph term compiles each pattern as a 4-term scan (the graph
+    column binds ?g and automatically connects the group's scans);
+    paths under a variable graph term raise — a path closure is
+    per-graph, so evaluating one per binding would be a join-order
+    explosion, not a scan."""
     if not items:
         raise ValueError("empty GRAPH group")
+    if not _bgp._is_var(gterm):
+        t_g = qt.filter(F.col("g") == F.lit(gterm)).select(
+            "subj", "pred", "obj"
+        )
+        return _compile_group(
+            t_g, items, max_closure_rows, allow_cartesian, stats
+        )
     rels: list[tuple[DataFrame, set]] = []
     n_consts: list[int] = []
     for it in items:
         if _is_path(it) or len(it) != 3:
             raise ValueError(
-                "GRAPH groups take plain (s, p, o) triple patterns "
-                f"(no property paths), got {it!r}"
+                "GRAPH groups with a VARIABLE graph term take plain "
+                f"(s, p, o) triple patterns (no property paths), got {it!r}"
             )
         rels.append(_quad_scan(qt, (gterm, *it)))
         n_consts.append(
@@ -425,7 +442,8 @@ def compose(
         )
         for gterm, gitems in q.graphs:
             gdf, gvs = _compile_graph_group(
-                qt, gterm, gitems, allow_cartesian
+                qt, gterm, gitems, allow_cartesian,
+                max_closure_rows=max_closure_rows, stats=stats,
             )
             if acc is None:
                 acc, bound = gdf, gvs

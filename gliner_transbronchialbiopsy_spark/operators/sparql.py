@@ -586,16 +586,22 @@ class _Parser:
                 grp = tuple(self._braced_triples())
                 (not_exists if neg else exists).append(grp)
             elif self._at("KW", "GRAPH"):
-                # GRAPH <term> { plain triples } — matches within the
-                # named-graph quad relation (composer.graphs); property
-                # paths inside GRAPH are outside the subset
+                # GRAPH <term> { ... } — matches within the named-graph
+                # quad relation (composer.graphs). A ground term takes
+                # the full group grammar incl. property paths (the
+                # group compiles against the graph-restricted view); a
+                # variable term takes plain triples only (a path
+                # closure is per-graph — composer docstring)
                 self._next()
                 gterm = self._term()
                 inner = self._braced_triples()
-                if any(isinstance(it, Path) for it in inner):
+                if gterm.startswith("?") and any(
+                    isinstance(it, Path) for it in inner
+                ):
                     raise SparqlSyntaxError(
-                        "property paths inside GRAPH are outside the "
-                        "supported subset"
+                        "property paths under a VARIABLE graph term "
+                        "are outside the supported subset (ground the "
+                        "GRAPH term to use paths)"
                     )
                 graphs.append((gterm, tuple(inner)))
             elif self._at("KW", "VALUES"):

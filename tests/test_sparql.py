@@ -815,7 +815,7 @@ def test_graph_errors(spark, kg, quads):
             _triples(spark, kg),
             "SELECT ?d WHERE { GRAPH ?g { ?d engine ?e } }",
         )
-    with pytest.raises(SparqlSyntaxError, match="paths inside GRAPH"):
+    with pytest.raises(SparqlSyntaxError, match="VARIABLE graph term"):
         parse("SELECT ?d WHERE { GRAPH ?g { ?d engine+ ?e } }")
     with pytest.raises(SparqlSyntaxError, match="SERVICE"):
         parse("SELECT ?d WHERE { SERVICE x { ?d p ?o } }")
@@ -829,3 +829,22 @@ def test_graph_parse_shape():
     assert pq.query.graphs == (("?g", (("?d", "engine", "?e"),)),)
     pq2 = parse('SELECT ?d WHERE { GRAPH "g one" { ?d engine ?e } }')
     assert pq2.query.graphs[0][0] == "g one"
+
+
+def test_graph_ground_term_allows_paths(spark, quads):
+    t = _triples(spark, [("dummy", "p", "o")])
+    q2 = quads.union(
+        spark.createDataFrame(
+            [("g2", "spark", "subclass_of", "system")],
+            "g string, subj string, pred string, obj string",
+        )
+    )
+    out = sparql.sparql(
+        t,
+        'SELECT ?d ?c WHERE { GRAPH g2 { ?d engine/subclass_of+ ?c } }',
+        quads=q2,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [("d3", "system")]
+    # variable graph term + path still raises
+    with pytest.raises(SparqlSyntaxError, match="VARIABLE graph term"):
+        parse("SELECT ?d WHERE { GRAPH ?g { ?d engine+ ?e } }")
