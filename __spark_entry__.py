@@ -1565,6 +1565,23 @@ def q_graph_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/graph.degree_assortativity —
+    Newman 2002) of the part-supplier graph: Pearson correlation of
+    endpoint degrees over the symmetrized edge list, every moment an
+    exact long so the coefficient is the same IEEE double on any
+    engine. One row; the sign diagnoses hub-and-spoke vs hub-to-hub
+    mixing — the shape signal a KG boilerplate audit reads first."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 3 == 0
+    ).select("l_partkey", "l_suppkey")
+    rel = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return graph.degree_assortativity(rel)
+
+
 def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine all-pairs (operators/termstats.
     tfidf_cosine_topk — Bayardo et al. WWW'07): top-40 document pairs
@@ -3268,6 +3285,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": q_graph_betweenness,
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "tfidf_cosine": q_tfidf_cosine,
+        "graph_assortativity": q_graph_assortativity,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
@@ -6133,6 +6151,50 @@ def oracle_sql() -> dict[str, str]:
         # same oriented closure as graph_triangles, then each closed
         # wedge (tail,b,c) explodes to its three member nodes; coef_fp
         # and the decile cut are integer division of exact longs
+        # assortativity: exact long moments, derived double Pearson
+        "graph_assortativity": """
+            WITH und AS (
+              SELECT DISTINCT
+                     least('p:' || CAST(l_partkey AS VARCHAR),
+                           's:' || CAST(l_suppkey AS VARCHAR)) AS u,
+                     greatest('p:' || CAST(l_partkey AS VARCHAR),
+                              's:' || CAST(l_suppkey AS VARCHAR)) AS v
+              FROM lineitem WHERE l_orderkey % 3 = 0
+            ),
+            adj AS (
+              SELECT u AS a, v AS b FROM und
+              UNION ALL
+              SELECT v AS a, u AS b FROM und
+            ),
+            deg AS (SELECT a, count(*) AS deg FROM adj GROUP BY a),
+            pairs AS (
+              SELECT da.deg AS dx, db.deg AS dy
+              FROM adj
+              JOIN deg da ON adj.a = da.a
+              JOIN deg db ON adj.b = db.a),
+            m AS (
+              SELECT count(*) AS n_edges,
+                     CAST(sum(dx) AS BIGINT) AS sum_x,
+                     CAST(sum(dy) AS BIGINT) AS sum_y,
+                     CAST(sum(dx * dy) AS BIGINT) AS sum_xy,
+                     CAST(sum(dx * dx) AS BIGINT) AS sum_x2,
+                     CAST(sum(dy * dy) AS BIGINT) AS sum_y2
+              FROM pairs)
+            SELECT n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+                   CASE WHEN (CAST(n_edges AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+                              - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) > 0
+                         AND (CAST(n_edges AS DOUBLE) * CAST(sum_y2 AS DOUBLE)
+                              - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)) > 0
+                        THEN round(
+                          (CAST(n_edges AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                           - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                          / sqrt((CAST(n_edges AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+                                  - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                               * (CAST(n_edges AS DOUBLE) * CAST(sum_y2 AS DOUBLE)
+                                  - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE))), 6)
+                        ELSE 0.0 END AS assortativity
+            FROM m
+        """,
         # sparse TF-IDF cosine: exact long weights/norms, capped
         # inverted-index join, portable double cosine from exact longs
         "tfidf_cosine": r"""

@@ -1604,3 +1604,67 @@ def betweenness_estimate(
         .agg(F.sum("delta_fp").cast("long").alias("bet_fp"))
         .filter(F.col("bet_fp") > 0)
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity of the undirected simple graph (Newman,
+    PRL 89 2002 "Assortative mixing in networks") -> ONE row
+    (n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2, assortativity):
+    the Pearson correlation of remaining degrees across edge
+    endpoints — positive for social-style hub-to-hub mixing, negative
+    for the hub-and-spoke shape a boilerplate entity imposes on a KG.
+
+    Every moment is an exact long over the DIRECTED edge list built
+    by symmetrizing each undirected edge (the standard convention:
+    each edge contributes both (deg_u, deg_v) and (deg_v, deg_u), so
+    sum_x = sum_y and the estimate is symmetric). The coefficient
+    r = (m·Σxy − Σx·Σy) / sqrt((m·Σx² − Σx²ᵗᵒᵗ)(m·Σy² − Σy²ᵗᵒᵗ)) is
+    derived from those longs in one projection — same IEEE doubles on
+    any engine. Plan: one distinct, one degree agg, two
+    broadcast-eligible degree attaches, one single-row aggregate."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("dy"))
+    pairs = adj.join(da, "a").join(db, "b")
+    m = (
+        pairs.agg(
+            F.count("*").alias("n_edges"),
+            F.sum("dx").cast("long").alias("sum_x"),
+            F.sum("dy").cast("long").alias("sum_y"),
+            F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sum_xy"),
+            F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sum_x2"),
+            F.sum(F.col("dy") * F.col("dy")).cast("long").alias("sum_y2"),
+        )
+    )
+    # the Pearson arithmetic runs in DOUBLE on BOTH engines (same
+    # expression shape -> same IEEE results): the long moments are the
+    # exact contract, and products like m * sum_xy overflow int64 on
+    # large graphs (ANSI Spark raises; DuckDB silently widens to
+    # hugeint — mirrored double casts keep the engines identical)
+    ndd = F.col("n_edges").cast("double")
+    xd, yd = F.col("sum_x").cast("double"), F.col("sum_y").cast("double")
+    xyd = F.col("sum_xy").cast("double")
+    x2d, y2d = F.col("sum_x2").cast("double"), F.col("sum_y2").cast("double")
+    num = ndd * xyd - xd * yd
+    vx = ndd * x2d - xd * xd
+    vy = ndd * y2d - yd * yd
+    return m.withColumn(
+        "assortativity",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / F.sqrt(vx * vy), 6),
+        ).otherwise(F.lit(0.0)),
+    )

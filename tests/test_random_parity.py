@@ -767,3 +767,38 @@ def test_tfidf_cosine_matches_python(spark):
         key=lambda r: (-(r[2] / (math.sqrt(r[3]) * math.sqrt(r[4]))), r[0], r[1])
     )
     assert got == rows[:10]
+
+
+def test_assortativity_matches_python(spark):
+    for seed in (81, 82):
+        edges = [
+            (a, b) for a, b in _rand_edges(seed, n_nodes=10, n_edges=25)
+            if a != b
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        row = graph.degree_assortativity(df).collect()[0]
+        und = {(min(a, b), max(a, b)) for a, b in edges}
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        pairs = [(deg[a], deg[b]) for a, b in und] + [
+            (deg[b], deg[a]) for a, b in und
+        ]
+        m = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sx2 = sum(x * x for x, _ in pairs)
+        sy2 = sum(y * y for _, y in pairs)
+        assert (
+            row["n_edges"], row["sum_x"], row["sum_y"], row["sum_xy"],
+            row["sum_x2"], row["sum_y2"],
+        ) == (m, sx, sy, sxy, sx2, sy2), f"seed {seed}"
+        vx, vy = m * sx2 - sx * sx, m * sy2 - sy * sy
+        if vx > 0 and vy > 0:
+            want = round(
+                (float(m) * sxy - float(sx) * sy)
+                / math.sqrt((float(m) * sx2 - float(sx) * sx)
+                            * (float(m) * sy2 - float(sy) * sy)), 6)
+            assert abs(row["assortativity"] - want) < 1e-9, f"seed {seed}"

@@ -417,6 +417,9 @@ AUDIT = {
         "!InPandas",
         "!BroadcastNestedLoopJoin",
     ),
+    # assortativity: one distinct + degree agg + two degree attaches
+    # + a single-row aggregate; no window, pure JVM
+    "graph_assortativity": ("HashAggregate", "!Window", "!InPandas"),
     # sparse TF-IDF cosine: token-keyed index join, TakeOrdered cut,
     # pure JVM. The one BroadcastNestedLoopJoin in this plan is the
     # ONE-ROW ndocs scalar crossJoin (intended — a broadcast of a
