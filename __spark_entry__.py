@@ -1565,6 +1565,30 @@ def q_graph_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sparql_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded path repetition p{n,m} through the text front-end
+    (paths.repeat, the Jena/RDF4J extension form — desugared onto
+    seq/opt at the AST, so both path evaluators and _invert handle it
+    with zero new cases): every class reachable from each mention
+    surface by ``a/subclass_of{1,2}``, i.e. the 1- and 2-step
+    entailments but NOT the 3-step root-only chains. Oracle restates
+    the repetition as an explicit UNION of the 1-step and 2-step
+    joins."""
+    from gliner_transbronchialbiopsy_spark.operators import sparql as _sparql
+
+    t = _kg_extended_graph(spark, sf_dir)
+    return _sparql.sparql(
+        t,
+        """
+        SELECT ?c (count(DISTINCT ?s) AS ?n_surfaces) WHERE {
+          ?s a/subclass_of{1,2} ?c
+        }
+        GROUP BY ?c
+        ORDER BY ?c
+        """,
+    )
+
+
 def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (operators/graph.degree_assortativity —
     Newman 2002) of the part-supplier graph: Pearson correlation of
@@ -3286,6 +3310,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "tfidf_cosine": q_tfidf_cosine,
         "graph_assortativity": q_graph_assortativity,
+        "kg_sparql_repetition": q_kg_sparql_repetition,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
@@ -6151,6 +6176,24 @@ def oracle_sql() -> dict[str, str]:
         # same oriented closure as graph_triangles, then each closed
         # wedge (tail,b,c) explodes to its three member nodes; coef_fp
         # and the decile cut are integer division of exact longs
+        # p{1,2} = explicit UNION of the 1-step and 2-step joins
+        "kg_sparql_repetition": f"""
+            WITH it AS MATERIALIZED (
+              SELECT DISTINCT u.obj AS s, l.label AS cls
+              FROM documents d
+              JOIN (VALUES {{kw_values}}) l(label, rx) ON TRUE,
+              LATERAL unnest(regexp_extract_all(d.text, l.rx)) u(obj)
+            ),
+            sc(a, b) AS (VALUES {{sc_values}}),
+            one AS (SELECT it.s, sc.b AS c FROM it
+                    JOIN sc ON it.cls = sc.a),
+            two AS (SELECT it.s, s2.b AS c FROM it
+                    JOIN sc s1 ON it.cls = s1.a
+                    JOIN sc s2 ON s1.b = s2.a),
+            un AS (SELECT s, c FROM one UNION SELECT s, c FROM two)
+            SELECT c, count(DISTINCT s) AS n_surfaces
+            FROM un GROUP BY c ORDER BY c
+        """.format(kw_values=kw_values, sc_values=_SUBCLASS_VALUES_SQL),
         # assortativity: exact long moments, derived double Pearson
         "graph_assortativity": """
             WITH und AS (

@@ -340,3 +340,36 @@ def path_edges(
         .distinct()
     )
     return _eval(t, spec, nodes, max_closure_rows)
+
+
+def repeat(spec, n: int, m: int | None):
+    """Bounded repetition ``p{n,m}`` DESUGARED onto the existing
+    algebra (union of p^k for n <= k <= m): n mandatory ``seq`` steps
+    followed by m−n nested optional steps —
+    ``p{1,3} = seq(p, opt(seq(p, opt(p))))`` — so both evaluators
+    (:func:`path_edges` and the seeded :func:`path_reachable` image
+    plan) and ``_invert`` handle it with ZERO new cases. ``m=None``
+    is the unbounded tail ``p{n,}`` = p^n / p*  (star as
+    ``opt(plus)``, inheriting plus's closure cap). The SPARQL 1.1
+    final spec dropped {n,m} from property paths; this is the
+    widely-implemented extension form (Jena/RDF4J), provided at the
+    AST level. ``p{0,0}`` (pure zero-length) is not a relation and
+    raises, matching the engine's ``opt`` convention that zero-length
+    only adorns a real step."""
+    if n < 0:
+        raise ValueError("repetition lower bound must be >= 0")
+    if m is not None and m < max(n, 1):
+        raise ValueError(f"p{{{n},{m}}}: upper bound must be >= max(n, 1)")
+    if m is None:
+        tail = ("opt", ("plus", spec))
+        core = [spec] * n + [tail]
+        return core[0] if len(core) == 1 else ("seq", *core)
+    tail = None
+    for _ in range(m - n):
+        tail = ("opt", spec if tail is None else ("seq", spec, tail))
+    core = [spec] * n
+    if tail is not None:
+        core.append(tail)
+    if not core:
+        raise ValueError("p{0,0} is the empty path — not a relation")
+    return core[0] if len(core) == 1 else ("seq", *core)

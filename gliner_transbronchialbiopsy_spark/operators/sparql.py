@@ -782,6 +782,38 @@ class _Parser:
             elif self._at("PUNCT", "*"):
                 self._next()
                 ast = ("opt", ("plus", ast))
+            elif self._at("PUNCT", "{"):
+                # bounded repetition p{n}, p{n,}, p{n,m} — desugared
+                # by paths.repeat onto seq/opt/plus (no new evaluator
+                # cases); the Jena/RDF4J extension form
+                from . import paths as _paths_mod
+
+                self._next()
+                t = self._expect("NUM")
+                if not t.value.isdigit():
+                    raise SparqlSyntaxError(
+                        f"repetition bound must be a non-negative "
+                        f"integer, got {t.value!r}"
+                    )
+                lo = int(t.value)
+                hi: int | None = lo
+                if self._at("PUNCT", ","):
+                    self._next()
+                    if self._at("NUM"):
+                        tv = self._next().value
+                        if not tv.isdigit():
+                            raise SparqlSyntaxError(
+                                f"repetition bound must be a non-"
+                                f"negative integer, got {tv!r}"
+                            )
+                        hi = int(tv)
+                    else:
+                        hi = None
+                self._expect("PUNCT", "}")
+                try:
+                    ast = _paths_mod.repeat(ast, lo, hi)
+                except ValueError as ex:
+                    raise SparqlSyntaxError(str(ex)) from ex
             else:
                 return ast
 

@@ -848,3 +848,39 @@ def test_graph_ground_term_allows_paths(spark, quads):
     # variable graph term + path still raises
     with pytest.raises(SparqlSyntaxError, match="VARIABLE graph term"):
         parse("SELECT ?d WHERE { GRAPH ?g { ?d engine+ ?e } }")
+
+
+# -- bounded path repetition p{n,m} ---------------------------------
+def test_path_repetition(spark):
+    t = _triples(
+        spark,
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"), ("d", "p", "e")],
+    )
+    def xs(q):
+        return sorted(r["x"] for r in sparql.sparql(t, q).collect())
+
+    assert xs("SELECT ?x WHERE { a p{2,3} ?x }") == ["c", "d"]
+    assert xs("SELECT ?x WHERE { a p{2} ?x }") == ["c"]
+    assert xs("SELECT ?x WHERE { a p{2,} ?x }") == ["c", "d", "e"]
+    assert xs("SELECT ?x WHERE { a p{0,2} ?x }") == ["a", "b", "c"]
+    # bound object routes the seeded INVERTED image plan
+    assert xs("SELECT ?x WHERE { ?x p{2,3} e }") == ["b", "c"]
+
+
+def test_path_repetition_desugar_and_errors():
+    from gliner_transbronchialbiopsy_spark.operators import paths as _p
+
+    assert _p.repeat(("pred", "p"), 2, 2) == (
+        "seq", ("pred", "p"), ("pred", "p"),
+    )
+    assert _p.repeat(("pred", "p"), 1, 3) == (
+        "seq", ("pred", "p"),
+        ("opt", ("seq", ("pred", "p"), ("opt", ("pred", "p")))),
+    )
+    assert _p.repeat(("pred", "p"), 0, 1) == ("opt", ("pred", "p"))
+    assert _p.repeat(("pred", "p"), 1, None) == (
+        "seq", ("pred", "p"), ("opt", ("plus", ("pred", "p"))),
+    )
+    for bad in ("a p{0} ?x", "a p{3,2} ?x", "a p{1.5} ?x"):
+        with pytest.raises(SparqlSyntaxError):
+            parse("SELECT ?x WHERE { " + bad + " }")
