@@ -1565,6 +1565,23 @@ def q_graph_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity (operators/graph.modularity) of the
+    3-round LPA partition over the part-supplier graph: the quality
+    function community detectors optimize, scored as the exact long
+    q_num = Σ_c [4m·e_c − d_c²] (= 4m²·Q) plus the derived double.
+    Closes the community-detection loop: graph_communities ELECTS a
+    partition, this EVALUATES it. Oracle: the LPA chained-CTE rounds
+    with a modularity roll-up tail."""
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    rel = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    labels = graph.label_propagation(rel, iterations=3)
+    return graph.modularity(rel, labels)
+
+
 def q_kg_sparql_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded path repetition p{n,m} through the text front-end
     (paths.repeat, the Jena/RDF4J extension form — desugared onto
@@ -3311,6 +3328,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine": q_tfidf_cosine,
         "graph_assortativity": q_graph_assortativity,
         "kg_sparql_repetition": q_kg_sparql_repetition,
+        "graph_modularity": q_graph_modularity,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
@@ -3521,6 +3539,52 @@ def _lpa_sql(iterations: int = 3) -> str:
 
 
 _LPA_SQL = _lpa_sql(3)
+
+
+def _modularity_sql(iterations: int = 3) -> str:
+    """LPA chained-CTE rounds + a Newman-Girvan modularity roll-up:
+    q_num = sum_c [4m*e_c - d_c^2] over exact longs (= 4m^2 * Q)."""
+    base = _lpa_sql(iterations)
+    old_tail = """
+        SELECT label, count(*) AS n_members
+        FROM l{last} GROUP BY label
+        ORDER BY n_members DESC, label ASC LIMIT 20""".format(
+        last=iterations
+    )
+    assert old_tail in base
+    new_tail = """,
+        mm AS (SELECT count(*) AS m FROM und),
+        lab AS (SELECT node, label FROM l{last}),
+        internal AS (
+          SELECT la.label AS c, count(*) AS e_c
+          FROM und
+          JOIN lab la ON und.u = la.node
+          JOIN lab lb ON und.v = lb.node AND la.label = lb.label
+          GROUP BY la.label),
+        degs AS (
+          SELECT n, count(*) AS deg FROM (
+            SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+          GROUP BY n),
+        dsum AS (
+          SELECT l.label AS c, CAST(sum(d.deg) AS BIGINT) AS d_c
+          FROM lab l JOIN degs d ON l.node = d.n
+          GROUP BY l.label),
+        per AS (
+          SELECT ds.c,
+                 CAST(4 * mm.m * coalesce(i.e_c, 0)
+                      - ds.d_c * ds.d_c AS BIGINT) AS q_c,
+                 mm.m
+          FROM dsum ds LEFT JOIN internal i ON ds.c = i.c, mm)
+        SELECT m, count(*) AS n_communities,
+               CAST(sum(q_c) AS BIGINT) AS q_num,
+               round(CAST(sum(q_c) AS DOUBLE)
+                     / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
+                 AS modularity
+        FROM per GROUP BY m""".format(last=iterations)
+    return base.replace(old_tail, new_tail)
+
+
+_MODULARITY_SQL = _modularity_sql(3)
 
 
 def _walks_sql(walk_length: int = 3, walks_per_node: int = 2) -> str:
@@ -5686,6 +5750,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS subj, 'linked' AS pred, b AS obj FROM lr
         """.format(kw_values=kw_values),
         "graph_communities": _LPA_SQL,
+        "graph_modularity": _MODULARITY_SQL,
         "kg_diff": f"""
             WITH t AS MATERIALIZED (
               SELECT DISTINCT d.doc_id,

@@ -1668,3 +1668,92 @@ def degree_assortativity(
             F.round(num / F.sqrt(vx * vy), 6),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+) -> DataFrame:
+    """Newman-Girvan modularity of a node partition (Newman & Girvan
+    2004; the quality function LPA/Louvain optimize) -> ONE row
+    (m, n_communities, q_num, modularity): Q = Σ_c [e_c/m −
+    (d_c/2m)²] over the undirected simple graph, where e_c counts
+    intra-community edges and d_c sums member degrees.
+
+    Exactness: q_num = Σ_c [4m·e_c − d_c²] is an exact long
+    (4m²·Q), so the partition score is parallelism-invariant and the
+    SQL oracle restates it verbatim; ``modularity`` =
+    round(q_num / (4m²), 6) is the derived double (identical IEEE on
+    both engines). Overflow budget: 4m·e_c and d_c² must stay inside
+    int64 — fine to m ~ 1e9 edges; past that, consume the per-
+    component longs and aggregate at higher precision downstream.
+
+    Plan: one distinct on canonical pairs, one degree agg, two
+    label-attach joins for the intra-edge count, one label-keyed sum,
+    one single-row roll-up. Nodes missing from ``labels`` are
+    ignored (their edges count in m but belong to no community —
+    document the partition's coverage upstream)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(node).alias("_n"), F.col(label).alias("_lab")
+    )
+    m = und.agg(F.count("*").alias("m"))
+    internal = (
+        und.join(lab.withColumnRenamed("_n", "u"), "u")
+        .withColumnRenamed("_lab", "_la")
+        .join(lab.withColumnRenamed("_n", "v"), "v")
+        .filter(F.col("_la") == F.col("_lab"))
+        .groupBy(F.col("_la").alias("_c"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    deg = (
+        und.select(F.col("u").alias("_n"))
+        .unionAll(und.select(F.col("v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count("*").alias("deg"))
+    )
+    dsum = (
+        lab.join(deg, "_n")
+        .groupBy(F.col("_lab").alias("_c"))
+        .agg(F.sum("deg").cast("long").alias("d_c"))
+    )
+    per = (
+        dsum.join(internal, "_c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "_c",
+            (
+                F.lit(4) * F.col("m") * F.coalesce("e_c", F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            ).cast("long").alias("q_c"),
+            "m",
+        )
+    )
+    return per.groupBy("m").agg(
+        F.count("*").alias("n_communities"),
+        F.sum("q_c").cast("long").alias("q_num"),
+    ).select(
+        "m",
+        "n_communities",
+        "q_num",
+        F.round(
+            F.col("q_num").cast("double")
+            / (
+                F.lit(4.0)
+                * F.col("m").cast("double")
+                * F.col("m").cast("double")
+            ),
+            6,
+        ).alias("modularity"),
+    )

@@ -802,3 +802,39 @@ def test_assortativity_matches_python(spark):
                 / math.sqrt((float(m) * sx2 - float(sx) * sx)
                             * (float(m) * sy2 - float(sy) * sy)), 6)
             assert abs(row["assortativity"] - want) < 1e-9, f"seed {seed}"
+
+
+def test_modularity_matches_python(spark):
+    for seed in (91, 92):
+        edges = [
+            (a, b) for a, b in _rand_edges(seed, n_nodes=12, n_edges=30)
+            if a != b
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        # arbitrary deterministic partition: label = node % 3
+        und = {(min(a, b), max(a, b)) for a, b in edges}
+        nodes = sorted({x for e in und for x in e})
+        lab_df = spark.createDataFrame(
+            [(n, n % 3) for n in nodes], "node long, label long"
+        )
+        row = graph.modularity(df, lab_df).collect()[0]
+        m = len(und)
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        e_c, d_c = {}, {}
+        for a, b in und:
+            if a % 3 == b % 3:
+                e_c[a % 3] = e_c.get(a % 3, 0) + 1
+        for n in nodes:
+            d_c[n % 3] = d_c.get(n % 3, 0) + deg[n]
+        q_num = sum(
+            4 * m * e_c.get(c, 0) - d_c[c] * d_c[c] for c in d_c
+        )
+        assert (row["m"], row["n_communities"], row["q_num"]) == (
+            m, len(d_c), q_num,
+        ), f"seed {seed}"
+        assert abs(
+            row["modularity"] - round(q_num / (4.0 * m * m), 6)
+        ) < 1e-9, f"seed {seed}"

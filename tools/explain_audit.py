@@ -417,6 +417,9 @@ AUDIT = {
         "!InPandas",
         "!BroadcastNestedLoopJoin",
     ),
+    # modularity: label-attach joins + label-keyed sums + one-row
+    # roll-up over the checkpointed LPA labels; no window, pure JVM
+    "graph_modularity": ("HashAggregate", "!InPandas"),
     # assortativity: one distinct + degree agg + two degree attaches
     # + a single-row aggregate; no window, pure JVM
     "graph_assortativity": ("HashAggregate", "!Window", "!InPandas"),
