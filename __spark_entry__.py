@@ -1565,6 +1565,22 @@ def q_graph_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation
+    (operators/sketches.heavy_hitters_check — Cormode-Muthukrishnan
+    2005): the exact top-30 tokens vs their estimates from a 4×256
+    sketch of exact long cells. Cell sums are order-free (partial
+    aggregation IS the sketch merge — the mergeable-summary property
+    a 100 TB stream needs), the estimate is min over 4 cells, and
+    overcount = est − true is non-negative by the one-sided CMS
+    guarantee — the oracle checks it row-for-row. Portable sha256
+    row family; production swaps seed-first xxhash64."""
+    from gliner_transbronchialbiopsy_spark.operators import sketches
+
+    docs = _read(spark, sf_dir, "documents").select("text")
+    return sketches.heavy_hitters_check(docs, k=30, depth=4, width=256)
+
+
 def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman-Girvan modularity (operators/graph.modularity) of the
     3-round LPA partition over the part-supplier graph: the quality
@@ -3329,6 +3345,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "kg_sparql_repetition": q_kg_sparql_repetition,
         "graph_modularity": q_graph_modularity,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
@@ -6241,6 +6258,45 @@ def oracle_sql() -> dict[str, str]:
         # same oriented closure as graph_triangles, then each closed
         # wedge (tail,b,c) explodes to its three member nodes; coef_fp
         # and the decile cut are integer division of exact longs
+        # CMS: 4 seeded sha rows of exact long cells, min-estimate
+        "cms_heavy_hitters": r"""
+            WITH toks AS MATERIALIZED (
+              SELECT u.token
+              FROM documents d, LATERAL unnest(
+                CASE WHEN trim(d.text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(d.text)), '\s+')
+                END) u(token)),
+            true_counts AS (
+              SELECT token, count(*) AS true_c
+              FROM toks GROUP BY token),
+            top AS MATERIALIZED (
+              SELECT token, true_c FROM true_counts
+              ORDER BY true_c DESC, token ASC LIMIT 30),
+            cells AS MATERIALIZED (
+              SELECT r.i AS row,
+                     CAST(concat('0x', substr(sha256(
+                       token || chr(31) || CAST(r.i AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 256 AS bucket,
+                     count(*) AS c
+              FROM toks, LATERAL unnest([0, 1, 2, 3]) r(i)
+              GROUP BY row, bucket),
+            probes AS (
+              SELECT t.token, t.true_c, r.i AS row,
+                     CAST(concat('0x', substr(sha256(
+                       t.token || chr(31) || CAST(r.i AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 256 AS bucket
+              FROM top t, LATERAL unnest([0, 1, 2, 3]) r(i)),
+            est AS (
+              SELECT token, true_c,
+                     CAST(min(coalesce(cells.c, 0)) AS BIGINT) AS est_c
+              FROM probes
+              LEFT JOIN cells ON probes.row = cells.row
+                             AND probes.bucket = cells.bucket
+              GROUP BY token, true_c)
+            SELECT token, true_c, est_c,
+                   CAST(est_c - true_c AS BIGINT) AS overcount
+            FROM est ORDER BY true_c DESC, token ASC
+        """,
         # p{1,2} = explicit UNION of the 1-step and 2-step joins
         "kg_sparql_repetition": f"""
             WITH it AS MATERIALIZED (

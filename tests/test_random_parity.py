@@ -838,3 +838,41 @@ def test_modularity_matches_python(spark):
         assert abs(
             row["modularity"] - round(q_num / (4.0 * m * m), 6)
         ) < 1e-9, f"seed {seed}"
+
+
+def test_cms_matches_python_and_is_one_sided(spark):
+    import hashlib
+    from collections import Counter
+
+    from gliner_transbronchialbiopsy_spark.operators import sketches
+
+    rng = random.Random(101)
+    words = [f"t{k}" for k in range(40)]
+    docs = [
+        (" ".join(rng.choices(words, k=rng.randrange(1, 20))),)
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    D, W = 3, 32  # small width forces collisions -> overcounts appear
+    got = {
+        (r["token"], r["true_c"], r["est_c"], r["overcount"])
+        for r in sketches.heavy_hitters_check(
+            df, k=15, depth=D, width=W
+        ).collect()
+    }
+    toks = [w for t, in docs for w in t.lower().split()]
+    true = Counter(toks)
+
+    def h(tok, i):
+        return int(
+            hashlib.sha256(f"{tok}\x1f{i}".encode()).hexdigest()[:15], 16
+        ) % W
+
+    cells = Counter((i, h(t, i)) for t in toks for i in range(D))
+    top = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    want = set()
+    for tok, c in top:
+        est = min(cells[(i, h(tok, i))] for i in range(D))
+        assert est >= c  # the one-sided guarantee
+        want.add((tok, c, est, est - c))
+    assert got == want

@@ -417,6 +417,14 @@ AUDIT = {
         "!InPandas",
         "!BroadcastNestedLoopJoin",
     ),
+    # Count-Min: cell sums partial-combine (the sketch merge); the
+    # probe joins the broadcast d*w cell grid; no window, pure JVM
+    "cms_heavy_hitters": (
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "!InPandas",
+        "!Window",
+    ),
     # modularity: label-attach joins + label-keyed sums + one-row
     # roll-up over the checkpointed LPA labels; no window, pure JVM
     "graph_modularity": ("HashAggregate", "!InPandas"),
