@@ -1555,11 +1555,15 @@ def betweenness_estimate(
     )
     scale = int(_CENT_SCALE)
     for d in range(max_d, 0, -1):
+        # w_rel renames EVERY column (incl. the pivot key) so the
+        # level join below is unambiguous by name — u_rel and w_rel
+        # share lineage, and same-name references in a self-join
+        # would otherwise lean on dataset-id disambiguation
         w_rel = (
             visited.filter(F.col("dist") == d)
             .join(deltas, ["pivot", "node"])
             .select(
-                "pivot",
+                F.col("pivot").alias("_wp"),
                 F.col("node").alias("_w"),
                 F.col("sigma").alias("_sigma_w"),
                 F.col("delta_fp").alias("_delta_w"),
@@ -1572,12 +1576,12 @@ def betweenness_estimate(
             u_rel.join(e, u_rel["node"] == e["_e_src"])
             .join(
                 w_rel,
-                (u_rel["pivot"] == w_rel["pivot"])
-                & (e["_e_dst"] == w_rel["_w"]),
+                (F.col("pivot") == F.col("_wp"))
+                & (F.col("_e_dst") == F.col("_w")),
             )
             .select(
-                u_rel["pivot"].alias("pivot"),
-                u_rel["node"].alias("node"),
+                F.col("pivot"),
+                F.col("node"),
                 F.expr(
                     f"(_sigma_u * (CAST({scale} AS BIGINT) + _delta_w)) "
                     "div _sigma_w"
