@@ -1565,6 +1565,54 @@ def q_graph_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support (operators/graph.edge_support — the
+    k-truss building block, Cohen 2008): top-30 strongest edges of
+    the order-filtered lineitem co-purchase graph by how many
+    triangles corroborate them. Same degree-oriented closure as
+    triangle_count — each triangle explodes to its three canonical
+    edges, counted exactly; support-0 edges ride in via the left
+    join. Oracle restates the orientation, the wedge closure, and the
+    3-way edge explode."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 3 == 0
+    ).select("l_orderkey", "l_partkey")
+    rel = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return graph.edge_support(rel, k=30)
+
+
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed structural profile (operators/graph.directed_summary):
+    reciprocity (Newman et al. 2002) plus degree extremes of the
+    same-type-same-hour event-succession graph (the kg_temporal_reach
+    edge stream, flattened) — mutual influence as one exact-count
+    row. Oracle: the lead() edge CTE + three aggregates."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy(
+        "event_type", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    nx = ev.select(
+        F.col("user_id").alias("src"),
+        F.lead("user_id").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return graph.directed_summary(nx)
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimation
     (operators/sketches.heavy_hitters_check — Cormode-Muthukrishnan
@@ -3346,6 +3394,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_repetition": q_kg_sparql_repetition,
         "graph_modularity": q_graph_modularity,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "graph_edge_support": q_graph_edge_support,
+        "graph_reciprocity": q_graph_reciprocity,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
@@ -6258,6 +6308,95 @@ def oracle_sql() -> dict[str, str]:
         # same oriented closure as graph_triangles, then each closed
         # wedge (tail,b,c) explodes to its three member nodes; coef_fp
         # and the decile cut are integer division of exact longs
+        # edge support: oriented closure -> 3-way edge explode -> count
+        "graph_edge_support": """
+            WITH und AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM lineitem a
+              JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+              WHERE a.l_orderkey % 3 = 0
+            ),
+            deg AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM und
+                UNION ALL SELECT v AS node FROM und
+              ) GROUP BY node
+            ),
+            oriented AS (
+              SELECT CASE WHEN (d1.deg < d2.deg)
+                            OR (d1.deg = d2.deg AND und.u < und.v)
+                          THEN und.u ELSE und.v END AS tail,
+                     CASE WHEN (d1.deg < d2.deg)
+                            OR (d1.deg = d2.deg AND und.u < und.v)
+                          THEN und.v ELSE und.u END AS head,
+                     CASE WHEN (d1.deg < d2.deg)
+                            OR (d1.deg = d2.deg AND und.u < und.v)
+                          THEN d2.deg ELSE d1.deg END AS head_deg
+              FROM und
+              JOIN deg d1 ON d1.node = und.u
+              JOIN deg d2 ON d2.node = und.v
+            ),
+            closed AS (
+              SELECT e1.tail, e1.head AS b, e2.head AS c
+              FROM oriented e1 JOIN oriented e2 ON e1.tail = e2.tail
+              WHERE ((e1.head_deg < e2.head_deg)
+                 OR (e1.head_deg = e2.head_deg AND e1.head < e2.head))
+                AND EXISTS (SELECT 1 FROM oriented o
+                            WHERE o.tail = e1.head AND o.head = e2.head)
+            ),
+            tri_edges AS (
+              SELECT least(tail, b) AS u, greatest(tail, b) AS v FROM closed
+              UNION ALL
+              SELECT least(tail, c) AS u, greatest(tail, c) AS v FROM closed
+              UNION ALL
+              SELECT least(b, c) AS u, greatest(b, c) AS v FROM closed
+            ),
+            sup AS (SELECT u, v, count(*) AS support
+                    FROM tri_edges GROUP BY u, v)
+            SELECT und.u, und.v,
+                   CAST(coalesce(sup.support, 0) AS BIGINT) AS support
+            FROM und LEFT JOIN sup ON und.u = sup.u AND und.v = sup.v
+            ORDER BY support DESC, und.u ASC, und.v ASC LIMIT 30
+        """,
+        # directed profile: lead() succession edges + three aggregates
+        "graph_reciprocity": """
+            WITH ev AS (
+              SELECT user_id, event_type, ts, event_id,
+                     date_trunc('hour', ts) AS hr
+              FROM events
+            ),
+            nx AS (
+              SELECT user_id AS src,
+                     lead(user_id) OVER (
+                       PARTITION BY event_type, hr
+                       ORDER BY ts, event_id) AS dst
+              FROM ev
+            ),
+            raw AS (SELECT src AS a, dst AS b FROM nx
+                    WHERE dst IS NOT NULL),
+            loops AS (SELECT DISTINCT a, b FROM raw WHERE a = b),
+            e AS (SELECT DISTINCT a, b FROM raw WHERE a <> b),
+            recip AS (
+              SELECT e.a, e.b FROM e
+              WHERE EXISTS (SELECT 1 FROM e r
+                            WHERE r.a = e.b AND r.b = e.a)),
+            outd AS (SELECT a, count(*) AS d FROM e GROUP BY a),
+            ind AS (SELECT b, count(*) AS d FROM e GROUP BY b),
+            nodes AS (
+              SELECT a AS n FROM e UNION SELECT b AS n FROM e
+              UNION SELECT a AS n FROM loops)
+            SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+                   (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT count(*) FROM recip) AS n_reciprocal,
+                   CASE WHEN (SELECT count(*) FROM e) > 0
+                        THEN round((SELECT count(*) FROM recip)
+                             / CAST((SELECT count(*) FROM e) AS DOUBLE), 6)
+                        ELSE 0.0 END AS reciprocity,
+                   (SELECT coalesce(max(d), 0) FROM outd) AS max_out_deg,
+                   (SELECT coalesce(max(d), 0) FROM ind) AS max_in_deg,
+                   (SELECT count(*) FROM loops) AS n_self_loops
+        """,
         # CMS: 4 seeded sha rows of exact long cells, min-estimate
         "cms_heavy_hitters": r"""
             WITH toks AS MATERIALIZED (

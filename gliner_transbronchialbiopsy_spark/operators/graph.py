@@ -1761,3 +1761,88 @@ def modularity(
             6,
         ).alias("modularity"),
     )
+
+
+def edge_support(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 100,
+) -> DataFrame:
+    """Per-edge triangle support -> top-k edges (u, v, support): the
+    number of triangles each undirected edge participates in — the
+    k-truss building block (Cohen 2008, "Trusses: cohesive subgraphs
+    for social network analysis") and the edge-strength signal an ER
+    audit reads (a high-support sameAs edge is corroborated by many
+    mutual neighbors; a support-0 bridge is a candidate false merge).
+
+    Built on the SAME degree-oriented closure as triangle_count /
+    clustering_coefficients: each triangle row (tail, b, c) is exploded
+    to its three member EDGES in canonical (least, greatest) form and
+    counted per edge — exact longs, each triangle contributing exactly
+    once per edge, inheriting the O(sqrt(m)) orientation bound. Edges
+    in no triangle carry support 0 via the final left join. The top-k
+    cut (support DESC, u, v) is a total order."""
+    und, _, _, closed = _oriented_closure(edges, src, dst)
+    tri_edges = None
+    for a, b in (("tail", "b"), ("tail", "c"), ("b", "c")):
+        part = closed.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        tri_edges = part if tri_edges is None else tri_edges.unionAll(part)
+    sup = tri_edges.groupBy("u", "v").agg(F.count("*").alias("support"))
+    return (
+        und.join(sup, ["u", "v"], "left")
+        .select(
+            "u", "v",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        )
+        .orderBy(F.desc("support"), F.col("u").asc(), F.col("v").asc())
+        .limit(int(k))
+    )
+
+
+def directed_summary(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row structural profile of a DIRECTED simple graph ->
+    (n_nodes, n_edges, n_reciprocal, reciprocity, max_out_deg,
+    max_in_deg, n_self_loops): reciprocity = the fraction of directed
+    edges whose reverse also exists (Newman et al. 2002) — the
+    mutual-citation / mutual-influence signal; self-loops counted
+    separately and excluded from the edge set. All counts exact longs
+    from one distinct + three aggregates; reciprocity is the derived
+    double (same IEEE on any engine)."""
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    loops = raw.filter(F.col("a") == F.col("b")).distinct()
+    e = raw.filter(F.col("a") != F.col("b")).distinct()
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    recip = e.join(rev, ["a", "b"], "left_semi")
+    outd = e.groupBy("a").agg(F.count("*").alias("d"))
+    ind = e.groupBy("b").agg(F.count("*").alias("d"))
+    nodes = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .union(loops.select(F.col("a").alias("n")))
+        .distinct()
+    )
+    return (
+        nodes.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(recip.agg(F.count("*").alias("n_reciprocal")))
+        .crossJoin(
+            outd.agg(F.coalesce(F.max("d"), F.lit(0)).alias("max_out_deg"))
+        )
+        .crossJoin(
+            ind.agg(F.coalesce(F.max("d"), F.lit(0)).alias("max_in_deg"))
+        )
+        .crossJoin(loops.agg(F.count("*").alias("n_self_loops")))
+        .select(
+            "n_nodes", "n_edges", "n_reciprocal",
+            F.when(F.col("n_edges") > 0,
+                   F.round(F.col("n_reciprocal") / F.col("n_edges"), 6))
+            .otherwise(F.lit(0.0)).alias("reciprocity"),
+            "max_out_deg", "max_in_deg", "n_self_loops",
+        )
+    )

@@ -876,3 +876,58 @@ def test_cms_matches_python_and_is_one_sided(spark):
         assert est >= c  # the one-sided guarantee
         want.add((tok, c, est, est - c))
     assert got == want
+
+
+def test_edge_support_matches_python(spark):
+    from collections import Counter
+
+    for seed in (111, 112):
+        edges = [
+            (a, b) for a, b in _rand_edges(seed, n_nodes=10, n_edges=28)
+            if a != b
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["u"], r["v"], r["support"])
+            for r in graph.edge_support(df, k=100).collect()
+        }
+        und = {(min(a, b), max(a, b)) for a, b in edges}
+        nbr = {}
+        for a, b in und:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        sup = Counter()
+        for u, v in und:
+            sup[(u, v)] = len(nbr[u] & nbr[v])
+        want = {(u, v, sup[(u, v)]) for u, v in und}
+        assert got == want, f"seed {seed}"
+
+
+def test_directed_summary_matches_python(spark):
+    for seed in (121, 122):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(8), rng.randrange(8)) for _ in range(30)
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        row = graph.directed_summary(df).collect()[0]
+        loops = {(a, b) for a, b in edges if a == b}
+        e = {(a, b) for a, b in edges if a != b}
+        recip = {(a, b) for a, b in e if (b, a) in e}
+        outd, ind = {}, {}
+        for a, b in e:
+            outd[a] = outd.get(a, 0) + 1
+            ind[b] = ind.get(b, 0) + 1
+        nodes = {x for p in e for x in p} | {a for a, _ in loops}
+        assert (
+            row["n_nodes"], row["n_edges"], row["n_reciprocal"],
+            row["max_out_deg"], row["max_in_deg"], row["n_self_loops"],
+        ) == (
+            len(nodes), len(e), len(recip),
+            max(outd.values(), default=0), max(ind.values(), default=0),
+            len(loops),
+        ), f"seed {seed}"
+        assert abs(
+            row["reciprocity"]
+            - (round(len(recip) / len(e), 6) if e else 0.0)
+        ) < 1e-9, f"seed {seed}"

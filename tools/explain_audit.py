@@ -417,6 +417,16 @@ AUDIT = {
         "!InPandas",
         "!BroadcastNestedLoopJoin",
     ),
+    # edge support: oriented-closure joins + one count agg + left
+    # join for support-0 edges; TakeOrdered cut, pure JVM
+    "graph_edge_support": (
+        "TakeOrderedAndProject",
+        "HashAggregate",
+        "!InPandas",
+    ),
+    # directed profile: distinct + semi-join + single-row aggregates
+    # (the one-row crossJoins are broadcast scalar products)
+    "graph_reciprocity": ("LeftSemi", "HashAggregate", "!InPandas"),
     # Count-Min: cell sums partial-combine (the sketch merge); the
     # probe joins the broadcast d*w cell grid; no window, pure JVM
     "cms_heavy_hitters": (
