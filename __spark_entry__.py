@@ -1565,6 +1565,35 @@ def q_graph_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators/ranges.scd2_apply —
+    the MERGE-INTO / CDC-upsert analogue): history = events before
+    2024-01-02 12:00 collapsed once, batch = everything after,
+    applied WITHOUT re-sorting history — untouched keys and closed
+    intervals pass through; each affected key's open interval
+    re-enters the run collapse as one weighted pseudo-event, so it
+    EXTENDS when the first new state matches and closes at the first
+    new run otherwise. The oracle is the FULL REBUILD over all
+    events, so row-identity is a checked equivalence property, not a
+    claim."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cutoff = "2024-01-02 12:00:00"
+    hist = ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+    batch = ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+    iv = ranges.state_intervals(
+        hist, "user_id", "event_type", "ts", tie="event_id"
+    )
+    applied = ranges.scd2_apply(
+        iv, batch, "user_id", "event_type", "ts", tie="event_id"
+    )
+    return applied.select(
+        F.col("key").alias("user_id"),
+        "state", "valid_from", "valid_to", "n_events",
+    )
+
+
 def q_graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge triangle support (operators/graph.edge_support — the
     k-truss building block, Cohen 2008): top-30 strongest edges of
@@ -3395,6 +3424,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "graph_edge_support": q_graph_edge_support,
+        "scd2_apply": q_scd2_apply,
         "graph_reciprocity": q_graph_reciprocity,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
@@ -6308,6 +6338,36 @@ def oracle_sql() -> dict[str, str]:
         # same oriented closure as graph_triangles, then each closed
         # wedge (tail,b,c) explodes to its three member nodes; coef_fp
         # and the decile cut are integer division of exact longs
+        # the equivalence oracle: incremental apply must equal the
+        # FULL rebuild over all events (same CTE as state_intervals)
+        "scd2_apply": """
+            WITH r AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                          IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+            ),
+            r2 AS (
+              SELECT user_id, event_type, ts, event_id,
+                     sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS _run
+              FROM r
+            ),
+            iv AS (
+              SELECT user_id, _run, event_type AS state,
+                     min(ts) AS valid_from, count(*) AS n_events,
+                     min(event_id) AS _tie0
+              FROM r2 GROUP BY user_id, _run, event_type
+            )
+            SELECT user_id, state, valid_from,
+                   lead(valid_from) OVER (
+                     PARTITION BY user_id
+                     ORDER BY valid_from, _tie0) AS valid_to,
+                   n_events
+            FROM iv
+        """,
         # edge support: oriented closure -> 3-way edge explode -> count
         "graph_edge_support": """
             WITH und AS (

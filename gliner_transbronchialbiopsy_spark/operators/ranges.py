@@ -82,6 +82,7 @@ def state_intervals(
     state: str,
     ts: str,
     tie: str | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """SCD2-style temporal state table: collapse an event stream into
     per-key validity intervals — consecutive rows with the SAME state
@@ -102,6 +103,11 @@ def state_intervals(
     Output is interval-sized, never event-sized, when states repeat.
 
     Returns (key, state, valid_from, valid_to, n_events).
+
+    ``weight`` makes each input row count as that many events in
+    n_events (sum instead of count) — the splice hook scd2_apply uses
+    to carry an open interval's accumulated count through the
+    re-collapse as ONE pseudo-event.
     """
     order = [F.col(ts).asc()] + ([F.col(tie).asc()] if tie else [])
     w = Window.partitionBy(key).orderBy(*order)
@@ -115,11 +121,15 @@ def state_intervals(
         F.col(state).alias("state"),
         F.col(ts).alias("ts"),
         *([F.col(tie).alias("_tie")] if tie else []),
+        *([F.col(weight).alias("_w")] if weight else []),
         F.sum(changed).over(w).alias("_run"),
     )
+    n_agg = (
+        F.sum("_w").cast("long") if weight else F.count("*")
+    ).alias("n_events")
     iv = runs.groupBy("key", "_run", "state").agg(
         F.min("ts").alias("valid_from"),
-        F.count("*").alias("n_events"),
+        n_agg,
         *([F.min("_tie").alias("_tie0")] if tie else []),
     )
     # close intervals in the SAME total order the runs were built in —
@@ -222,3 +232,66 @@ def funnel_steps(
             .agg(F.min("_ts").alias(f"t_{i}"))
         )
     return cur
+
+
+def scd2_apply(
+    intervals: DataFrame,
+    new_events: DataFrame,
+    key: str,
+    state: str,
+    ts: str,
+    tie: str | None = None,
+) -> DataFrame:
+    """Incremental SCD2 maintenance — apply a batch of NEW events to
+    an existing interval table (the MERGE-INTO / CDC-upsert analogue
+    for :func:`state_intervals` output) WITHOUT touching history:
+
+    - keys absent from the batch pass through untouched;
+    - an affected key's CLOSED intervals pass through untouched;
+    - its OPEN interval re-enters the run collapse as ONE
+      pseudo-event (ts = valid_from, weight = its accumulated
+      n_events), spliced with the batch — so if the first new state
+      equals the open state the interval EXTENDS (counts merge,
+      valid_from preserved), else it closes at the first new run's
+      start, exactly as a full rebuild would;
+    - the result is row-identical to
+      ``state_intervals(history ∪ batch)`` — the contract oracle IS
+      that full rebuild, making the equivalence a checked property,
+      not a claim.
+
+    Contract: this is the APPEND-ONLY CDC case — every batch event
+    must be strictly later than every prior event of its key
+    (standard for log-structured ingestion); interleaving a batch
+    into the middle of history needs the full rebuild.
+
+    Distributed shape at a 10^12-row history: the batch keys are a
+    semi-join filter, so only the AFFECTED keys' open intervals (one
+    row per key) and the batch itself enter the window — history is
+    never re-sorted, and with the interval snapshot partitioned by
+    key the pass-through is a metadata-only union."""
+    aff = new_events.select(F.col(key).alias("key")).distinct()
+    is_open = F.col("valid_to").isNull()
+    open_aff = (
+        intervals.filter(is_open)
+        .join(aff, "key", "left_semi")
+    )
+    keep = intervals.join(
+        open_aff.select("key").withColumn("_o", F.lit(1)), "key", "left"
+    ).filter(~(is_open & F.col("_o").isNotNull())).drop("_o")
+    pseudo = open_aff.select(
+        F.col("key").alias(key),
+        F.col("state").alias(state),
+        F.col("valid_from").alias(ts),
+        *([F.lit(None).cast(new_events.schema[tie].dataType).alias(tie)]
+          if tie else []),
+        F.col("n_events").alias("_w"),
+    )
+    batch = new_events.select(
+        F.col(key), F.col(state), F.col(ts),
+        *([F.col(tie)] if tie else []),
+        F.lit(1).cast("long").alias("_w"),
+    )
+    recomputed = state_intervals(
+        pseudo.unionByName(batch), key, state, ts, tie=tie, weight="_w"
+    )
+    return keep.unionByName(recomputed)

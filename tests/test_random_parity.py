@@ -931,3 +931,26 @@ def test_directed_summary_matches_python(spark):
             row["reciprocity"]
             - (round(len(recip) / len(e), 6) if e else 0.0)
         ) < 1e-9, f"seed {seed}"
+
+
+def test_scd2_apply_equals_full_rebuild(spark):
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+
+    for seed in (131, 132):
+        rng = random.Random(seed)
+        # strictly increasing ts so the append-only contract holds at
+        # any cutoff; repeated states force run merges at the seam
+        rows = [
+            (rng.randrange(5), rng.choice("abc"), t, t)
+            for t in range(80)
+        ]
+        cutoff = 50
+        ev = spark.createDataFrame(rows, "k long, s string, t long, i long")
+        hist = ev.filter(F.col("t") < cutoff)
+        batch = ev.filter(F.col("t") >= cutoff)
+        iv = ranges.state_intervals(hist, "k", "s", "t", tie="i")
+        applied = ranges.scd2_apply(iv, batch, "k", "s", "t", tie="i")
+        full = ranges.state_intervals(ev, "k", "s", "t", tie="i")
+        assert sorted(tuple(r) for r in applied.collect()) == sorted(
+            tuple(r) for r in full.collect()
+        ), f"seed {seed}"

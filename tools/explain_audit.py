@@ -417,6 +417,9 @@ AUDIT = {
         "!InPandas",
         "!BroadcastNestedLoopJoin",
     ),
+    # SCD2 CDC apply: the window runs over pseudo+batch only (the
+    # history pass-through is a semi-filtered union, never re-sorted)
+    "scd2_apply": ("Window", "LeftSemi", "!InPandas"),
     # edge support: oriented-closure joins + one count agg + left
     # join for support-0 edges; TakeOrdered cut, pure JVM
     "graph_edge_support": (
