@@ -1548,6 +1548,11 @@ def betweenness_estimate(
         visited = loop_ckpt(visited.unionByName(nxt))
         frontier = nxt
     max_d = visited.agg(F.max("dist")).head()[0]  # one bounded scalar
+    if max_d is None:
+        # empty graph: no pivots, nothing reachable, no brokers
+        return visited.select(
+            F.col("node"), F.lit(0).cast("long").alias("bet_fp")
+        ).limit(0)
     deltas = loop_ckpt(
         visited.filter(F.col("dist") == max_d).select(
             "pivot", "node", F.lit(0).cast("long").alias("delta_fp")
