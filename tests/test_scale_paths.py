@@ -579,3 +579,47 @@ def test_materialize_rules_job_flag(tmp_path):
     assert {p for _, p, _ in rows} == {"cooccurs_with"}
     pairs = {(s, o) for s, p, o in rows}
     assert all((o, s) in pairs for s, o in pairs)  # symmetry closed
+
+
+def test_emit_quads_job_flag(tmp_path):
+    """--emit-quads end-to-end: the job writes the named-graph quad
+    snapshot partitioned by the provenance graph column, and a GRAPH
+    query over it binds/prunes correctly."""
+    import json
+    import subprocess
+    import sys
+
+    from gliner_transbronchialbiopsy_spark.sources import corpus
+
+    cdir = tmp_path / "corpus"
+    cdir.mkdir()
+    corpus.write_corpus(str(cdir), n_docs=120, seed=42)
+    out_dir = tmp_path / "quads"
+    proc = subprocess.run(
+        [
+            sys.executable, "tools/run_kg_job.py",
+            "--input", str(cdir / "documents.parquet"),
+            "--workdir", str(tmp_path / "work"),
+            "--cpus", "2", "--catalog", "medical", "--fresh",
+            "--emit-quads", str(out_dir),
+        ],
+        cwd="/root/repo", capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["quads_dir"] == str(out_dir)
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT g, subj, pred, obj FROM read_parquet("
+        f"'{out_dir}/*/*.parquet', hive_partitioning=true)"
+    ).fetchall()
+    assert len(rows) == res["triples"]
+    # the graph column IS the subject's provenance prefix
+    assert all(s.startswith(g + "/") for g, s, _, _ in rows)
+    # hive layout: one directory per graph
+    gs = {g for g, _, _, _ in rows}
+    assert len(gs) >= 1 and all((out_dir / f"g={g}").is_dir() for g in gs)

@@ -65,6 +65,15 @@ def main() -> None:
         "snapshot, written with the same parallelism as the job)",
     )
     ap.add_argument(
+        "--emit-quads", metavar="DIR",
+        help="additionally write the emitted triples as NAMED-GRAPH "
+        "quads (g, subj, pred, obj) parquet under DIR, partitioned by "
+        "g — the graph column is each subject's source/provenance "
+        "prefix, so GRAPH queries over the quad snapshot "
+        "(operators/composer.py graphs=) partition-prune on ground "
+        "graph terms and bind provenance on variable ones",
+    )
+    ap.add_argument(
         "--materialize-rules", metavar="DIR",
         help="run the built-in enrichment rule set over the emitted "
         "triples (operators/rules.materialize, semi-naive fixed point: "
@@ -266,6 +275,17 @@ def main() -> None:
         # job after all compute is done — fall back to counting
         n = triples.count()
     extra = {}
+    if args.emit_quads:
+        from pyspark.sql import functions as F
+
+        quads = triples.select(
+            F.regexp_extract("subj", "^([^/]+)/", 1).alias("g"),
+            "subj", "pred", "obj",
+        )
+        quads.write.mode("overwrite").partitionBy("g").parquet(
+            args.emit_quads
+        )
+        extra["quads_dir"] = args.emit_quads
     if args.emit_ntriples:
         from gliner_transbronchialbiopsy_spark.sources.export import to_ntriples
 
