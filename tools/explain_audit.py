@@ -608,6 +608,82 @@ def main() -> int:
             + "\n".join(checks) + "\n\n```\n" + plan + "```\n"
         )
 
+    # --- named-graph partition pruning on the --emit-quads layout:
+    # a GROUND GRAPH term must reach the quad scan as a partition
+    # filter on g, and corrupting every NON-selected graph partition
+    # must not disturb the query (those directories are never opened)
+    from gliner_transbronchialbiopsy_spark.operators import composer  # noqa: E402
+
+    with tempfile.TemporaryDirectory() as td:
+        qsnap = spark.range(0, 9000).select(
+            F.element_at(
+                F.array(F.lit("src1"), F.lit("src2"), F.lit("src3")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("g"),
+            F.concat(F.lit("doc-"), F.col("id")).alias("subj"),
+            F.element_at(
+                F.array(F.lit("engine"), F.lit("exec_op")),
+                (F.col("id") % 2 + 1).cast("int"),
+            ).alias("pred"),
+            F.col("id").cast("string").alias("obj"),
+        )
+        qdir = _os.path.join(td, "quads")
+        qsnap.write.partitionBy("g").parquet(qdir)
+        quads = spark.read.parquet(qdir)
+        t_empty = spark.createDataFrame(
+            [], "subj string, pred string, obj string"
+        )
+        q = composer.KGQuery(
+            graphs=(("src2", (("?d", "engine", "?e"),)),)
+        )
+        sols = composer.compose(t_empty, q, quads=quads)
+        plan = plan_of(sols)
+        n_src2 = sols.count()
+        checks = []
+        pf = plan.split("PartitionFilters: [", 1)
+        ok_pf = len(pf) == 2 and "g" in pf[1].split("]", 1)[0]
+        checks.append(
+            f"  - {'OK ' if ok_pf else 'FAIL'} present `PartitionFilters` on g"
+        )
+        if not ok_pf:
+            failures.append(("quads_graph_pruned_scan", "PartitionFilters"))
+        n_bad = 0
+        for gname in ("src1", "src3"):
+            for fpath in _glob.glob(
+                _os.path.join(qdir, f"g={gname}", "*.parquet")
+            ):
+                with open(fpath, "wb") as fh:
+                    fh.write(b"garbage")
+                n_bad += 1
+        try:
+            # re-read with the RECORDED schema (what a cataloged quad
+            # table provides) — schema inference would sample footers
+            # from arbitrary partitions at planning time, which is an
+            # ingest-layout concern, not a pruning one
+            reread = spark.read.schema(quads.schema).parquet(qdir)
+            ok_files = (
+                n_bad > 0
+                and composer.compose(t_empty, q, quads=reread).count()
+                == n_src2
+            )
+        except Exception:
+            ok_files = False
+        checks.append(
+            f"  - {'OK ' if ok_files else 'FAIL'} ground-GRAPH query "
+            f"untouched by {n_bad} corrupted non-selected graph partitions"
+        )
+        if not ok_files:
+            failures.append(("quads_graph_pruned_scan", "behavioral-prune"))
+        sections.append(
+            "## quads_graph_pruned_scan\n\n"
+            "A ground GRAPH term over the --emit-quads layout "
+            "(parquet partitioned by the provenance graph column): "
+            "the graph constant reaches the scan as a partition "
+            "filter, and corrupted non-selected graph partitions are "
+            "never opened.\n\n"
+            + "\n".join(checks) + "\n\n```\n" + plan + "```\n"
+        )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit (`.explain('formatted')`)\n\n"
@@ -616,7 +692,7 @@ def main() -> int:
             "for JVM stages, Python confined to the one MapInPandas "
             "detection stage.\n\n" + "\n".join(sections)
         )
-    n_cases = len(AUDIT) + 1  # + the triples_pred_pruned_scan case
+    n_cases = len(AUDIT) + 2  # + the two behavioral pruning cases
     print(f"{n_cases - len({n for n, _ in failures})}/{n_cases} clean; "
           f"failures: {failures}")
     return 1 if failures else 0
