@@ -1642,6 +1642,28 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.directed_summary(nx)
 
 
+def q_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct estimation
+    (operators/sketches.linear_counting — Whang et al. 1990): distinct
+    users per event_type estimated from a 1024-bucket occupancy
+    bitmap, beside the exact count for calibration. The sketch state
+    (occupied-bucket sets) is exact integers — mergeable by union,
+    restatable verbatim in SQL — and only the −m·ln(V) estimate is a
+    derived double. The exact-state-estimated-readout pattern HLL
+    can't offer an exact oracle for."""
+    from gliner_transbronchialbiopsy_spark.operators import sketches
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "user_id")
+    est = sketches.linear_counting(
+        ev.select("event_type", F.col("user_id").cast("string").alias("u")),
+        "u", group="event_type", m=1024,
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimation
     (operators/sketches.heavy_hitters_check — Cormode-Muthukrishnan
@@ -3423,6 +3445,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_repetition": q_kg_sparql_repetition,
         "graph_modularity": q_graph_modularity,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "linear_counting": q_linear_counting,
         "graph_edge_support": q_graph_edge_support,
         "scd2_apply": q_scd2_apply,
         "graph_reciprocity": q_graph_reciprocity,
@@ -6456,6 +6479,27 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT coalesce(max(d), 0) FROM outd) AS max_out_deg,
                    (SELECT coalesce(max(d), 0) FROM ind) AS max_in_deg,
                    (SELECT count(*) FROM loops) AS n_self_loops
+        """,
+        # linear counting: exact occupancy integers, derived -m ln(V)
+        "linear_counting": """
+            WITH occ AS (
+              SELECT event_type,
+                     count(DISTINCT
+                       CAST(concat('0x', substr(sha256(
+                         CAST(user_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 1024) AS n_occupied
+              FROM events GROUP BY event_type),
+            ex AS (SELECT event_type,
+                          count(DISTINCT user_id) AS true_distinct
+                   FROM events GROUP BY event_type)
+            SELECT occ.event_type, occ.n_occupied,
+                   CASE WHEN occ.n_occupied < 1024 THEN
+                     round(-1024.0 * ln((1024.0 - occ.n_occupied)
+                           / 1024.0), 4)
+                   END AS est_distinct,
+                   ex.true_distinct
+            FROM occ JOIN ex USING (event_type)
+            ORDER BY occ.event_type
         """,
         # CMS: 4 seeded sha rows of exact long cells, min-estimate
         "cms_heavy_hitters": r"""

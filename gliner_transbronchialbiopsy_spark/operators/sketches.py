@@ -112,3 +112,53 @@ def heavy_hitters_check(
         )
         .orderBy(F.desc("true_c"), F.col("token").asc())
     )
+
+
+def linear_counting(
+    items: DataFrame,
+    col: str,
+    group: str | None = None,
+    m: int = 1024,
+) -> DataFrame:
+    """Linear-counting distinct estimation (Whang, Vander-Zanden &
+    Taylor, TODS 15(2) 1990) -> per group: (n_occupied,
+    est_distinct): hash every value into an m-bucket bitmap and
+    estimate n ≈ −m·ln(V) from the empty fraction V — the
+    bounded-memory cardinality sketch that predates HLL and, unlike
+    HLL, has an EXACTLY restatable state: the occupied-bucket set is
+    a plain distinct aggregate (deterministic integers, mergeable by
+    union — per-partition bitmaps combine exactly like the Count-Min
+    cells), and only the derived estimate is a double (same IEEE ln
+    on identical integer inputs on any engine).
+
+    Accuracy holds while the bitmap stays unsaturated (standard
+    guidance m >~ n; the estimate diverges as n_occupied -> m and is
+    returned as NULL at full saturation, where ln(0) is undefined).
+    Portable sha256 bucket hash (the sketch family discipline);
+    production swaps xxhash64."""
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    keys = [group] if group else []
+    occ = (
+        items.select(
+            *keys,
+            F.pmod(linking.portable_hash60(F.col(col)), F.lit(m))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy(*keys)
+        .agg(F.countDistinct("bucket").alias("n_occupied"))
+    )
+    md = float(m)
+    return occ.select(
+        *keys,
+        "n_occupied",
+        F.when(
+            F.col("n_occupied") < m,
+            F.round(
+                -F.lit(md)
+                * F.log((F.lit(md) - F.col("n_occupied")) / F.lit(md)),
+                4,
+            ),
+        ).alias("est_distinct"),
+    )

@@ -954,3 +954,39 @@ def test_scd2_apply_equals_full_rebuild(spark):
         assert sorted(tuple(r) for r in applied.collect()) == sorted(
             tuple(r) for r in full.collect()
         ), f"seed {seed}"
+
+
+def test_linear_counting_matches_python(spark):
+    import hashlib
+
+    from gliner_transbronchialbiopsy_spark.operators import sketches
+
+    rng = random.Random(141)
+    rows = [
+        (rng.choice("pq"), f"v{rng.randrange(60)}") for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    M = 64
+    got = {
+        (r["grp"], r["n_occupied"], r["est_distinct"])
+        for r in sketches.linear_counting(
+            df, "val", group="grp", m=M
+        ).collect()
+    }
+    want = set()
+    for g in ("p", "q"):
+        occ = {
+            int(hashlib.sha256(v.encode()).hexdigest()[:15], 16) % M
+            for gg, v in rows
+            if gg == g
+        }
+        n = len(occ)
+        est = round(-M * math.log((M - n) / M), 4) if n < M else None
+        want.add((g, n, est))
+    assert got == want
+    # estimates track the true distinct counts within linear-counting
+    # error at this load factor
+    for g in ("p", "q"):
+        true = len({v for gg, v in rows if gg == g})
+        est = next(e for gg, _, e in got if gg == g)
+        assert est is not None and abs(est - true) / true < 0.25

@@ -430,6 +430,9 @@ AUDIT = {
     # directed profile: distinct + semi-join + single-row aggregates
     # (the one-row crossJoins are broadcast scalar products)
     "graph_reciprocity": ("LeftSemi", "HashAggregate", "!InPandas"),
+    # linear counting: one distinct-bucket agg pair per group + the
+    # exact-count companion; no window, pure JVM
+    "linear_counting": ("HashAggregate", "!Window", "!InPandas"),
     # Count-Min: cell sums partial-combine (the sketch merge); the
     # probe joins the broadcast d*w cell grid; no window, pure JVM
     "cms_heavy_hitters": (
