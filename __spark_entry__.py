@@ -1621,6 +1621,37 @@ def q_graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.edge_support(rel, k=30)
 
 
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the sparser co-purchase graph (operators/graph.
+    ktruss): synchronous support peeling drops every edge in fewer
+    than 2 within-subgraph triangles per round until the fixed point;
+    top-100 surviving edges by recomputed support. rounds=8 —
+    DuckDB-probed convergence is 5/5/4 rounds at sf0.001/0.01/0.1
+    (peeling past the fixed point is idempotent), and a pytest asserts
+    the margin. Oracle: 8 chained support-filter CTEs over the same
+    l_orderkey%6 co-purchase relation."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 6 == 0
+    ).select("l_orderkey", "l_partkey")
+    rel = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return (
+        graph.ktruss(rel, k=4, rounds=8)
+        .orderBy(F.desc("support"), F.col("u").asc(), F.col("v").asc())
+        .limit(100)
+    )
+
+
 def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed structural profile (operators/graph.directed_summary):
     reciprocity (Newman et al. 2002) plus degree extremes of the
@@ -3447,6 +3478,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "linear_counting": q_linear_counting,
         "graph_edge_support": q_graph_edge_support,
+        "graph_ktruss": q_graph_ktruss,
         "scd2_apply": q_scd2_apply,
         "graph_reciprocity": q_graph_reciprocity,
         "kg_diff": q_kg_diff,
@@ -3625,6 +3657,62 @@ _CURATION_ND_CTE_SQL = _CURATION_CTE_SQL + r"""
               SELECT node FROM nd_cc
               GROUP BY node HAVING min(label) <> node)
 """
+
+
+def _ktruss_sql(rounds: int = 8, k: int = 4) -> str:
+    """Unrolled k-truss peel oracle: rounds chained support-filter
+    CTEs over the l_orderkey%6 co-purchase relation (support of edge
+    (u,v) = common-neighbor count via two adjacency joins), then the
+    converged support recomputed on the final edge set. rounds must
+    be >= the probed convergence round count at every SF (5/5/4 for
+    sf0.001/0.01/0.1) — peeling past the fixed point is idempotent."""
+    parts = [
+        """
+        WITH li AS (
+          SELECT l_orderkey, l_partkey FROM lineitem
+          WHERE l_orderkey % 6 = 0
+        ),
+        r0 AS MATERIALIZED (
+          SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                          greatest(a.l_partkey, b.l_partkey) AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+        )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+        a{r} AS MATERIALIZED (SELECT u AS x, v AS y FROM r{r}
+                 UNION ALL SELECT v AS x, u AS y FROM r{r}),
+        r{r + 1} AS MATERIALIZED (
+          SELECT e.u, e.v
+          FROM r{r} e
+          JOIN a{r} a1 ON a1.x = e.u
+          JOIN a{r} a2 ON a2.x = e.v AND a2.y = a1.y
+          GROUP BY e.u, e.v
+          HAVING count(*) >= {k - 2}
+        )"""
+        )
+    parts.append(
+        f""",
+        afin AS MATERIALIZED (SELECT u AS x, v AS y FROM r{rounds}
+                 UNION ALL SELECT v AS x, u AS y FROM r{rounds}),
+        sup AS (
+          SELECT e.u, e.v, count(*) AS support
+          FROM r{rounds} e
+          JOIN afin a1 ON a1.x = e.u
+          JOIN afin a2 ON a2.x = e.v AND a2.y = a1.y
+          GROUP BY e.u, e.v
+        )
+        SELECT e.u, e.v,
+               CAST(coalesce(s.support, 0) AS BIGINT) AS support
+        FROM r{rounds} e
+        LEFT JOIN sup s ON s.u = e.u AND s.v = e.v
+        ORDER BY support DESC, e.u ASC, e.v ASC
+        LIMIT 100"""
+    )
+    return "".join(parts)
 
 
 def _lpa_sql(iterations: int = 3) -> str:
@@ -6392,6 +6480,7 @@ def oracle_sql() -> dict[str, str]:
             FROM iv
         """,
         # edge support: oriented closure -> 3-way edge explode -> count
+        "graph_ktruss": _ktruss_sql(rounds=8, k=4),
         "graph_edge_support": """
             WITH und AS (
               SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -1768,6 +1768,25 @@ def modularity(
     )
 
 
+def _support_counts(edges: DataFrame, src: str, dst: str):
+    """Shared support core for edge_support / ktruss -> (und, sup):
+    the canonical undirected edge set and one (u, v, support) row per
+    edge that closes at least one triangle. Each triangle row from the
+    degree-oriented closure (see _oriented_closure) explodes to its
+    three member edges in (least, greatest) form and is counted per
+    edge — exact longs, O(sqrt(m))-bounded wedge enumeration."""
+    und, _, _, closed = _oriented_closure(edges, src, dst)
+    tri_edges = None
+    for a, b in (("tail", "b"), ("tail", "c"), ("b", "c")):
+        part = closed.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        tri_edges = part if tri_edges is None else tri_edges.unionAll(part)
+    sup = tri_edges.groupBy("u", "v").agg(F.count("*").alias("support"))
+    return und, sup
+
+
 def edge_support(
     edges: DataFrame,
     src: str = "src",
@@ -1788,15 +1807,7 @@ def edge_support(
     once per edge, inheriting the O(sqrt(m)) orientation bound. Edges
     in no triangle carry support 0 via the final left join. The top-k
     cut (support DESC, u, v) is a total order."""
-    und, _, _, closed = _oriented_closure(edges, src, dst)
-    tri_edges = None
-    for a, b in (("tail", "b"), ("tail", "c"), ("b", "c")):
-        part = closed.select(
-            F.least(F.col(a), F.col(b)).alias("u"),
-            F.greatest(F.col(a), F.col(b)).alias("v"),
-        )
-        tri_edges = part if tri_edges is None else tri_edges.unionAll(part)
-    sup = tri_edges.groupBy("u", "v").agg(F.count("*").alias("support"))
+    und, sup = _support_counts(edges, src, dst)
     return (
         und.join(sup, ["u", "v"], "left")
         .select(
@@ -1805,6 +1816,85 @@ def edge_support(
         )
         .orderBy(F.desc("support"), F.col("u").asc(), F.col("v").asc())
         .limit(int(k))
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = None,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Edges of the k-truss of the undirected simple graph induced by
+    edges(src, dst) -> (u, v, support): iterative synchronous peeling
+    — every round simultaneously drops ALL edges whose triangle
+    support within the current subgraph is below k-2, until the fixed
+    point, where every surviving edge sits in >= k-2 triangles (Cohen
+    2008; the cohesive-subgraph refinement of k-core that an ER audit
+    uses to keep only multiply-corroborated sameAs clusters). The
+    returned support is recomputed on the converged edge set.
+
+    rounds=None (production) loops to the fixed point — convergence
+    detected by the surviving-edge count, one bounded scalar per
+    round, raising past max_rounds rather than looping silently.
+    rounds=R runs exactly R synchronous peels with no convergence
+    scan: the engine-portable form the DuckDB oracle restates as R
+    chained support-filter CTEs (peeling is deterministic and
+    idempotent past convergence, so R >= the converged round count
+    gives the exact k-truss; the contract query's pytest asserts its
+    R carries margin at every SF).
+
+    Distributed shape: each round is one degree-oriented triangle
+    closure (_support_counts — wedge enumeration O(sqrt(m))-bounded,
+    the hot vertex enumerates no wedges) plus one left-semi join
+    restricting the edge list; all shuffles key on (u, v) edge ids,
+    nothing collects to the driver, and a loop_ckpt per round keeps
+    the plan O(1) deep. Support skew (a dense community) stays inside
+    HashAggregate keys — no row explosion beyond the oriented wedge
+    bound."""
+    if k < 3:
+        raise ValueError("k must be >= 3 (k-2 support threshold)")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    cur = loop_ckpt(und)
+
+    def _peel(cur: DataFrame) -> DataFrame:
+        _, sup = _support_counts(cur, "u", "v")
+        keep = sup.filter(F.col("support") >= F.lit(int(k) - 2)).select(
+            "u", "v"
+        )
+        return loop_ckpt(cur.join(keep, ["u", "v"], "left_semi"))
+
+    if rounds is not None:
+        for _ in range(int(rounds)):
+            cur = _peel(cur)
+    else:
+        n_edges = cur.count()
+        for _ in range(max_rounds):
+            if n_edges == 0:
+                break
+            cur = _peel(cur)
+            n_next = cur.count()
+            if n_next == n_edges:
+                break
+            n_edges = n_next
+        else:
+            raise RuntimeError(
+                f"ktruss did not converge within {max_rounds} rounds"
+            )
+    _, sup = _support_counts(cur, "u", "v")
+    return cur.join(sup, ["u", "v"], "left").select(
+        "u",
+        "v",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
     )
 
 

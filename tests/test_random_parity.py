@@ -51,6 +51,99 @@ def test_kcore_matches_python_peeling(spark):
         assert got == want, f"seed {seed}"
 
 
+def test_ktruss_matches_python_peeling(spark):
+    """graph.ktruss vs brute-force synchronous edge peeling: each
+    round recomputes every edge's within-subgraph triangle support
+    and drops all edges below k-2 simultaneously (the same
+    synchronous schedule the operator runs)."""
+    for seed, k in ((11, 3), (12, 4), (13, 4)):
+        edges = _rand_edges(seed, n_nodes=10, n_edges=28)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["u"], r["v"], r["support"])
+            for r in graph.ktruss(df, k=k).collect()
+        }
+        cur = {
+            (min(a, b), max(a, b)) for a, b in edges if a != b
+        }
+
+        def _supports(es):
+            adj = {}
+            for u, v in es:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            return {
+                (u, v): len(adj[u] & adj[v]) for u, v in es
+            }
+
+        while True:
+            sup = _supports(cur)
+            nxt = {e for e in cur if sup[e] >= k - 2}
+            if nxt == cur:
+                break
+            cur = nxt
+        sup = _supports(cur)
+        want = {(u, v, sup[(u, v)]) for u, v in cur}
+        assert got == want, f"seed {seed} k {k}"
+
+
+def test_ktruss_fixed_rounds_matches_fixed_point(spark):
+    """rounds=R >= convergence gives the exact k-truss (idempotent
+    peeling) — the property the contract query's rounds=8 oracle
+    relies on. A K4 with a pendant triangle: the pendant edges are in
+    one triangle each (support 1 < 2) and peel; the K4 edges each sit
+    in 2 triangles and survive the 4-truss."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    noisy = k4 + [(3, 4), (4, 5), (3, 5), (1, 0), (2, 2)]
+    edges = spark.createDataFrame(noisy, "src long, dst long")
+    exact = sorted(
+        (r["u"], r["v"], r["support"])
+        for r in graph.ktruss(edges, k=4).collect()
+    )
+    fixed = sorted(
+        (r["u"], r["v"], r["support"])
+        for r in graph.ktruss(edges, k=4, rounds=6).collect()
+    )
+    want = sorted((a, b, 2) for a, b in k4)
+    assert exact == fixed == want
+
+
+def test_ktruss_contract_rounds_margin(spark):
+    """The contract query's rounds=8 must carry margin over the true
+    convergence round count — assert the rounds=8 output equals the
+    fixed-point output on the sf0.001 co-purchase graph."""
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["u"], r["v"], r["support"])
+        for r in entry.q_graph_ktruss(spark, sf_dir).collect()
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 6 == 0
+    ).select("l_orderkey", "l_partkey")
+    rel = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    fix = graph.ktruss(rel, k=4)
+    want = sorted(
+        (r["u"], r["v"], r["support"])
+        for r in fix.orderBy(
+            F.desc("support"), F.col("u").asc(), F.col("v").asc()
+        ).limit(100).collect()
+    )
+    assert got == want and len(got) == 100
+
+
 def test_clustering_coefficients_match_python(spark):
     for seed in (4, 5):
         edges = _rand_edges(seed)

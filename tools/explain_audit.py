@@ -427,6 +427,15 @@ AUDIT = {
         "HashAggregate",
         "!InPandas",
     ),
+    # k-truss: the final plan (post loop_ckpt rounds) is one oriented
+    # support closure over the checkpointed converged edge leaf + the
+    # left support join + TakeOrdered cut; the per-round peels are
+    # materialized behind the scan so no exponential lineage shows
+    "graph_ktruss": (
+        "TakeOrderedAndProject",
+        "HashAggregate",
+        "!InPandas",
+    ),
     # directed profile: distinct + semi-join + single-row aggregates
     # (the one-row crossJoins are broadcast scalar products)
     "graph_reciprocity": ("LeftSemi", "HashAggregate", "!InPandas"),
