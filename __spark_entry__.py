@@ -1652,6 +1652,27 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-criteria skyline (operators/skyline.skyline — Borzsony et
+    al. ICDE 2001): parts on the Pareto frontier of (min
+    p_retailprice, max p_size, max name length). Two-phase
+    distributed shape: Arrow-batched local prune (lexicographic sweep
+    + vectorized frontier) then a broadcast dominance anti-join over
+    the tiny candidate set. Oracle: NOT EXISTS with the strict
+    disjunct — the textbook dominance restatement."""
+    from gliner_transbronchialbiopsy_spark.operators import skyline as sky
+
+    p = _read(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        "p_retailprice",
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+    return sky.skyline(
+        p, minimize=("p_retailprice",), maximize=("p_size", "name_len")
+    )
+
+
 def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed structural profile (operators/graph.directed_summary):
     reciprocity (Newman et al. 2002) plus degree extremes of the
@@ -3479,6 +3500,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_counting": q_linear_counting,
         "graph_edge_support": q_graph_edge_support,
         "graph_ktruss": q_graph_ktruss,
+        "skyline_pareto": q_skyline_pareto,
         "scd2_apply": q_scd2_apply,
         "graph_reciprocity": q_graph_reciprocity,
         "kg_diff": q_kg_diff,
@@ -6481,6 +6503,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # edge support: oriented closure -> 3-way edge explode -> count
         "graph_ktruss": _ktruss_sql(rounds=8, k=4),
+        # skyline: textbook NOT EXISTS dominance (strict disjunct =
+        # equal criteria vectors never dominate each other)
+        "skyline_pareto": """
+            WITH p AS (
+              SELECT p_partkey, p_size, p_retailprice,
+                     CAST(length(p_name) AS INTEGER) AS name_len
+              FROM part
+            )
+            SELECT p_partkey, p_size, p_retailprice, name_len
+            FROM p a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE b.p_retailprice <= a.p_retailprice
+                AND b.p_size >= a.p_size
+                AND b.name_len >= a.name_len
+                AND (b.p_retailprice < a.p_retailprice
+                     OR b.p_size > a.p_size
+                     OR b.name_len > a.name_len)
+            )
+        """,
         "graph_edge_support": """
             WITH und AS (
               SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

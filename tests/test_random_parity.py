@@ -144,6 +144,51 @@ def test_ktruss_contract_rounds_margin(spark):
     assert got == want and len(got) == 100
 
 
+def test_skyline_matches_python_dominance(spark):
+    """operators/skyline.skyline vs brute-force O(n^2) dominance on
+    seeded random points — mixed minimize/maximize criteria, forced
+    exact duplicates (equal vectors never dominate each other, so
+    duplicate frontier points survive as a group), and enough
+    partitions that the local-prune + global-merge phases both run."""
+    from gliner_transbronchialbiopsy_spark.operators import skyline as sky
+
+    for seed, dims in ((21, 2), (22, 3)):
+        rng = random.Random(seed)
+        rows = [
+            tuple(rng.randrange(20) for _ in range(dims)) + (i,)
+            for i in range(120)
+        ]
+        rows += rows[:10]  # exact duplicates (distinct ids below)
+        rows = [r[:-1] + (j,) for j, r in enumerate(rows)]
+        cols = [f"c{d}" for d in range(dims)]
+        schema = ", ".join(f"{c} long" for c in cols) + ", rid long"
+        df = spark.createDataFrame(rows, schema).repartition(7)
+        mins, maxs = cols[: dims // 2 + 1], cols[dims // 2 + 1 :]
+        got = {
+            r["rid"]
+            for r in sky.skyline(df, minimize=mins, maximize=maxs).collect()
+        }
+
+        def _dominates(b, a):
+            al, st = True, False
+            for j in range(dims):
+                bb, aa = b[j], a[j]
+                if j < len(mins):
+                    al &= bb <= aa
+                    st |= bb < aa
+                else:
+                    al &= bb >= aa
+                    st |= bb > aa
+            return al and st
+
+        want = {
+            a[-1]
+            for a in rows
+            if not any(_dominates(b, a) for b in rows)
+        }
+        assert got == want and len(want) > 0, f"seed {seed}"
+
+
 def test_clustering_coefficients_match_python(spark):
     for seed in (4, 5):
         edges = _rand_edges(seed)

@@ -436,6 +436,14 @@ AUDIT = {
         "HashAggregate",
         "!InPandas",
     ),
+    # skyline: the Arrow-batched local prune IS the design (the one
+    # sanctioned Python stage), global merge = broadcast dominance
+    # anti-join over the tiny candidate set — BNLJ on candidates,
+    # never on the input
+    "skyline_pareto": (
+        "MapInPandas",
+        "BroadcastNestedLoopJoin",
+    ),
     # directed profile: distinct + semi-join + single-row aggregates
     # (the one-row crossJoins are broadcast scalar products)
     "graph_reciprocity": ("LeftSemi", "HashAggregate", "!InPandas"),
