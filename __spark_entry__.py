@@ -1170,6 +1170,22 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return termstats.tfidf_topk(docs, k=3)
 
 
+BM25_QUERY_TERMS = ("customer", "merge", "spark", "window")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (operators/termstats.bm25_topk, Robertson
+    & Walker SIGIR 1994): top-20 documents for a 4-term query, k1=1.2
+    b=0.75. Per-term scores are exact longs (the two floor() grids
+    are the only float touch-points, both engines evaluating the same
+    mirrored expression — constants derived once in
+    termstats.bm25_constants and embedded as repr() in the oracle);
+    the per-doc sum is exact long addition, so the top-20 cut
+    (score_fp DESC, doc_id) is engine-portable."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return termstats.bm25_topk(docs, list(BM25_QUERY_TERMS), k=20)
+
+
 def q_colloc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 bigram collocations by PMI
     (operators/termstats.pmi_collocations): unigram + bigram corpus
@@ -3458,6 +3474,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "weak_labels": q_weak_labels,
         "tfidf_terms": q_tfidf_terms,
+        "bm25_topk": q_bm25_topk,
         "colloc_pmi": q_colloc_pmi,
         "line_dedup": q_line_dedup,
         "graph_pagerank": q_graph_pagerank,
@@ -3679,6 +3696,65 @@ _CURATION_ND_CTE_SQL = _CURATION_CTE_SQL + r"""
               SELECT node FROM nd_cc
               GROUP BY node HAVING min(label) <> node)
 """
+
+
+def _bm25_sql(k: int = 20) -> str:
+    """BM25 oracle: restates termstats.bm25_topk expression-for-
+    expression. The c0/c1 double constants are embedded via repr()
+    from the SAME bm25_constants() call the Spark side uses, so both
+    engines floor identical IEEE doubles; num // (den*10) is exact
+    long division of non-negatives (truncation == floor)."""
+    from gliner_transbronchialbiopsy_spark.operators.termstats import (
+        SCALE,
+        bm25_constants,
+    )
+
+    c0, c1, tf_num = bm25_constants()
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+            CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                 ELSE string_split_regex(trim(lower(text)), '\s+')
+            END AS tk
+          FROM documents),
+        lens AS (SELECT doc_id, len(tk) AS dl FROM t),
+        tot AS (
+          SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+          FROM lens),
+        e AS (SELECT doc_id, unnest(tk) AS token FROM t),
+        hits AS (
+          SELECT doc_id, token, count(*) AS c
+          FROM e WHERE token IN ({terms})
+          GROUP BY doc_id, token),
+        dfreq AS (SELECT token, count(*) AS df_docs FROM hits GROUP BY token),
+        idf AS (
+          SELECT token,
+            CAST(floor(ln((tot.n_docs - df_docs + 0.5)
+                          / (df_docs + 0.5) + 1.0) * {SCALE})
+                 AS BIGINT) AS idf_fp
+          FROM dfreq, tot),
+        sc AS (
+          SELECT h.doc_id, h.token,
+            (idf.idf_fp * h.c * {tf_num}) AS num,
+            CAST(floor((CAST(h.c AS DOUBLE) + {c0!r}
+                        + {c1!r} * ((CAST(l.dl AS DOUBLE) * tot.n_docs)
+                                    / tot.sum_dl)) * 1000.0)
+                 AS BIGINT) AS den
+          FROM hits h
+          JOIN lens l ON l.doc_id = h.doc_id
+          JOIN idf ON idf.token = h.token, tot),
+        agg AS (
+          SELECT doc_id,
+                 CAST(count(DISTINCT token) AS BIGINT) AS n_terms,
+                 CAST(sum(num // (den * 10)) AS BIGINT) AS score_fp
+          FROM sc GROUP BY doc_id)
+        SELECT doc_id, n_terms, score_fp,
+               round(score_fp / {SCALE / 1000.0!r}, 6) AS bm25
+        FROM agg
+        ORDER BY score_fp DESC, doc_id ASC
+        LIMIT {k}
+    """
 
 
 def _ktruss_sql(rounds: int = 8, k: int = 4) -> str:
@@ -6503,6 +6579,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # edge support: oriented closure -> 3-way edge explode -> count
         "graph_ktruss": _ktruss_sql(rounds=8, k=4),
+        "bm25_topk": _bm25_sql(k=20),
         # skyline: textbook NOT EXISTS dominance (strict disjunct =
         # equal criteria vectors never dominate each other)
         "skyline_pareto": """

@@ -464,6 +464,136 @@ def stupid_backoff_score(
 TFIDF_IDF_SCALE = 100
 
 
+def bm25_constants(k1_x10: int = 12, b_x100: int = 75) -> tuple[float, float, int]:
+    """The three BM25 constants DERIVED ONCE from integer-encoded
+    parameters (k1 = k1_x10/10, b = b_x100/100) and shared verbatim by
+    the Spark plan and the SQL oracle generator: c0 = k1*(1-b),
+    c1 = k1*b, tf_num = (k1+1)*10 exactly. Deriving both sides from
+    the same Python floats (and embedding their repr in the SQL) is
+    what makes the mirrored double arithmetic bit-identical — writing
+    '0.3' in SQL while Spark computes 1.2*0.25 = 0.30000000000000004
+    would diverge on the floor grid."""
+    k1 = k1_x10 / 10.0
+    b = b_x100 / 100.0
+    return k1 * (1.0 - b), k1 * b, k1_x10 + 10
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1_x10: int = 12,
+    b_x100: int = 75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 retrieval (Robertson & Walker, SIGIR 1994; the Okapi
+    weighting) -> top-k documents for a bag-of-words query:
+    (id, n_terms, score_fp, bm25).
+
+    Fixed-point contract (the module discipline): per-term
+      idf_fp   = floor(ln((N - df + 0.5)/(df + 0.5) + 1) * SCALE)
+      denom_fp = floor((tf + c0 + c1 * dl * N / sum_dl) * 1000)
+      score_fp = (idf_fp * tf * tf_num) div (denom_fp * 10)
+    with c0 = k1(1-b), c1 = k1*b, tf_num = (k1+1)*10 from
+    :func:`bm25_constants`. tf, dl, N, df, sum_dl are exact longs;
+    the two floor() calls are the only float touch-points and both
+    engines evaluate the SAME expression tree on the same exact
+    inputs, so per-term scores are identical longs and the per-doc
+    sum (exact long addition) is bit-identical at any partitioning.
+    score_fp sits at SCALE/1000 = 1e6 x bm25 (the tf_num*10 and
+    denom*10 factors cancel to k1+1); `bm25` is the readable double
+    derived AFTER the cut.
+
+    Distributed shape: the exploded token stream filters to the query
+    vocabulary BEFORE any shuffle (a broadcastable isin over a few
+    terms — at 100 TB only query-term hits travel); doc lengths and
+    corpus totals come from one groupBy(id) aggregate; the per-term
+    df / idf table is query-sized and broadcasts back. Docs matching
+    no query term are absent (standard retrieval semantics). Top-k by
+    (score_fp DESC, id ASC) — a total order."""
+    qt = sorted({t.lower() for t in query_terms})
+    if not qt:
+        raise ValueError("bm25_topk needs at least one query term")
+    c0, c1, tf_num = bm25_constants(k1_x10, b_x100)
+
+    lens = df.select(
+        F.col(id_col),
+        F.size(textstats.word_tokens(F.col(text_col))).alias("dl"),
+    )
+    totals = lens.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    hits = (
+        _tokens(df, text_col, id_col)
+        .filter(F.col("token").isin(qt))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("c"))
+    )
+    dfreq = hits.groupBy("token").agg(F.count("*").alias("df_docs"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("df_docs") + F.lit(0.5))
+                    / (F.col("df_docs") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * F.lit(SCALE)
+            )
+            .cast("long")
+            .alias("idf_fp"),
+        )
+    )
+    scored = (
+        hits.join(lens, id_col)
+        .join(F.broadcast(idf), "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            "token",
+            (
+                F.col("idf_fp") * F.col("c") * F.lit(int(tf_num))
+            ).alias("_num"),
+            F.floor(
+                (
+                    F.col("c").cast("double")
+                    + F.lit(c0)
+                    + F.lit(c1)
+                    * (
+                        (F.col("dl").cast("double") * F.col("n_docs"))
+                        / F.col("sum_dl")
+                    )
+                )
+                * F.lit(1000.0)
+            )
+            .cast("long")
+            .alias("_den"),
+        )
+        .select(
+            id_col,
+            "token",
+            F.expr("_num div (_den * 10)").alias("term_fp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.countDistinct("token").cast("long").alias("n_terms"),
+            F.sum("term_fp").cast("long").alias("score_fp"),
+        )
+        .orderBy(F.desc("score_fp"), F.col(id_col).asc())
+        .limit(int(k))
+        .withColumn(
+            "bm25",
+            F.round(F.col("score_fp") / F.lit(SCALE / 1000.0), 6),
+        )
+    )
+
+
 def tfidf_cosine_topk(
     df: DataFrame,
     k: int = 50,

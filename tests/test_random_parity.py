@@ -144,6 +144,60 @@ def test_ktruss_contract_rounds_margin(spark):
     assert got == want and len(got) == 100
 
 
+def test_bm25_matches_python_reference(spark):
+    """termstats.bm25_topk vs a pure-python Okapi BM25 computing the
+    SAME fixed-point formula (floor grids over IEEE doubles + exact
+    long sums) on seeded random corpora — scores must be identical
+    longs, not approximately equal."""
+    from gliner_transbronchialbiopsy_spark.operators import termstats
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for seed in (31, 32):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 40))))
+            for i in range(60)
+        ] + [(60, ""), (61, "   ")]  # blank docs count toward N, dl=0
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        qt = ["alpha", "delta", "zeta"]
+        got = [
+            (r["doc_id"], r["n_terms"], r["score_fp"])
+            for r in termstats.bm25_topk(df, qt, k=10).collect()
+        ]
+
+        c0, c1, tf_num = termstats.bm25_constants()
+        toks = {i: t.split() if t.split() else [] for i, t in docs}
+        n_docs = len(docs)
+        sum_dl = sum(len(v) for v in toks.values())
+        dfreq = {
+            q: sum(1 for v in toks.values() if q in v) for q in qt
+        }
+        idf = {
+            q: math.floor(
+                math.log((n_docs - dfc + 0.5) / (dfc + 0.5) + 1.0)
+                * termstats.SCALE
+            )
+            for q, dfc in dfreq.items()
+            if dfc > 0
+        }
+        want = []
+        for i, v in toks.items():
+            terms = [q for q in qt if q in v]
+            if not terms:
+                continue
+            s = 0
+            for q in terms:
+                c = v.count(q)
+                den = math.floor(
+                    (float(c) + c0 + c1 * ((float(len(v)) * n_docs) / sum_dl))
+                    * 1000.0
+                )
+                s += (idf[q] * c * tf_num) // (den * 10)
+            want.append((i, len(terms), s))
+        want.sort(key=lambda r: (-r[2], r[0]))
+        assert got == want[:10], f"seed {seed}"
+
+
 def test_skyline_matches_python_dominance(spark):
     """operators/skyline.skyline vs brute-force O(n^2) dominance on
     seeded random points — mixed minimize/maximize criteria, forced

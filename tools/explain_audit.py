@@ -436,6 +436,14 @@ AUDIT = {
         "HashAggregate",
         "!InPandas",
     ),
+    # BM25: query-vocab filter before any shuffle, idf + totals
+    # broadcast back, exact-long sum agg, TakeOrdered cut, pure JVM
+    "bm25_topk": (
+        "BroadcastHashJoin",
+        "TakeOrderedAndProject",
+        "HashAggregate",
+        "!InPandas",
+    ),
     # skyline: the Arrow-batched local prune IS the design (the one
     # sanctioned Python stage), global merge = broadcast dominance
     # anti-join over the tiny candidate set — BNLJ on candidates,
