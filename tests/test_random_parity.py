@@ -1182,3 +1182,61 @@ def test_linear_counting_matches_python(spark):
         true = len({v for gg, v in rows if gg == g})
         est = next(e for gg, _, e in got if gg == g)
         assert est is not None and abs(est - true) / true < 0.25
+
+
+def test_hll_matches_python_and_merges(spark):
+    import hashlib
+
+    from gliner_transbronchialbiopsy_spark.operators import sketches
+
+    P, W = 7, 53  # smallest allowed p keeps the test sketch tiny
+    M = 1 << P
+
+    def py_registers(vals):
+        regs = {}
+        for v in vals:
+            h = int(hashlib.sha256(v.encode()).hexdigest()[:15], 16)
+            bucket, rem = h >> W, h % (1 << W)
+            rho = (W + 1) if rem == 0 else (W + 1 - rem.bit_length())
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        return regs
+
+    rng = random.Random(151)
+    rows = [
+        (rng.choice("pq"), f"v{rng.randrange(400)}") for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    got = {
+        (r["grp"], r["bucket"], r["register"])
+        for r in sketches.hll_registers(df, "val", group="grp", p=P)
+        .collect()
+    }
+    want = {
+        (g, b, m)
+        for g in ("p", "q")
+        for b, m in py_registers(
+            [v for gg, v in rows if gg == g]
+        ).items()
+    }
+    assert got == want
+    # merge property: bucket-wise max of the two group sketches ==
+    # the sketch of the union (partial aggregation IS the merge)
+    union_regs = py_registers([v for _, v in rows])
+    merged = {}
+    for g, b, m in want:
+        merged[b] = max(merged.get(b, 0), m)
+    assert merged == union_regs
+    # estimate tracks true distinct within ~4 standard errors at p=7
+    est_rows = sketches.hll_cardinality(
+        df, "val", group="grp", p=P
+    ).collect()
+    for r in est_rows:
+        true = len({v for gg, v in rows if gg == r["grp"]})
+        se = 1.04 / math.sqrt(M)
+        assert abs(r["est_distinct"] - true) / true < 4 * se, (
+            r["grp"], r["est_distinct"], true,
+        )
+        # the exact long state is internally consistent
+        assert r["n_zero"] == M - len(
+            py_registers([v for gg, v in rows if gg == r["grp"]])
+        )
