@@ -1186,6 +1186,36 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return termstats.bm25_topk(docs, list(BM25_QUERY_TERMS), k=20)
 
 
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion
+    (operators/termstats.rrf_fuse — Cormack et al. SIGIR 2009): the
+    lexical arm is the bm25_topk top-20 (exact-long score_fp order),
+    the dense arm is brute-force cosine top-20 against embedding 0
+    (vec_id == doc_id in the fixture), and fusion sums pure-integer
+    1e6 DIV (60 + rank) contributions — ranks, not scores, cross the
+    boundary, so the incommensurable BM25 and cosine scales compose
+    without calibration and the fused top-20 is engine-portable."""
+    from pyspark.sql import Window as W
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = termstats.bm25_topk(docs, list(BM25_QUERY_TERMS), k=20)
+    w_lex = W.orderBy(F.desc("score_fp"), F.col("doc_id").asc())
+    lex_r = lex.select("doc_id", F.row_number().over(w_lex).alias("rank"))
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    dense = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=20
+    )
+    w_dense = W.orderBy(F.desc("cosine"), F.col("vec_id").asc())
+    dense_r = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_dense).alias("rank"),
+    )
+    return termstats.rrf_fuse([lex_r, dense_r], id_col="doc_id",
+                              k0=60, k=20)
+
+
 def q_colloc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 bigram collocations by PMI
     (operators/termstats.pmi_collocations): unigram + bigram corpus
@@ -3499,6 +3529,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weak_labels": q_weak_labels,
         "tfidf_terms": q_tfidf_terms,
         "bm25_topk": q_bm25_topk,
+        "rrf_hybrid": q_rrf_hybrid,
         "colloc_pmi": q_colloc_pmi,
         "line_dedup": q_line_dedup,
         "graph_pagerank": q_graph_pagerank,
@@ -3723,12 +3754,15 @@ _CURATION_ND_CTE_SQL = _CURATION_CTE_SQL + r"""
 """
 
 
-def _bm25_sql(k: int = 20) -> str:
-    """BM25 oracle: restates termstats.bm25_topk expression-for-
-    expression. The c0/c1 double constants are embedded via repr()
-    from the SAME bm25_constants() call the Spark side uses, so both
-    engines floor identical IEEE doubles; num // (den*10) is exact
-    long division of non-negatives (truncation == floor)."""
+def _bm25_ctes() -> str:
+    """The BM25 WITH-body through `agg` (doc_id, n_terms, score_fp) —
+    shared by the bm25_topk oracle and the rrf_hybrid fusion oracle
+    so the lexical arm is restated ONCE. Restates
+    termstats.bm25_topk expression-for-expression. The c0/c1 double
+    constants are embedded via repr() from the SAME bm25_constants()
+    call the Spark side uses, so both engines floor identical IEEE
+    doubles; num // (den*10) is exact long division of non-negatives
+    (truncation == floor)."""
     from gliner_transbronchialbiopsy_spark.operators.termstats import (
         SCALE,
         bm25_constants,
@@ -3736,8 +3770,7 @@ def _bm25_sql(k: int = 20) -> str:
 
     c0, c1, tf_num = bm25_constants()
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
-    return rf"""
-        WITH t AS (
+    return rf"""t AS (
           SELECT doc_id,
             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                  ELSE string_split_regex(trim(lower(text)), '\s+')
@@ -3773,11 +3806,61 @@ def _bm25_sql(k: int = 20) -> str:
           SELECT doc_id,
                  CAST(count(DISTINCT token) AS BIGINT) AS n_terms,
                  CAST(sum(num // (den * 10)) AS BIGINT) AS score_fp
-          FROM sc GROUP BY doc_id)
+          FROM sc GROUP BY doc_id)"""
+
+
+def _bm25_sql(k: int = 20) -> str:
+    """BM25 oracle: the shared _bm25_ctes body plus the top-k
+    readout (the fixed-point bm25 double derived AFTER the cut)."""
+    from gliner_transbronchialbiopsy_spark.operators.termstats import SCALE
+
+    return f"""
+        WITH {_bm25_ctes()}
         SELECT doc_id, n_terms, score_fp,
                round(score_fp / {SCALE / 1000.0!r}, 6) AS bm25
         FROM agg
         ORDER BY score_fp DESC, doc_id ASC
+        LIMIT {k}
+    """
+
+
+def _rrf_sql(k0: int = 60, k: int = 20, scale: int = 1_000_000) -> str:
+    """rrf_hybrid oracle: the shared _bm25_ctes lexical arm ranked by
+    (score_fp DESC, doc_id), the sim_topk_cosine dense arm ranked by
+    raw cosine, fused by pure-integer reciprocal-rank contributions
+    scale // (k0 + rank) — no float enters the fusion at all."""
+    return f"""
+        WITH {_bm25_ctes()},
+        lex AS (
+          SELECT doc_id, rank FROM (
+            SELECT doc_id, row_number() OVER (
+              ORDER BY score_fp DESC, doc_id ASC) AS rank
+            FROM agg) WHERE rank <= {k}),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        prod AS (
+          SELECT e.vec_id,
+                 sum(CAST(z.z[1] AS DOUBLE) * CAST(z.z[2] AS DOUBLE)) AS dot,
+                 sum(CAST(z.z[1] AS DOUBLE) * CAST(z.z[1] AS DOUBLE)) AS ne,
+                 sum(CAST(z.z[2] AS DOUBLE) * CAST(z.z[2] AS DOUBLE)) AS nq
+          FROM embeddings e, q,
+               LATERAL unnest(list_zip(e.embedding, q.qv)) z(z)
+          WHERE e.vec_id != 0
+          GROUP BY e.vec_id),
+        dense AS (
+          SELECT doc_id, rank FROM (
+            SELECT vec_id AS doc_id, row_number() OVER (
+              ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, vec_id) AS rank
+            FROM prod) WHERE rank <= {k}),
+        contrib AS (
+          SELECT doc_id, {scale} // ({k0} + rank) AS c FROM lex
+          UNION ALL
+          SELECT doc_id, {scale} // ({k0} + rank) AS c FROM dense)
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_lists,
+               CAST(sum(c) AS BIGINT) AS rrf_fp,
+               round(CAST(sum(c) AS BIGINT) / {float(scale)!r}, 6) AS rrf
+        FROM contrib GROUP BY doc_id
+        ORDER BY rrf_fp DESC, doc_id ASC
         LIMIT {k}
     """
 
@@ -6605,6 +6688,7 @@ def oracle_sql() -> dict[str, str]:
         # edge support: oriented closure -> 3-way edge explode -> count
         "graph_ktruss": _ktruss_sql(rounds=8, k=4),
         "bm25_topk": _bm25_sql(k=20),
+        "rrf_hybrid": _rrf_sql(k0=60, k=20),
         # skyline: textbook NOT EXISTS dominance (strict disjunct =
         # equal criteria vectors never dominate each other)
         "skyline_pareto": """

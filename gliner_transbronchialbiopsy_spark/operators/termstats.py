@@ -683,3 +683,57 @@ def tfidf_cosine_topk(
         .orderBy(F.desc("cosine"), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(int(k))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k0: int = 60,
+    k: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) -> top-k fused documents: (id, n_lists, rrf_fp, rrf). Each
+    input carries (id_col, rank) with rank starting at 1 in its own
+    retrieval order; the fused score is Σ_lists 1/(k0 + rank), the
+    standard way to combine a lexical (BM25) and a dense (embedding
+    cosine) arm without score calibration — only RANKS cross the
+    fusion boundary, so arms with incommensurable score scales
+    compose safely.
+
+    Fixed-point contract: each contribution is the pure-integer
+    scale DIV (k0 + rank) — no float enters the fusion at all (unlike
+    BM25's floor()'d grids there isn't a single float touch-point);
+    the per-doc sum is exact long addition and the top-k cut
+    (rrf_fp DESC, id ASC) is a total order, so the result is
+    bit-identical at any parallelism and restatable verbatim in SQL.
+    `rrf` is the readable double derived AFTER the cut. k0=60 per the
+    paper. Distributed shape: the inputs are already top-k lists
+    (bounded), so the union + groupBy is a few-row job — the heavy
+    lifting stays in the arms."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k0 < 0 or scale < 1:
+        raise ValueError("k0 must be >= 0 and scale >= 1")
+    contribs = None
+    for r in rankings:
+        c = r.select(
+            F.col(id_col),
+            F.expr(f"CAST({int(scale)} DIV ({int(k0)} + rank) AS BIGINT)")
+            .alias("c"),
+        )
+        contribs = c if contribs is None else contribs.unionAll(c)
+    fused = contribs.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_lists"),
+        F.sum("c").cast("long").alias("rrf_fp"),
+    )
+    return (
+        fused.select(
+            id_col,
+            "n_lists",
+            "rrf_fp",
+            F.round(F.col("rrf_fp") / F.lit(float(scale)), 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf_fp"), F.col(id_col).asc())
+        .limit(int(k))
+    )

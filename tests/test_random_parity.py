@@ -1240,3 +1240,46 @@ def test_hll_matches_python_and_merges(spark):
         assert r["n_zero"] == M - len(
             py_registers([v for gg, v in rows if gg == r["grp"]])
         )
+
+
+def test_rrf_fuse_matches_python(spark):
+    from gliner_transbronchialbiopsy_spark.operators import termstats
+
+    K0, SCALE = 60, 1_000_000
+    for seed in (11, 12):
+        rng = random.Random(seed)
+        ids = list(range(30))
+        lists = []
+        for _ in range(3):
+            rng.shuffle(ids)
+            lists.append([(d, i + 1) for i, d in enumerate(ids[:15])])
+        dfs = [
+            spark.createDataFrame(lst, "doc_id long, rank int")
+            for lst in lists
+        ]
+        got = [
+            (r["doc_id"], r["n_lists"], r["rrf_fp"], r["rrf"])
+            for r in termstats.rrf_fuse(
+                dfs, k0=K0, k=10, scale=SCALE
+            ).collect()
+        ]
+        # pure-python reference: integer contributions, exact sums
+        acc = {}
+        for lst in lists:
+            for d, rank in lst:
+                n, s = acc.get(d, (0, 0))
+                acc[d] = (n + 1, s + SCALE // (K0 + rank))
+        want = sorted(
+            ((d, n, s, round(s / SCALE, 6)) for d, (n, s) in acc.items()),
+            key=lambda t: (-t[2], t[0]),
+        )[:10]
+        assert got == want, f"seed {seed}"
+    # a doc ranked #1 in two arms must outscore a doc ranked #1 in one
+    both = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    one = spark.createDataFrame([(2, 1), (1, 2)], "doc_id long, rank int")
+    solo = spark.createDataFrame([(9, 1)], "doc_id long, rank int")
+    fused = {
+        r["doc_id"]: r["rrf_fp"]
+        for r in termstats.rrf_fuse([both, one, solo], k=5).collect()
+    }
+    assert fused[1] == fused[2] > fused[9]
