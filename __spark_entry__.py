@@ -1719,6 +1719,30 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (operators/graph.katz_centrality, Katz 1953):
+    top-30 users of the event-succession graph by the 4-term damped
+    walk-count series with α = 1/100. Walk counts are exact integers
+    ((Aᵀ)^r·1 per round), so katz_fp = Σ walks_r·100^(4−r) needs no
+    fixed-point grid at all — the purest integer centrality in the
+    module — and the oracle is 4 chained matrix-vector CTEs.
+    Self-loops dropped (a user following themself is not
+    influence)."""
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy(
+        "event_type", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    nx = ev.select(
+        F.col("user_id").alias("src"),
+        F.lead("user_id").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    return graph.katz_centrality(nx, rounds=4, alpha_den=100, k=30)
+
+
 def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed structural profile (operators/graph.directed_summary):
     reciprocity (Newman et al. 2002) plus degree extremes of the
@@ -3576,6 +3600,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_pareto": q_skyline_pareto,
         "scd2_apply": q_scd2_apply,
         "graph_reciprocity": q_graph_reciprocity,
+        "graph_katz": q_graph_katz,
         "kg_diff": q_kg_diff,
         "kg_reachability": q_kg_reachability,
         "kg_type_inference": q_kg_type_inference,
@@ -3863,6 +3888,55 @@ def _rrf_sql(k0: int = 60, k: int = 20, scale: int = 1_000_000) -> str:
         ORDER BY rrf_fp DESC, doc_id ASC
         LIMIT {k}
     """
+
+
+def _katz_sql(rounds: int = 4, alpha_den: int = 100, k: int = 30) -> str:
+    """Katz oracle: the event-succession edge relation, then `rounds`
+    chained matrix-vector CTEs (v_r(i) = Σ_{j→i} v_{r-1}(j), all
+    exact BIGINTs), the series rolled up with alpha_den^(R−r)
+    weights. Mirrors graph.katz_centrality term for term."""
+    ctes = [
+        """
+        WITH ev AS (
+          SELECT user_id, event_type, ts, event_id,
+                 date_trunc('hour', ts) AS hr
+          FROM events),
+        nx AS (
+          SELECT user_id AS src,
+                 lead(user_id) OVER (
+                   PARTITION BY event_type, hr
+                   ORDER BY ts, event_id) AS dst
+          FROM ev),
+        e AS MATERIALIZED (
+          SELECT DISTINCT src AS a, dst AS b FROM nx
+          WHERE dst IS NOT NULL AND src <> dst),
+        nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+        v0 AS (SELECT node, CAST(1 AS BIGINT) AS w FROM nodes)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f""",
+        v{r} AS MATERIALIZED (
+          SELECT e.b AS node, CAST(sum(v{r-1}.w) AS BIGINT) AS w
+          FROM e JOIN v{r-1} ON v{r-1}.node = e.a
+          GROUP BY e.b)"""
+        )
+    terms = "\n          UNION ALL ".join(
+        f"SELECT node, w * {alpha_den ** (rounds - r)} AS t FROM v{r}"
+        for r in range(1, rounds + 1)
+    )
+    denom = float(alpha_den ** rounds)
+    return (
+        "".join(ctes)
+        + f""",
+        terms AS ({terms}),
+        agg AS (SELECT node, CAST(sum(t) AS BIGINT) AS katz_fp
+                FROM terms GROUP BY node)
+        SELECT node, katz_fp,
+               round(katz_fp / {denom!r}, 6) AS katz
+        FROM agg ORDER BY katz_fp DESC, node ASC LIMIT {k}
+    """
+    )
 
 
 def _ktruss_sql(rounds: int = 8, k: int = 4) -> str:
@@ -6687,6 +6761,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # edge support: oriented closure -> 3-way edge explode -> count
         "graph_ktruss": _ktruss_sql(rounds=8, k=4),
+        # Katz: 4 chained exact matrix-vector CTEs, alpha_den^(R-r)
+        # series weights — pure integer, no fixed-point grid
+        "graph_katz": _katz_sql(rounds=4, alpha_den=100, k=30),
         "bm25_topk": _bm25_sql(k=20),
         "rrf_hybrid": _rrf_sql(k0=60, k=20),
         # skyline: textbook NOT EXISTS dominance (strict disjunct =

@@ -1941,3 +1941,75 @@ def directed_summary(
             "max_out_deg", "max_in_deg", "n_self_loops",
         )
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    alpha_den: int = 100,
+    k: int = 30,
+) -> DataFrame:
+    """Katz centrality (Katz, Psychometrika 18(1) 1953) truncated at
+    `rounds` terms -> top-k (node, katz_fp, katz): x(i) = Σ_{r=1..R}
+    α^r · walks_r(i) with α = 1/alpha_den, where walks_r(i) is the
+    EXACT number of directed walks of length r ending at i ((Aᵀ)^r·1
+    — the damped walk-count influence measure PageRank replaced with
+    a stochastic matrix). Unlike PageRank/HITS there is nothing to
+    normalize: walk counts are integers, so scaling the series by
+    alpha_den^R gives katz_fp = Σ walks_r(i)·alpha_den^(R−r) — every
+    intermediate an exact long (no fixed-point grid needed at all),
+    bit-identical at any parallelism and restatable as R chained
+    matrix-vector CTEs. `katz` = katz_fp / alpha_den^R is the
+    readable double derived AFTER the total-ordered cut
+    (katz_fp DESC, node ASC). Nodes no walk reaches are absent
+    (score 0 — the truncated series has no β·1 ground term).
+
+    Distributed shape: parallel edges collapse once up front (Katz is
+    defined on the adjacency structure); each round is ONE equi-join
+    of the distinct edge relation against the current walk-count
+    vector plus a partial-combined sum, ending in a loop_ckpt (O(1)
+    plan depth). Walk counts grow like deg^r — ANSI mode turns long
+    overflow into an error rather than silent wraparound; pick
+    rounds/alpha_den for the graph's degree profile (the classic
+    convergence bound wants α < 1/λ_max anyway)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if alpha_den < 2:
+        raise ValueError("alpha_den must be >= 2")
+    ew = loop_ckpt(
+        edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        ).distinct()
+    )
+    nodes = (
+        ew.select(F.col("_src").alias("node"))
+        .union(ew.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    v = loop_ckpt(nodes.select("node", F.lit(1).cast("long").alias("w")))
+    acc = None
+    for r in range(1, rounds + 1):
+        v = loop_ckpt(
+            ew.join(v, ew["_src"] == v["node"])
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum("w").cast("long").alias("w"))
+        )
+        mult = alpha_den ** (rounds - r)
+        t = v.select(
+            "node",
+            (F.col("w") * F.lit(mult).cast("long")).cast("long").alias("t"),
+        )
+        acc = t if acc is None else acc.unionAll(t)
+    out = acc.groupBy("node").agg(F.sum("t").cast("long").alias("katz_fp"))
+    denom = float(alpha_den ** rounds)
+    return (
+        out.select(
+            "node",
+            "katz_fp",
+            F.round(F.col("katz_fp") / F.lit(denom), 6).alias("katz"),
+        )
+        .orderBy(F.desc("katz_fp"), F.col("node").asc())
+        .limit(int(k))
+    )

@@ -1283,3 +1283,39 @@ def test_rrf_fuse_matches_python(spark):
         for r in termstats.rrf_fuse([both, one, solo], k=5).collect()
     }
     assert fused[1] == fused[2] > fused[9]
+
+
+def test_katz_matches_python_walk_counts(spark):
+    from gliner_transbronchialbiopsy_spark.operators import graph
+
+    R, DEN = 3, 10
+    for seed in (21, 22, 23):
+        edges = _rand_edges(seed, n_nodes=10, n_edges=25)
+        simple = {(a, b) for a, b in edges}
+        df = spark.createDataFrame(list(simple), "src long, dst long")
+        got = [
+            (r["node"], r["katz_fp"], r["katz"])
+            for r in graph.katz_centrality(
+                df, rounds=R, alpha_den=DEN, k=100
+            ).collect()
+        ]
+        # python reference: exact walk counts by matrix-vector rounds
+        nodes = {a for a, _ in simple} | {b for _, b in simple}
+        v = {n: 1 for n in nodes}
+        acc = {}
+        for r in range(1, R + 1):
+            nxt = {}
+            for a, b in simple:
+                if a in v:
+                    nxt[b] = nxt.get(b, 0) + v[a]
+            v = nxt
+            for n, w in v.items():
+                acc[n] = acc.get(n, 0) + w * DEN ** (R - r)
+        want = sorted(
+            (
+                (n, s, round(s / float(DEN ** R), 6))
+                for n, s in acc.items()
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert got == want, f"seed {seed}"
