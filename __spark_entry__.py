@@ -1810,6 +1810,32 @@ def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").orderBy("event_type")
 
 
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered semi-join audit (operators/sketches
+    .bloom_semijoin_audit — Bloom 1970): the BUILDING-segment
+    customer keys compress to <= 4096 set-bit integers (the exact,
+    mergeable, broadcastable filter state), orders pre-filter
+    against the broadcast bits BEFORE any shuffle, and the one-row
+    audit pins the one-sided guarantee against the exact semi-join:
+    n_bloom_pass >= n_true always (no false negatives), n_false_pos
+    = the fill-factor cost, fp_rate the derived double. The explicit
+    form of the dim-side bloom pushdown a 100 TB fact join lives
+    on."""
+    from gliner_transbronchialbiopsy_spark.operators import sketches
+
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").cast("string").alias("k"))
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    return sketches.bloom_semijoin_audit(
+        cust, orders, "k", "k", m_bits=4096, n_hashes=3
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimation
     (operators/sketches.heavy_hitters_check — Cormode-Muthukrishnan
@@ -3595,6 +3621,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "linear_counting": q_linear_counting,
         "hll_cardinality": q_hll_cardinality,
+        "bloom_semijoin": q_bloom_semijoin,
         "graph_edge_support": q_graph_edge_support,
         "graph_ktruss": q_graph_ktruss,
         "skyline_pareto": q_skyline_pareto,
@@ -6933,6 +6960,48 @@ def oracle_sql() -> dict[str, str]:
                    ex.true_distinct
             FROM agg JOIN ex USING (event_type)
             ORDER BY agg.event_type
+        """,
+        # Bloom semi-join: set-bit rows = distinct seeded buckets,
+        # pass = all 3 probe bits present, audited vs the exact join
+        "bloom_semijoin": """
+            WITH seeds AS (SELECT unnest([0, 1, 2]) AS s),
+            bk AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+                   FROM customer WHERE c_mktsegment = 'BUILDING'),
+            bits AS (
+              SELECT DISTINCT
+                CAST(concat('0x', substr(sha256(
+                  k || chr(31) || CAST(s AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 4096 AS bit
+              FROM bk, seeds),
+            pk AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+                   FROM orders),
+            probes AS (
+              SELECT k,
+                CAST(concat('0x', substr(sha256(
+                  k || chr(31) || CAST(s AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 4096 AS bit
+              FROM pk, seeds),
+            passkeys AS (
+              SELECT k FROM probes
+              WHERE bit IN (SELECT bit FROM bits)
+              GROUP BY k HAVING count(*) = 3),
+            po AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders)
+            SELECT
+              (SELECT count(*) FROM bits) AS n_bits_set,
+              (SELECT count(*) FROM po) AS n_probe_rows,
+              (SELECT count(*) FROM po
+               WHERE k IN (SELECT k FROM passkeys)) AS n_bloom_pass,
+              (SELECT count(*) FROM po
+               WHERE k IN (SELECT k FROM bk)) AS n_true,
+              (SELECT count(*) FROM po
+               WHERE k IN (SELECT k FROM passkeys)
+                 AND k NOT IN (SELECT k FROM bk)) AS n_false_pos,
+              CASE WHEN (SELECT count(*) FROM po) > 0
+                   THEN round((SELECT count(*) FROM po
+                               WHERE k IN (SELECT k FROM passkeys)
+                                 AND k NOT IN (SELECT k FROM bk))
+                        / CAST((SELECT count(*) FROM po) AS DOUBLE), 6)
+                   ELSE 0.0 END AS fp_rate
         """,
         # CMS: 4 seeded sha rows of exact long cells, min-estimate
         "cms_heavy_hitters": r"""

@@ -265,3 +265,108 @@ def hll_cardinality(
     return hll_estimate(
         hll_registers(items, col, group=group, p=p), group=group, p=p
     )
+
+
+def bloom_bits(
+    keys: DataFrame,
+    col: str,
+    m_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom filter build (Bloom, CACM 13(7) 1970) -> the set-bit
+    positions as (bit) rows: each key sets n_hashes seeded portable
+    buckets; the state is a plain DISTINCT over exact integers —
+    mergeable by union (two filters over the same (m, k) family OR
+    together exactly like the Count-Min cells add), at most m_bits
+    rows regardless of key count, and restatable verbatim in SQL.
+    This is the row-set encoding of the classic bitmap: the
+    one-sided guarantee (no false negatives, false positives bounded
+    by the fill factor) carries over unchanged."""
+    if m_bits < 2 or n_hashes < 1:
+        raise ValueError("m_bits must be >= 2 and n_hashes >= 1")
+    bits = None
+    for i in range(n_hashes):
+        b = keys.select(
+            F.pmod(linking.portable_hash60(F.col(col), seed=i),
+                   F.lit(m_bits)).cast("int").alias("bit")
+        )
+        bits = b if bits is None else bits.unionAll(b)
+    return bits.distinct()
+
+
+def bloom_semijoin(
+    probe: DataFrame,
+    col: str,
+    bits: DataFrame,
+    m_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filtered semi-join: keep the probe rows whose key sets
+    ALL n_hashes bits in the broadcast filter — the classic
+    shuffle-avoidance move for a 100 TB fact⋈dim: the dim side
+    compresses to <= m_bits integers, broadcasts everywhere, and the
+    fact side is pre-filtered BEFORE any shuffle (what Spark's
+    runtime rowgroup bloom pushdown does, here as an explicit,
+    oracle-checkable operator). Probe keys are deduplicated first
+    (the pass decision is a function of the key), probed with one
+    union-projection + broadcast join + count == n_hashes, and the
+    passing key set semi-joins back — the probe table itself never
+    moves. False positives pass (by design); callers needing
+    exactness follow with the true join, now over a fraction of the
+    rows."""
+    keys = probe.select(col).distinct()
+    probes = None
+    for i in range(n_hashes):
+        p = keys.select(
+            F.col(col),
+            F.pmod(linking.portable_hash60(F.col(col), seed=i),
+                   F.lit(m_bits)).cast("int").alias("bit"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    passing = (
+        probes.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("_nb"))
+        .filter(F.col("_nb") == n_hashes)
+        .select(col)
+    )
+    return probe.join(F.broadcast(passing), col, "left_semi")
+
+
+def bloom_semijoin_audit(
+    build: DataFrame,
+    probe: DataFrame,
+    build_col: str,
+    probe_col: str,
+    m_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """One-row audit of the Bloom semi-join against the exact
+    semi-join -> (n_bits_set, n_probe_rows, n_bloom_pass, n_true,
+    n_false_pos, fp_rate): n_false_pos = bloom-passing rows whose key
+    is NOT in the build set (>= 0 always — the one-sided guarantee,
+    value-checked by the oracle row-for-row; no false negatives means
+    n_bloom_pass >= n_true ALWAYS). fp_rate is the derived double
+    false-positive fraction of the probe rows."""
+    bits = bloom_bits(build, build_col, m_bits=m_bits, n_hashes=n_hashes)
+    bkeys = build.select(F.col(build_col).alias(probe_col)).distinct()
+    passed = bloom_semijoin(
+        probe, probe_col, bits, m_bits=m_bits, n_hashes=n_hashes
+    )
+    true_rows = probe.join(F.broadcast(bkeys), probe_col, "left_semi")
+    fp_rows = passed.join(F.broadcast(bkeys), probe_col, "left_anti")
+    return (
+        bits.agg(F.count("*").alias("n_bits_set"))
+        .crossJoin(probe.agg(F.count("*").alias("n_probe_rows")))
+        .crossJoin(passed.agg(F.count("*").alias("n_bloom_pass")))
+        .crossJoin(true_rows.agg(F.count("*").alias("n_true")))
+        .crossJoin(fp_rows.agg(F.count("*").alias("n_false_pos")))
+        .select(
+            "n_bits_set", "n_probe_rows", "n_bloom_pass", "n_true",
+            "n_false_pos",
+            F.when(
+                F.col("n_probe_rows") > 0,
+                F.round(F.col("n_false_pos") / F.col("n_probe_rows"), 6),
+            ).otherwise(F.lit(0.0)).alias("fp_rate"),
+        )
+    )

@@ -1319,3 +1319,62 @@ def test_katz_matches_python_walk_counts(spark):
             key=lambda t: (-t[1], t[0]),
         )
         assert got == want, f"seed {seed}"
+
+
+def test_bloom_semijoin_matches_python(spark):
+    import hashlib
+
+    from gliner_transbronchialbiopsy_spark.operators import sketches
+
+    M, NH = 256, 3
+
+    def py_bits(keys):
+        out = set()
+        for v in keys:
+            for s in range(NH):
+                h = int(hashlib.sha256(
+                    f"{v}\x1f{s}".encode()).hexdigest()[:15], 16)
+                out.add(h % M)
+        return out
+
+    rng = random.Random(161)
+    build_keys = {f"b{rng.randrange(200)}" for _ in range(60)}
+    probe_rows = [f"b{rng.randrange(400)}" for _ in range(300)]
+    build = spark.createDataFrame([(v,) for v in build_keys], "k string")
+    probe = spark.createDataFrame([(v,) for v in probe_rows], "k string")
+
+    bits = py_bits(build_keys)
+    got_bits = {
+        r["bit"]
+        for r in sketches.bloom_bits(build, "k", m_bits=M, n_hashes=NH)
+        .collect()
+    }
+    assert got_bits == bits
+
+    def py_pass(v):
+        return all(
+            int(hashlib.sha256(f"{v}\x1f{s}".encode())
+                .hexdigest()[:15], 16) % M in bits
+            for s in range(NH)
+        )
+
+    got_pass = sorted(
+        r["k"]
+        for r in sketches.bloom_semijoin(
+            probe, "k",
+            sketches.bloom_bits(build, "k", m_bits=M, n_hashes=NH),
+            m_bits=M, n_hashes=NH,
+        ).collect()
+    )
+    want_pass = sorted(v for v in probe_rows if py_pass(v))
+    assert got_pass == want_pass
+    # no false negatives: every true member passes
+    assert all(py_pass(v) for v in probe_rows if v in build_keys)
+
+    audit = sketches.bloom_semijoin_audit(
+        build, probe, "k", "k", m_bits=M, n_hashes=NH
+    ).collect()[0]
+    n_true = sum(1 for v in probe_rows if v in build_keys)
+    assert audit["n_true"] == n_true
+    assert audit["n_bloom_pass"] == len(want_pass) >= n_true
+    assert audit["n_false_pos"] == len(want_pass) - n_true

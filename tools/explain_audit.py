@@ -466,6 +466,33 @@ AUDIT = {
         "!InPandas",
         "!Window",
     ),
+    # Bloom semi-join: the filter state and the passing key set both
+    # broadcast (the probe table never shuffles); no sort-merge path
+    "bloom_semijoin": (
+        "BroadcastHashJoin",
+        "!SortMergeJoin",
+        "!InPandas",
+    ),
+    # HLL: register MAX agg partial-combines (the sketch merge), the
+    # readout re-aggregates m rows per group; no window, pure JVM
+    "hll_cardinality": ("HashAggregate", "!Window", "!InPandas"),
+    # RRF fusion: both arms end in TakeOrdered cuts (never a global
+    # sort), fusion is a bounded union + sum agg, pure JVM end to end
+    "rrf_hybrid": (
+        "TakeOrderedAndProject",
+        "Union",
+        "HashAggregate",
+        "!InPandas",
+    ),
+    # Katz: each walk round is one edge-vector join + partial-combined
+    # sum behind a loop_ckpt leaf; final plan = bounded term union +
+    # sum + TakeOrdered, pure JVM
+    "graph_katz": (
+        "TakeOrderedAndProject",
+        "HashAggregate",
+        "!InPandas",
+        "!Window",
+    ),
     # modularity: label-attach joins + label-keyed sums + one-row
     # roll-up over the checkpointed LPA labels; no window, pure JVM
     "graph_modularity": ("HashAggregate", "!InPandas"),
