@@ -1743,6 +1743,31 @@ def q_graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.katz_centrality(nx, rounds=4, alpha_den=100, k=30)
 
 
+def q_snm_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking (operators/linking.snm_pairs —
+    Hernandez & Stolfo 1995): pseudo-title surfaces sort globally by
+    (name, doc_id) via the two-phase prefix-bucketed rank (no
+    single-task window), every pair within 5 positions becomes a
+    candidate through the adjacent-block equi-join, and candidates
+    verify with exact Levenshtein <= 10. The sort-adjacency
+    complement to the engine's token-blocked (fuzzy_match_blocked)
+    and LSH (dedup_minhash) candidate generators."""
+    from gliner_transbronchialbiopsy_spark.operators import linking
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    s = docs.select(
+        "doc_id",
+        F.lower(
+            F.regexp_extract("text", r"^(\S+ \S+ \S+)", 1)
+        ).alias("name"),
+    ).filter(F.col("name") != "")
+    p = linking.snm_pairs(s, "name", "doc_id", window=5)
+    return p.select(
+        "id_a", "id_b", "rank_dist",
+        F.levenshtein("key_a", "key_b").alias("lev"),
+    ).filter(F.col("lev") <= 10)
+
+
 def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed structural profile (operators/graph.directed_summary):
     reciprocity (Newman et al. 2002) plus degree extremes of the
@@ -3622,6 +3647,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_counting": q_linear_counting,
         "hll_cardinality": q_hll_cardinality,
         "bloom_semijoin": q_bloom_semijoin,
+        "snm_blocking": q_snm_blocking,
         "graph_edge_support": q_graph_edge_support,
         "graph_ktruss": q_graph_ktruss,
         "skyline_pareto": q_skyline_pareto,
@@ -6708,6 +6734,28 @@ def oracle_sql() -> dict[str, str]:
               FROM cand
             )
             SELECT name_a, name_b, dist FROM verified WHERE dist <= 4
+        """,
+        # SNM: global rank by (name, doc_id), pairs within window=5
+        # positions, Levenshtein verification — the two-phase rank is
+        # provably equal to one global row_number, which IS the oracle
+        "snm_blocking": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     lower(regexp_extract(text, '^(\S+ \S+ \S+)', 1))
+                       AS name
+              FROM documents
+              WHERE regexp_extract(text, '^(\S+ \S+ \S+)', 1) <> ''),
+            r AS (
+              SELECT doc_id, name,
+                     row_number() OVER (ORDER BY name, doc_id) AS rn
+              FROM s),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(b.rn - a.rn AS BIGINT) AS rank_dist,
+                     levenshtein(a.name, b.name) AS lev
+              FROM r a JOIN r b
+                ON b.rn > a.rn AND b.rn <= a.rn + 4)
+            SELECT id_a, id_b, rank_dist, lev FROM p WHERE lev <= 10
         """,
         "graph_triangles": """
             WITH und AS (

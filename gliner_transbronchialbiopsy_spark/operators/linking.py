@@ -550,3 +550,109 @@ def fuzzy_match_blocked(
         "name_b",
         F.levenshtein("name_a", "name_b").alias("dist"),
     ).filter(F.col("dist") <= max_dist)
+
+
+def snm_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 5,
+    prefix_len: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD 1995)
+    -> candidate pairs (id_a, key_a, id_b, key_b, rank_dist): rows
+    sort globally by (key, id) and every pair within `window`
+    positions becomes a candidate — the classic ER blocking method
+    complementary to the LSH family (LSH catches token/shingle
+    overlap; SNM catches typo-adjacent keys that sort together even
+    when no token matches exactly).
+
+    Scale shape — the global ordinal is the textbook single-task trap
+    (a Window over empty partitionBy), so this uses the two-phase
+    rank of operators/packing.py adapted to STRING keys: buckets are
+    key PREFIXES (contiguous under the sort order by construction —
+    every key with prefix p sorts before every key with prefix q > p),
+    per-bucket counts (bounded by the prefix space, never by rows)
+    cumulate on the driver in prefix order and broadcast back, and
+    the rank is a per-bucket row_number plus the bucket offset. Pair
+    generation is an EQUI-join: with d = window−1 and block
+    g = (rn−1) div d, any in-window pair sits in the same or adjacent
+    blocks, so the left side fans out to (g, g+1) and joins on the
+    block id — never a theta-join over ranks. Raise prefix_len for
+    skewed key heads (bucket fan-out alphabet^len)."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if prefix_len < 1:
+        raise ValueError("prefix_len must be >= 1")
+    from pyspark.sql import Window as W
+
+    d = window - 1
+    base = df.select(F.col(key_col).alias("_k"), F.col(id_col).alias("_i"))
+    bucketed = base.withColumn(
+        "_b", F.substring(F.col("_k"), 1, prefix_len)
+    )
+    # phase 1: bounded per-prefix counts -> driver cumsum in prefix
+    # (= sort) order -> broadcast offsets
+    counts = sorted(
+        (
+            (r["_b"], r["c"])
+            for r in bucketed.groupBy("_b")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    offsets, acc = [], 0
+    for b, c in counts:
+        offsets.append((b, acc))
+        acc += int(c)
+    if not offsets:
+        return base.select(
+            F.col("_i").alias("id_a"),
+            F.col("_k").alias("key_a"),
+            F.col("_i").alias("id_b"),
+            F.col("_k").alias("key_b"),
+            F.lit(0).cast("long").alias("rank_dist"),
+        ).limit(0)
+    off_df = F.broadcast(
+        bucketed.sparkSession.createDataFrame(
+            offsets, f"_b {bucketed.schema['_b'].dataType.simpleString()},"
+            " _offset long"
+        )
+    )
+    # phase 2: per-bucket row_number + offset = global rank
+    w = W.partitionBy("_b").orderBy(F.col("_k").asc(), F.col("_i").asc())
+    ranked = bucketed.join(off_df, "_b").select(
+        "_k", "_i",
+        (F.row_number().over(w) + F.col("_offset")).alias("_rn"),
+    )
+    a = ranked.select(
+        F.col("_i").alias("id_a"), F.col("_k").alias("key_a"),
+        F.col("_rn").alias("_ra"),
+    )
+    b = ranked.select(
+        F.col("_i").alias("id_b"), F.col("_k").alias("key_b"),
+        F.col("_rn").alias("_rb"),
+    )
+    lhs = a.select(
+        "*", F.floor((F.col("_ra") - 1) / F.lit(d)).alias("_g")
+    ).unionAll(
+        a.select(
+            "*",
+            (F.floor((F.col("_ra") - 1) / F.lit(d)) + 1).alias("_g"),
+        )
+    )
+    rhs = b.select(
+        "*", F.floor((F.col("_rb") - 1) / F.lit(d)).alias("_g")
+    )
+    return (
+        lhs.join(rhs, "_g")
+        .filter(
+            (F.col("_rb") > F.col("_ra"))
+            & (F.col("_rb") - F.col("_ra") <= d)
+        )
+        .select(
+            "id_a", "key_a", "id_b", "key_b",
+            (F.col("_rb") - F.col("_ra")).cast("long").alias("rank_dist"),
+        )
+    )

@@ -1378,3 +1378,43 @@ def test_bloom_semijoin_matches_python(spark):
     assert audit["n_true"] == n_true
     assert audit["n_bloom_pass"] == len(want_pass) >= n_true
     assert audit["n_false_pos"] == len(want_pass) - n_true
+
+
+def test_snm_pairs_matches_python(spark):
+    from gliner_transbronchialbiopsy_spark.operators import linking
+
+    for seed, w in ((31, 3), (32, 5)):
+        rng = random.Random(seed)
+        rows = [
+            (i, "".join(rng.choice("abc") for _ in range(4)))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "rid long, name string")
+        got = {
+            (r["id_a"], r["id_b"], r["rank_dist"])
+            for r in linking.snm_pairs(
+                df, "name", "rid", window=w
+            ).collect()
+        }
+        # python reference: one global sort, all pairs within w
+        order = sorted(rows, key=lambda t: (t[1], t[0]))
+        want = {
+            (order[i][0], order[j][0], j - i)
+            for i in range(len(order))
+            for j in range(i + 1, min(i + w, len(order)))
+        }
+        assert got == want, f"seed {seed} w {w}"
+    # prefix_len > 1 must not change the pair set (buckets stay
+    # contiguous under the sort order for any prefix length)
+    df = spark.createDataFrame(rows, "rid long, name string")
+    p1 = {
+        (r["id_a"], r["id_b"])
+        for r in linking.snm_pairs(df, "name", "rid", window=4).collect()
+    }
+    p2 = {
+        (r["id_a"], r["id_b"])
+        for r in linking.snm_pairs(
+            df, "name", "rid", window=4, prefix_len=2
+        ).collect()
+    }
+    assert p1 == p2

@@ -466,6 +466,14 @@ AUDIT = {
         "!InPandas",
         "!Window",
     ),
+    # SNM blocking: per-prefix-bucket windows (never a single global
+    # one), broadcast offsets, block-id equi-join — no BNLJ on ranks
+    "snm_blocking": (
+        "Window",
+        "BroadcastHashJoin",
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+    ),
     # Bloom semi-join: the filter state and the passing key set both
     # broadcast (the probe table never shuffles); no sort-merge path
     "bloom_semijoin": (
