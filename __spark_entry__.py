@@ -1861,6 +1861,35 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection (operators/sketches
+    .theta_intersection — the DataSketches bottom-k framework over
+    Bar-Yossef et al. 2002 KMV states): |urgent-order customers ∩
+    high-order customers| estimated from two 128-row hash summaries
+    WITHOUT joining the raw key sets, beside the exact intersection.
+    θ, the states, and the common-below-θ count are exact longs; the
+    estimate is one double division — sketch set algebra with a full
+    value oracle."""
+    from gliner_transbronchialbiopsy_spark.operators import sketches
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    est = sketches.theta_intersection(a, b, "k", k=128)
+    exact = (
+        a.distinct()
+        .join(b.distinct(), "k")
+        .agg(F.count("*").cast("long").alias("true_intersection"))
+    )
+    return est.crossJoin(exact)
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimation
     (operators/sketches.heavy_hitters_check — Cormode-Muthukrishnan
@@ -3648,6 +3677,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": q_hll_cardinality,
         "bloom_semijoin": q_bloom_semijoin,
         "snm_blocking": q_snm_blocking,
+        "theta_intersection": q_theta_intersection,
         "graph_edge_support": q_graph_edge_support,
         "graph_ktruss": q_graph_ktruss,
         "skyline_pareto": q_skyline_pareto,
@@ -7050,6 +7080,50 @@ def oracle_sql() -> dict[str, str]:
                                  AND k NOT IN (SELECT k FROM bk))
                         / CAST((SELECT count(*) FROM po) AS DOUBLE), 6)
                    ELSE 0.0 END AS fp_rate
+        """,
+        # theta intersection: two bottom-128 hash states, theta = min
+        # saturated kth hash (else R = 2^60), exact common count,
+        # one double division — vs the exact value intersection
+        "theta_intersection": """
+            WITH a AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+                       FROM orders WHERE o_orderpriority = '1-URGENT'),
+            b AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+                  FROM orders WHERE o_orderpriority = '2-HIGH'),
+            ha AS (SELECT DISTINCT CAST(concat('0x',
+                     substr(sha256(k), 1, 15)) AS BIGINT) AS h FROM a),
+            hb AS (SELECT DISTINCT CAST(concat('0x',
+                     substr(sha256(k), 1, 15)) AS BIGINT) AS h FROM b),
+            sa AS (SELECT h FROM (
+                     SELECT h, row_number() OVER (ORDER BY h) AS r
+                     FROM ha) WHERE r <= 128),
+            sb AS (SELECT h FROM (
+                     SELECT h, row_number() OVER (ORDER BY h) AS r
+                     FROM hb) WHERE r <= 128),
+            agg AS (
+              SELECT CAST((SELECT count(*) FROM sa) AS BIGINT)
+                       AS n_a_state,
+                     CAST((SELECT count(*) FROM sb) AS BIGINT)
+                       AS n_b_state,
+                     least(
+                       CASE WHEN (SELECT count(*) FROM sa) >= 128
+                            THEN (SELECT max(h) FROM sa)
+                            ELSE 1152921504606846976 END,
+                       CASE WHEN (SELECT count(*) FROM sb) >= 128
+                            THEN (SELECT max(h) FROM sb)
+                            ELSE 1152921504606846976 END) AS theta),
+            nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common_below
+                   FROM sa JOIN sb USING (h), agg
+                   WHERE sa.h < agg.theta),
+            tx AS (SELECT CAST(count(*) AS BIGINT) AS true_intersection
+                   FROM a JOIN b USING (k))
+            SELECT agg.n_a_state, agg.n_b_state, agg.theta,
+                   nc.n_common_below,
+                   round(CAST(nc.n_common_below AS DOUBLE)
+                         * 1152921504606846976.0
+                         / CAST(agg.theta AS DOUBLE), 4)
+                     AS est_intersection,
+                   tx.true_intersection
+            FROM agg, nc, tx
         """,
         # CMS: 4 seeded sha rows of exact long cells, min-estimate
         "cms_heavy_hitters": r"""

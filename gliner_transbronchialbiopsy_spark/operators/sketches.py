@@ -370,3 +370,121 @@ def bloom_semijoin_audit(
             ).otherwise(F.lit(0.0)).alias("fp_rate"),
         )
     )
+
+
+#: KMV hash range: portable_hash60 is uniform on [0, 2^60)
+KMV_RANGE = float(1 << 60)
+
+
+def kmv_state(
+    items: DataFrame,
+    col: str,
+    k: int = 128,
+    group: str | None = None,
+) -> DataFrame:
+    """KMV / bottom-k sketch state (Bar-Yossef et al., RANDOM 2002;
+    the Theta-sketch base) -> per group: the k smallest DISTINCT
+    portable hash values as (h) rows. Exact integers (a distinct +
+    per-group bottom-k — deterministic at any parallelism), mergeable
+    by union-then-rebottom-k, restatable in SQL as row_number over
+    the hash order. Unsaturated groups (< k distinct hashes) retain
+    everything — the sketch IS the set there."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql import Window as W
+
+    keys = [group] if group else []
+    h = items.select(
+        *keys, linking.portable_hash60(F.col(col)).alias("h")
+    ).distinct()
+    w = W.partitionBy(*keys).orderBy(F.col("h").asc())
+    return (
+        h.select(*keys, "h", F.row_number().over(w).alias("_r"))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def kmv_distinct(
+    items: DataFrame,
+    col: str,
+    k: int = 128,
+    group: str | None = None,
+) -> DataFrame:
+    """Bottom-k distinct estimation -> per group: (n_state, kth_hash,
+    est_distinct): saturated groups estimate n̂ = (k−1)·R / h_(k)
+    (the classic unbiased bottom-k estimator over hash range R);
+    unsaturated groups return the EXACT distinct hash count (the
+    sketch saw everything). kth_hash (= max retained hash) and
+    n_state are exact longs; the estimate is one double division on
+    them. Relative error ~ 1/sqrt(k−2)."""
+    keys = [group] if group else []
+    state = kmv_state(items, col, k=k, group=group)
+    agg = state.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_state"),
+        F.max("h").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_state") < k, F.col("n_state").cast("double")
+    ).otherwise(
+        F.lit((k - 1) * KMV_RANGE) / F.col("kth_hash").cast("double")
+    )
+    return agg.select(
+        *keys, "n_state", "kth_hash",
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def theta_intersection(
+    items_a: DataFrame,
+    items_b: DataFrame,
+    col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Theta-sketch intersection estimate (Dasgupta et al., the
+    DataSketches theta framework) -> one row (n_a_state, n_b_state,
+    theta, n_common_below, est_intersection): θ = min over the two
+    sketches of (kth min hash if saturated else R), the common
+    retained hashes below θ are an unbiased sample of the true
+    intersection at rate θ/R, so est = n_common_below · R / θ — set
+    algebra on sketches WITHOUT joining the raw sets, the move that
+    answers |A ∩ B| over two 100 TB key sets from two k-row
+    summaries. Every input to the estimate is an exact long (hash
+    bottom-k states, θ, the common count); the estimate is one
+    double division. Unsaturated-on-both-sides degenerates to the
+    exact intersection (θ = R)."""
+    sa = kmv_state(items_a, col, k=k)
+    sb = kmv_state(items_b, col, k=k)
+    r_long = F.lit(1 << 60).cast("long")
+    agg_a = sa.agg(
+        F.count("*").cast("long").alias("n_a_state"),
+        F.max("h").alias("_ha"),
+    )
+    agg_b = sb.agg(
+        F.count("*").cast("long").alias("n_b_state"),
+        F.max("h").alias("_hb"),
+    )
+    one = agg_a.crossJoin(agg_b).select(
+        "n_a_state", "n_b_state",
+        F.least(
+            F.when(F.col("n_a_state") >= k, F.col("_ha"))
+            .otherwise(r_long),
+            F.when(F.col("n_b_state") >= k, F.col("_hb"))
+            .otherwise(r_long),
+        ).alias("theta"),
+    )
+    common = (
+        sa.join(sb, "h")
+        .crossJoin(F.broadcast(one.select("theta")))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count("*").cast("long").alias("n_common_below"))
+    )
+    return one.crossJoin(common).select(
+        "n_a_state", "n_b_state", "theta", "n_common_below",
+        F.round(
+            F.col("n_common_below").cast("double")
+            * F.lit(KMV_RANGE)
+            / F.col("theta").cast("double"),
+            4,
+        ).alias("est_intersection"),
+    )

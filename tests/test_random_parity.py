@@ -1418,3 +1418,52 @@ def test_snm_pairs_matches_python(spark):
         ).collect()
     }
     assert p1 == p2
+
+
+def test_kmv_theta_matches_python(spark):
+    import hashlib
+
+    from gliner_transbronchialbiopsy_spark.operators import sketches
+
+    K = 16
+    R = 1 << 60
+
+    def h60(v):
+        return int(hashlib.sha256(v.encode()).hexdigest()[:15], 16)
+
+    rng = random.Random(171)
+    a_vals = {f"a{rng.randrange(300)}" for _ in range(120)}
+    b_vals = {f"a{rng.randrange(300)}" for _ in range(120)}
+    da = spark.createDataFrame([(v,) for v in a_vals], "k string")
+    db = spark.createDataFrame([(v,) for v in b_vals], "k string")
+
+    # state parity: exactly the K smallest distinct hashes
+    got_state = sorted(
+        r["h"] for r in sketches.kmv_state(da, "k", k=K).collect()
+    )
+    want_state = sorted({h60(v) for v in a_vals})[:K]
+    assert got_state == want_state
+
+    # distinct estimate tracks truth within bottom-k error (~1/sqrt(k-2))
+    est = sketches.kmv_distinct(da, "k", k=K).collect()[0]
+    assert est["n_state"] == K and est["kth_hash"] == want_state[-1]
+    assert abs(est["est_distinct"] - len(a_vals)) / len(a_vals) < 1.0
+
+    # theta intersection: python reference of the same estimator
+    sa = sorted({h60(v) for v in a_vals})[:K]
+    sb = sorted({h60(v) for v in b_vals})[:K]
+    theta = min(
+        sa[-1] if len(sa) >= K else R, sb[-1] if len(sb) >= K else R
+    )
+    n_common = len({h for h in sa if h < theta} & {h for h in sb
+                                                   if h < theta})
+    row = sketches.theta_intersection(da, db, "k", k=K).collect()[0]
+    assert row["theta"] == theta
+    assert row["n_common_below"] == n_common
+    assert row["est_intersection"] == round(n_common * float(R) / theta, 4)
+
+    # unsaturated degenerate case: theta = R, estimate == exact
+    small_a = spark.createDataFrame([("x1",), ("x2",), ("x3",)], "k string")
+    small_b = spark.createDataFrame([("x2",), ("x3",), ("x4",)], "k string")
+    row = sketches.theta_intersection(small_a, small_b, "k", k=K).collect()[0]
+    assert row["theta"] == R and row["est_intersection"] == 2.0

@@ -466,6 +466,13 @@ AUDIT = {
         "!InPandas",
         "!Window",
     ),
+    # theta intersection: bottom-k states join on hash, scalars
+    # enter as broadcast one-row cross joins — never a driver collect
+    "theta_intersection": (
+        "Window",
+        "HashAggregate",
+        "!InPandas",
+    ),
     # SNM blocking: per-prefix-bucket windows (never a single global
     # one), broadcast offsets, block-id equi-join — no BNLJ on ranks
     "snm_blocking": (
