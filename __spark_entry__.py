@@ -1890,6 +1890,29 @@ def q_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch (operators/sketches.ams_f2 — Alon,
+    Matias & Szegedy 1996): the SELF-JOIN SIZE of events on user_id
+    (Σ per-user count² — what a planner wants before committing to
+    that shuffle) estimated from 64 exact-long ±1 lane sums in ONE
+    scan with zero extra shuffles, beside the exact value. Lanes
+    merge by addition (partial aggregation IS the merge); est_f2 is
+    the single double division. Expected relative error
+    sqrt(2/64) ≈ 18%."""
+    from gliner_transbronchialbiopsy_spark.operators import sketches
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("v")
+    )
+    est = sketches.ams_f2(ev, "v", lanes=64)
+    exact = (
+        ev.groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("true_f2"))
+    )
+    return est.crossJoin(exact)
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimation
     (operators/sketches.heavy_hitters_check — Cormode-Muthukrishnan
@@ -3678,6 +3701,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin": q_bloom_semijoin,
         "snm_blocking": q_snm_blocking,
         "theta_intersection": q_theta_intersection,
+        "ams_f2": q_ams_f2,
         "graph_edge_support": q_graph_edge_support,
         "graph_ktruss": q_graph_ktruss,
         "skyline_pareto": q_skyline_pareto,
@@ -4020,6 +4044,39 @@ def _katz_sql(rounds: int = 4, alpha_den: int = 100, k: int = 30) -> str:
         FROM agg ORDER BY katz_fp DESC, node ASC LIMIT {k}
     """
     )
+
+
+def _ams_sql(lanes: int = 64) -> str:
+    """AMS F2 oracle: one aggregate row of `lanes` exact ±1 sums over
+    the lane-sliced digest family (substr(sha256(v || chr(31) ||
+    block), 15*lane+1, 15) — mirrors linking.portable_digest/
+    portable_lane60), squared and averaged, beside the exact
+    self-join size."""
+    zcols = []
+    for j in range(lanes):
+        b, lane = divmod(j, 4)
+        start = 15 * lane + 1
+        zcols.append(
+            f"CAST(sum(1 - 2 * (CAST(concat('0x', substr(sha256("
+            f"v || chr(31) || '{b}'), {start}, 15)) AS BIGINT) % 2)) "
+            f"AS BIGINT) AS z{j}"
+        )
+    zsel = ",\n              ".join(zcols)
+    ssq = " + ".join(f"z{j} * z{j}" for j in range(lanes))
+    return f"""
+        WITH it AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+        z AS (SELECT
+              {zsel}
+              FROM it),
+        tx AS (SELECT CAST(sum(c * c) AS BIGINT) AS true_f2 FROM (
+                 SELECT count(*) AS c FROM it GROUP BY v))
+        SELECT {lanes} AS n_lanes,
+               CAST({ssq} AS BIGINT) AS sum_sq,
+               round(CAST({ssq} AS BIGINT) / {float(lanes)!r}, 4)
+                 AS est_f2,
+               tx.true_f2
+        FROM z, tx
+    """
 
 
 def _ktruss_sql(rounds: int = 8, k: int = 4) -> str:
@@ -6869,6 +6926,8 @@ def oracle_sql() -> dict[str, str]:
         # Katz: 4 chained exact matrix-vector CTEs, alpha_den^(R-r)
         # series weights — pure integer, no fixed-point grid
         "graph_katz": _katz_sql(rounds=4, alpha_den=100, k=30),
+        # AMS F2: 64 exact +/-1 lane sums, squared and averaged
+        "ams_f2": _ams_sql(lanes=64),
         "bm25_topk": _bm25_sql(k=20),
         "rrf_hybrid": _rrf_sql(k0=60, k=20),
         # skyline: textbook NOT EXISTS dominance (strict disjunct =

@@ -488,3 +488,56 @@ def theta_intersection(
             4,
         ).alias("est_intersection"),
     )
+
+
+def ams_f2(
+    items: DataFrame,
+    col: str,
+    lanes: int = 64,
+) -> DataFrame:
+    """AMS second-moment sketch (Alon, Matias & Szegedy, STOC 1996 —
+    the tug-of-war estimator) -> one row (n_lanes, sum_sq, est_f2):
+    F2 = Σ_x f_x² is the SELF-JOIN SIZE of the stream on `col`, the
+    quantity a join planner wants before committing to a shuffle.
+    Each lane j keeps z_j = Σ over occurrences of ±1 (the portable
+    lane hash's parity bit), E[z_j²] = F2 exactly, and averaging
+    `lanes` independent lanes gives relative error ~ sqrt(2/lanes).
+
+    Exactness discipline: every z_j is an exact long sum of ±1
+    (order-free — partial aggregation IS the sketch merge; two
+    sketches combine by lane-wise ADDITION, unlike the max-merge of
+    HLL/KMV), sum_sq = Σ z_j² is exact long arithmetic, and est_f2
+    = sum_sq / lanes is the single double division. One scan, no
+    explode: all lanes are aggregate expressions over the lane-sliced
+    digest family (4 lanes per sha256 round), so the sketch costs
+    ceil(lanes/4) digests per row and ZERO shuffles beyond the final
+    lanes-column aggregate."""
+    if lanes < 1:
+        raise ValueError("lanes must be >= 1")
+    n_digests = (lanes + linking.PORTABLE_LANES_PER_DIGEST - 1) \
+        // linking.PORTABLE_LANES_PER_DIGEST
+    row = items.select(
+        *[
+            linking.portable_digest(F.col(col), b).alias(f"_d{b}")
+            for b in range(n_digests)
+        ]
+    )
+    sums = []
+    for j in range(lanes):
+        b, lane = divmod(j, linking.PORTABLE_LANES_PER_DIGEST)
+        sign = F.lit(1) - F.lit(2) * F.pmod(
+            linking.portable_lane60(F.col(f"_d{b}"), lane), F.lit(2)
+        )
+        sums.append(F.sum(sign).cast("long").alias(f"_z{j}"))
+    agg = row.agg(*sums)
+    sum_sq = None
+    for j in range(lanes):
+        t = F.col(f"_z{j}") * F.col(f"_z{j}")
+        sum_sq = t if sum_sq is None else sum_sq + t
+    return agg.select(
+        F.lit(lanes).alias("n_lanes"),
+        sum_sq.cast("long").alias("sum_sq"),
+        F.round(
+            sum_sq.cast("double") / F.lit(float(lanes)), 4
+        ).alias("est_f2"),
+    )

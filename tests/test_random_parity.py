@@ -1467,3 +1467,40 @@ def test_kmv_theta_matches_python(spark):
     small_b = spark.createDataFrame([("x2",), ("x3",), ("x4",)], "k string")
     row = sketches.theta_intersection(small_a, small_b, "k", k=K).collect()[0]
     assert row["theta"] == R and row["est_intersection"] == 2.0
+
+
+def test_ams_f2_matches_python(spark):
+    import hashlib
+
+    from gliner_transbronchialbiopsy_spark.operators import sketches
+
+    L = 16
+
+    def lane_sign(v, j):
+        b, lane = divmod(j, 4)
+        dig = hashlib.sha256(f"{v}\x1f{b}".encode()).hexdigest()
+        h = int(dig[15 * lane:15 * lane + 15], 16)
+        return 1 - 2 * (h % 2)
+
+    rng = random.Random(181)
+    rows = [f"u{rng.randrange(20)}" for _ in range(400)]
+    df = spark.createDataFrame([(v,) for v in rows], "v string")
+    got = sketches.ams_f2(df, "v", lanes=L).collect()[0]
+    zs = [sum(lane_sign(v, j) for v in rows) for j in range(L)]
+    sum_sq = sum(z * z for z in zs)
+    assert got["n_lanes"] == L
+    assert got["sum_sq"] == sum_sq
+    assert got["est_f2"] == round(sum_sq / float(L), 4)
+    # the estimator tracks the true self-join size within ~4 std errs
+    from collections import Counter
+
+    f2 = sum(c * c for c in Counter(rows).values())
+    assert abs(got["est_f2"] - f2) / f2 < 4 * (2.0 / L) ** 0.5
+    # merge property: lane sums of a split stream add
+    half = len(rows) // 2
+    d1 = spark.createDataFrame([(v,) for v in rows[:half]], "v string")
+    d2 = spark.createDataFrame([(v,) for v in rows[half:]], "v string")
+    z1 = [sum(lane_sign(v, j) for v in rows[:half]) for j in range(L)]
+    z2 = [sum(lane_sign(v, j) for v in rows[half:]) for j in range(L)]
+    merged_sum_sq = sum((a + b) ** 2 for a, b in zip(z1, z2))
+    assert merged_sum_sq == sum_sq

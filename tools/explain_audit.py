@@ -466,6 +466,9 @@ AUDIT = {
         "!InPandas",
         "!Window",
     ),
+    # AMS F2: all 64 lanes are aggregate expressions over one scan —
+    # no explode, no window, no join anywhere in the sketch side
+    "ams_f2": ("HashAggregate", "!Window", "!InPandas", "!Explode"),
     # theta intersection: bottom-k states join on hash, scalars
     # enter as broadcast one-row cross joins — never a driver collect
     "theta_intersection": (
