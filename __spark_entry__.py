@@ -1913,6 +1913,23 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+def q_hrw_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hashing shard routing + elasticity audit
+    (operators/skew.hrw_disruption_audit — Thaler & Ravishankar
+    1998): event users route to 8 shards by highest-random-weight (a
+    pure projection, zero shuffle), and the audit value-checks the
+    minimal-disruption theorem against the 7-shard assignment:
+    n_move == n_keys on the removed shard and 0 on every survivor —
+    the elastic-repartition property hash-mod-n cannot offer (mod-n
+    remaps ~7/8 of ALL keys)."""
+    from gliner_transbronchialbiopsy_spark.operators import skew
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("v")
+    )
+    return skew.hrw_disruption_audit(ev, "v", n_shards=8, removed=7)
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimation
     (operators/sketches.heavy_hitters_check — Cormode-Muthukrishnan
@@ -3702,6 +3719,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_blocking": q_snm_blocking,
         "theta_intersection": q_theta_intersection,
         "ams_f2": q_ams_f2,
+        "hrw_routing": q_hrw_routing,
         "graph_edge_support": q_graph_edge_support,
         "graph_ktruss": q_graph_ktruss,
         "skyline_pareto": q_skyline_pareto,
@@ -6928,6 +6946,48 @@ def oracle_sql() -> dict[str, str]:
         "graph_katz": _katz_sql(rounds=4, alpha_den=100, k=30),
         # AMS F2: 64 exact +/-1 lane sums, squared and averaged
         "ams_f2": _ams_sql(lanes=64),
+        # HRW routing: argmax of 8 seeded hashes (0-based via
+        # list_position - 1), re-argmax over the 7 survivors,
+        # per-key grouping then per-shard stay/move rollup
+        "hrw_routing": """
+            WITH k AS (SELECT CAST(user_id AS VARCHAR) AS v
+                       FROM events),
+            h AS (SELECT v,
+                    [CAST(concat('0x', substr(sha256(
+                       v || chr(31) || '0'), 1, 15)) AS BIGINT),
+                     CAST(concat('0x', substr(sha256(
+                       v || chr(31) || '1'), 1, 15)) AS BIGINT),
+                     CAST(concat('0x', substr(sha256(
+                       v || chr(31) || '2'), 1, 15)) AS BIGINT),
+                     CAST(concat('0x', substr(sha256(
+                       v || chr(31) || '3'), 1, 15)) AS BIGINT),
+                     CAST(concat('0x', substr(sha256(
+                       v || chr(31) || '4'), 1, 15)) AS BIGINT),
+                     CAST(concat('0x', substr(sha256(
+                       v || chr(31) || '5'), 1, 15)) AS BIGINT),
+                     CAST(concat('0x', substr(sha256(
+                       v || chr(31) || '6'), 1, 15)) AS BIGINT),
+                     CAST(concat('0x', substr(sha256(
+                       v || chr(31) || '7'), 1, 15)) AS BIGINT)] AS l
+                  FROM k),
+            a AS (SELECT v,
+                    list_position(l, list_aggregate(l, 'max')) - 1
+                      AS shard,
+                    list_position(l[1:7],
+                                  list_aggregate(l[1:7], 'max')) - 1
+                      AS shard_after
+                  FROM h),
+            g AS (SELECT v, shard, shard_after, count(*) AS n
+                  FROM a GROUP BY 1, 2, 3)
+            SELECT shard,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(CASE WHEN shard_after = shard
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_stay,
+                   CAST(sum(CASE WHEN shard_after <> shard
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_move
+            FROM g GROUP BY shard ORDER BY shard
+        """,
         "bm25_topk": _bm25_sql(k=20),
         "rrf_hybrid": _rrf_sql(k0=60, k=20),
         # skyline: textbook NOT EXISTS dominance (strict disjunct =

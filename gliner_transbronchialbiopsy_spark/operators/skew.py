@@ -200,3 +200,73 @@ def salted_distinct_agg(
     return u.join(c, cond, "left").select(
         *[u[k] for k in keys], F.coalesce(c[out], F.lit(0)).alias(out)
     )
+
+
+def hrw_shard(col, n_shards: int = 8, exclude: int | None = None):
+    """Rendezvous / highest-random-weight routing expression (Thaler
+    & Ravishankar, IEEE ToN 6(1) 1998): shard(key) = argmax over
+    shards s of hash(key, seed=s) — a PURE PROJECTION (an array of
+    seeded portable hashes + array_position of the max; zero state,
+    zero shuffle), the routing rule behind consistent partition
+    assignment: when a shard leaves, ONLY its keys move (every other
+    key's argmax is untouched) — the minimal-disruption property a
+    1000-executor elastic repartition needs, and what plain
+    hash-mod-n cannot offer (mod-n remaps ~(n-1)/n of ALL keys).
+    `exclude` computes the assignment as if that shard were removed
+    (argmax over the remaining seeds). 0-based shard ids."""
+    from .linking import portable_hash60
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shards = [s for s in range(n_shards) if s != exclude]
+    if not shards:
+        raise ValueError("excluding the only shard leaves none")
+    scores = F.array(*[portable_hash60(col, seed=s) for s in shards])
+    pos = F.array_position(scores, F.array_max(scores))
+    # map the position back through the surviving-shard list
+    lookup = F.array(*[F.lit(s) for s in shards])
+    return F.element_at(lookup, pos.cast("int")).alias("shard")
+
+
+def hrw_disruption_audit(
+    items: DataFrame,
+    col: str,
+    n_shards: int = 8,
+    removed: int | None = None,
+) -> DataFrame:
+    """Per-shard routing + elasticity audit -> (shard, n_rows,
+    n_keys, n_stay, n_move): keys route by hrw_shard over n_shards;
+    n_stay / n_move compare against the assignment with `removed`
+    (default: the last shard) taken out. The minimal-disruption
+    theorem, value-checked row-for-row: n_move == n_keys on the
+    removed shard and 0 everywhere else — so scaling the shard set
+    only ever touches the departing shard's keys. All counts exact
+    longs; distinct keys counted per shard."""
+    if removed is None:
+        removed = n_shards - 1
+    keyed = items.select(
+        F.col(col).alias("_k"),
+        hrw_shard(F.col(col), n_shards=n_shards).alias("shard"),
+        hrw_shard(
+            F.col(col), n_shards=n_shards, exclude=removed
+        ).alias("_shard_after"),
+    )
+    per_key = keyed.groupBy("_k", "shard", "_shard_after").agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    return (
+        per_key.groupBy("shard")
+        .agg(
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum(
+                F.when(F.col("_shard_after") == F.col("shard"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_stay"),
+            F.sum(
+                F.when(F.col("_shard_after") != F.col("shard"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_move"),
+        )
+        .orderBy("shard")
+    )

@@ -1504,3 +1504,45 @@ def test_ams_f2_matches_python(spark):
     z2 = [sum(lane_sign(v, j) for v in rows[half:]) for j in range(L)]
     merged_sum_sq = sum((a + b) ** 2 for a, b in zip(z1, z2))
     assert merged_sum_sq == sum_sq
+
+
+def test_hrw_routing_matches_python_and_minimal_disruption(spark):
+    import hashlib
+
+    from gliner_transbronchialbiopsy_spark.operators import skew
+
+    N = 5
+
+    def h60(v, s):
+        return int(hashlib.sha256(
+            f"{v}\x1f{s}".encode()).hexdigest()[:15], 16)
+
+    def route(v, shards):
+        return max(shards, key=lambda s: h60(v, s))
+
+    rng = random.Random(191)
+    rows = [f"k{rng.randrange(60)}" for _ in range(250)]
+    df = spark.createDataFrame([(v,) for v in rows], "v string")
+    out = {
+        r["shard"]: (r["n_rows"], r["n_keys"], r["n_stay"], r["n_move"])
+        for r in skew.hrw_disruption_audit(
+            df, "v", n_shards=N, removed=N - 1
+        ).collect()
+    }
+    # python reference
+    full = list(range(N))
+    reduced = list(range(N - 1))
+    want = {}
+    for v in set(rows):
+        s = route(v, full)
+        s2 = route(v, reduced)
+        nr, nk, st, mv = want.get(s, (0, 0, 0, 0))
+        c = rows.count(v)
+        want[s] = (nr + c, nk + 1, st + (s2 == s), mv + (s2 != s))
+    assert out == want
+    # the minimal-disruption theorem: only the removed shard moves
+    for s, (_, nk, st, mv) in out.items():
+        if s == N - 1:
+            assert mv == nk and st == 0
+        else:
+            assert mv == 0 and st == nk

@@ -466,6 +466,9 @@ AUDIT = {
         "!InPandas",
         "!Window",
     ),
+    # HRW routing: both assignments are projections (no join, no
+    # window); the only shuffles are the two grouping aggregates
+    "hrw_routing": ("HashAggregate", "!Window", "!InPandas", "!Join"),
     # AMS F2: all 64 lanes are aggregate expressions over one scan —
     # no explode, no window, no join anywhere in the sketch side
     "ams_f2": ("HashAggregate", "!Window", "!InPandas", "!Explode"),
