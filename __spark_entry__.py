@@ -3598,6 +3598,48 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.duplicate_passages(docs, "text", "doc_id", n=8, min_docs=2)
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (operators/ranges.sessionize):
+    the standard web-analytics session operator — a new session per
+    user whenever the gap to the previous event exceeds 30 min. ONE
+    hash exchange on user_id feeds both window expressions (lag gap
+    flag + running session counter share partitioning and ordering),
+    then the per-session rollup reuses the same partitioning. Gap
+    arithmetic on floor-epoch longs, ordering on the full-precision
+    timestamp + event_id tie. Contract rows: one per session with
+    exact bounds, event count, and duration. Oracle: the identical
+    two-window construction in DuckDB."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = ranges.sessionize(
+        ev, "user_id", "ts", timeout_sec=1800, tie="event_id"
+    )
+    return s.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("epoch_sec").alias("sess_start"),
+        F.max("epoch_sec").alias("sess_end"),
+        (F.max("epoch_sec") - F.min("epoch_sec")).alias("duration_sec"),
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (operators/sampling.weighted_sample — Efraimidis-Spirakis 2006 in
+    the float-free integer form): key = max over w replica hashes of
+    the portable 60-bit family, equal in distribution to ES's
+    u**(1/w); top-500 documents by key, weight = 1 + n_chars % 8.
+    The key is a zero-shuffle projection and the top-k is
+    TakeOrdered, not a sort exchange. Oracle restates the key
+    bit-for-bit via list_max over generate_series."""
+    from gliner_transbronchialbiopsy_spark.operators import (
+        sampling as _sampling,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", (F.lit(1) + F.col("n_chars") % 8).alias("weight")
+    )
+    return _sampling.weighted_sample(docs, "doc_id", "weight", k=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
     return {name: reg[name] for name in _driver_rotation_order(list(reg))}
@@ -3696,6 +3738,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": q_kg_negative_samples,
         "graph_random_walks": q_graph_random_walks,
         "state_intervals": q_state_intervals,
+        "event_sessions": q_event_sessions,
+        "weighted_sample": q_weighted_sample,
         "graph_communities": q_graph_communities,
         "graph_centrality": q_graph_centrality,
         "graph_jaccard": q_graph_jaccard,
@@ -5865,6 +5909,62 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY valid_from, _tie0) AS valid_to,
                    n_events
             FROM iv
+        """,
+        # ES weighted sample: the integer key (max of w replica hashes
+        # of the portable 60-bit family) restated bit-for-bit; ties
+        # broken by doc_id like the engine
+        "weighted_sample": """
+            WITH w AS (
+              SELECT doc_id,
+                     CAST(1 + (n_chars % 8) AS BIGINT) AS weight
+              FROM documents
+            ),
+            keyed AS (
+              SELECT doc_id, weight,
+                     list_max(list_transform(
+                       generate_series(1, CAST(weight AS INT)),
+                       j -> CAST('0x' || substr(sha256(
+                              CAST(doc_id AS VARCHAR) || chr(31)
+                              || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)
+                     )) AS es_key
+              FROM w
+            )
+            SELECT doc_id, weight, es_key
+            FROM keyed
+            ORDER BY es_key DESC, doc_id ASC
+            LIMIT 500
+        """,
+        # sessionize: identical two-window construction (lag gap flag,
+        # running per-user session counter), gap math on floor-epoch
+        # longs, ordering on full-precision ts + event_id
+        "event_sessions": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                     lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events
+            ),
+            f AS (
+              SELECT user_id, event_id, ts, ep,
+                     CASE WHEN prev IS NULL OR ep - prev > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM e
+            ),
+            s AS (
+              SELECT user_id, ep,
+                     CAST(sum(ns) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS BIGINT) AS session_no
+              FROM f
+            )
+            SELECT user_id, session_no,
+                   count(*) AS n_events,
+                   min(ep) AS sess_start,
+                   max(ep) AS sess_end,
+                   max(ep) - min(ep) AS duration_sec
+            FROM s GROUP BY user_id, session_no
         """,
         "kg_asof_snapshot": """
             WITH r AS (

@@ -295,3 +295,52 @@ def scd2_apply(
         pseudo.unionByName(batch), key, state, ts, tie=tie, weight="_w"
     )
     return keep.unionByName(recomputed)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    timeout_sec: int = 1800,
+    tie: str | None = None,
+) -> DataFrame:
+    """Inactivity-gap sessionization: assign every event a 1-based
+    ``session_no`` per key, where a new session starts whenever the
+    gap to the key's previous event exceeds ``timeout_sec``.
+
+    The canonical distributed form: ONE hash exchange on ``key``, one
+    per-partition sort shared by both window expressions (lag for the
+    gap flag, running sum for the session number — same partitioning
+    and ordering, so Catalyst plans them over a single exchange; the
+    two Window nodes differ only in frame). No self-join, no
+    iteration: at 10^12 events this is exactly one shuffle keyed on
+    the session entity, AQE-splittable on skewed keys.
+
+    Gap arithmetic is on floor-epoch seconds (engine-portable longs);
+    ORDERING is on the full-precision timestamp plus the ``tie``
+    column, so sub-second event storms sessionize deterministically.
+
+    Reference analogue: the corrections timeline groups edit events
+    into review sittings pandas-side
+    (/root/reference/src/streamlit/app/utils/dashboard.py timeline
+    tab); generalized to the standard web-analytics session operator.
+    Returns df's columns + ``epoch_sec`` + ``session_no``.
+    """
+    order = [F.col(ts_col).asc()] + ([F.col(tie).asc()] if tie else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    prev = F.lag(epoch).over(w)
+    # window functions can't nest: materialize the gap flag as its own
+    # projection, then run-sum it over the SAME window spec (one
+    # exchange + one sort feed both Window nodes)
+    flagged = df.withColumn("epoch_sec", epoch).withColumn(
+        "_new_sess",
+        F.when(
+            prev.isNull() | ((F.col("epoch_sec") - prev) > timeout_sec),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.withColumn(
+        "session_no", F.sum("_new_sess").over(run).cast("long")
+    ).drop("_new_sess")

@@ -486,3 +486,64 @@ def test_asof_state_boundaries(spark):
     assert {(r["key"], r["state"]) for r in got.collect()} == {
         ("u1", "a"), ("u2", "c")
     }
+
+
+# --- inactivity-gap sessionization -------------------------------------------
+def test_sessionize_splits_on_gap_and_keeps_boundary(spark):
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+    import pyspark.sql.functions as F
+
+    base = "2024-01-01 00:"
+    df = spark.createDataFrame(
+        [
+            (1, f"{base}00:00", 0),
+            (1, f"{base}10:00", 1),   # 600s gap -> same session
+            (1, f"{base}40:00", 2),   # exactly 1800s -> SAME session (>)
+            (1, f"{base}40:01", 3),
+            (2, f"{base}00:00", 4),   # other user independent
+        ],
+        "user_id long, ts_s string, event_id long",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    out = ranges.sessionize(df, "user_id", "ts", timeout_sec=1800,
+                            tie="event_id")
+    got = {r["event_id"]: r["session_no"] for r in out.collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_sessionize_new_session_past_timeout_and_numbering(spark):
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 0),
+            (1, "2024-01-01 00:30:01", 1),  # 1801s gap -> session 2
+            (1, "2024-01-01 02:00:00", 2),  # long gap   -> session 3
+            (1, "2024-01-01 02:00:00", 3),  # equal ts, tie orders it
+        ],
+        "user_id long, ts_s string, event_id long",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    out = ranges.sessionize(df, "user_id", "ts", timeout_sec=1800,
+                            tie="event_id")
+    got = {r["event_id"]: r["session_no"] for r in out.collect()}
+    assert got == {0: 1, 1: 2, 2: 3, 3: 3}
+    # epoch_sec carried through for downstream rollups
+    assert all(r["epoch_sec"] is not None for r in out.collect())
+
+
+def test_sessionize_single_exchange_plan(spark):
+    """Both window expressions must share ONE hash exchange on the
+    session key — a second exchange would double the shuffle at
+    10^12 events."""
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+    import pyspark.sql.functions as F
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 100)
+        .alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    out = ranges.sessionize(df, "user_id", "ts", tie="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
