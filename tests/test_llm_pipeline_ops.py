@@ -1108,3 +1108,75 @@ def test_winnow_pairs_finds_edited_copy(spark):
         df2, k=8, w=4, min_shared=1, max_fp_docs=4, portable_hash=True
     ).count()
     assert n == 0  # every fp hits 5 docs > cap 4
+
+
+# --- ES weighted sampling without replacement ---------------------------------
+def _py_es_key(ident: int, weight: int) -> int:
+    """Pure-python restatement of sampling.es_key (hashlib sha256)."""
+    import hashlib
+
+    best = -1
+    for j in range(1, weight + 1):
+        h = hashlib.sha256(f"{ident}\x1f{j}".encode()).hexdigest()
+        best = max(best, int(h[:15], 16))
+    return best
+
+
+def test_weighted_sample_matches_pure_python_exactly(spark):
+    from gliner_transbronchialbiopsy_spark.operators import sampling
+    import pyspark.sql.functions as F
+
+    rows = [(i, 1 + (i * 7) % 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    got = [
+        (r["doc_id"], r["es_key"])
+        for r in sampling.weighted_sample(df, "doc_id", "weight", k=25)
+        .orderBy(F.desc("es_key"), "doc_id").collect()
+    ]
+    expect = sorted(
+        ((i, _py_es_key(i, w)) for i, w in rows),
+        key=lambda t: (-t[1], t[0]),
+    )[:25]
+    assert got == expect
+
+
+def test_weighted_sample_k1_inclusion_proportional_to_weight():
+    """For k=1 the ES inclusion probability is exactly w_i / sum(w);
+    check the integer construction statistically over 4000 independent
+    2-item universes (weight 4 vs 1 -> winner ratio ~= 4). Pure-python
+    arithmetic, exact-parity with Spark via the test above."""
+    wins = 0
+    trials = 4000
+    for t in range(trials):
+        a = _py_es_key(t * 2, 4)
+        b = _py_es_key(t * 2 + 1, 1)
+        wins += a > b
+    # expected 0.8 +/- 4.75 sigma band (sigma ~= 0.0063)
+    assert 0.77 <= wins / trials <= 0.83
+
+
+def test_weighted_sample_rejects_out_of_range_weights(spark):
+    from gliner_transbronchialbiopsy_spark.operators import sampling
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, weight long")
+    with _pytest.raises(Exception, match="weight out of"):
+        sampling.weighted_sample(df, "doc_id", "weight", k=1).collect()
+    df2 = spark.createDataFrame(
+        [(1, sampling.MAX_WEIGHT + 1)], "doc_id long, weight long"
+    )
+    with _pytest.raises(Exception, match="weight out of"):
+        sampling.weighted_sample(df2, "doc_id", "weight", k=1).collect()
+
+
+def test_weighted_sample_plan_is_takeordered_no_exchange(spark):
+    from gliner_transbronchialbiopsy_spark.operators import sampling
+    import pyspark.sql.functions as F
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (1 + F.col("id") % 8).alias("weight")
+    )
+    out = sampling.weighted_sample(df, "doc_id", "weight", k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
