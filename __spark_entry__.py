@@ -3640,6 +3640,31 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.weighted_sample(docs, "doc_id", "weight", k=500)
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE with grouping ids: revenue/quantity rollups over all
+    4 subsets of (l_returnflag, l_linestatus) in ONE pass — Spark
+    plans CUBE as Expand (4x row fan-out map-side) into a single
+    hash aggregate with partial (map-side) combine, so at 100 TB it
+    costs one shuffle of the PARTIAL aggregates (grouping-set keys x
+    groups, not rows). grouping_id() disambiguates rolled-up NULL
+    cells from data NULLs; bit order verified identical to DuckDB's
+    GROUPING(). Sums rounded on the q1 discipline so the double
+    accumulation order is oracle-portable."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("sum_disc_price"),
+            F.count("*").alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
     return {name: reg[name] for name in _driver_rotation_order(list(reg))}
@@ -3740,6 +3765,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_intervals": q_state_intervals,
         "event_sessions": q_event_sessions,
         "weighted_sample": q_weighted_sample,
+        "cube_revenue": q_cube_revenue,
         "graph_communities": q_graph_communities,
         "graph_centrality": q_graph_centrality,
         "graph_jaccard": q_graph_jaccard,
@@ -5909,6 +5935,19 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY valid_from, _tie0) AS valid_to,
                    n_events
             FROM iv
+        """,
+        # OLAP cube: GROUPING() bit order verified identical to
+        # Spark's grouping_id()
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_disc_price,
+                   count(*) AS n_rows,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                     AS gid
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         # ES weighted sample: the integer key (max of w replica hashes
         # of the portable 60-bit family) restated bit-for-bit; ties

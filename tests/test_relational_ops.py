@@ -547,3 +547,26 @@ def test_sessionize_single_exchange_plan(spark):
     out = ranges.sessionize(df, "user_id", "ts", tie="event_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- OLAP cube ---------------------------------------------------------------
+def test_cube_single_pass_expand_plan_and_grand_total(spark):
+    """CUBE must compile to ONE Expand + ONE aggregation exchange
+    (partial map-side combine), never one scan per grouping set."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)],
+        "c1 string, c2 string, v double",
+    )
+    out = df.cube("c1", "c2").agg(
+        F.sum("v").alias("s"), F.grouping_id().alias("gid")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    rows = {(r["c1"], r["c2"], r["gid"]): r["s"] for r in out.collect()}
+    assert rows[(None, None, 3)] == 6.0          # grand total
+    assert rows[("a", None, 1)] == 3.0           # rollup over c2
+    assert rows[(None, "x", 2)] == 4.0           # rollup over c1
+    assert len(rows) == 8
