@@ -3665,6 +3665,54 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (operators/editsim —
+    PassJoin pigeonhole blocking, Li et al. VLDB'11): all pairs
+    within levenshtein 1 over a deterministic high-entropy universe —
+    12-hex sha prefixes of the first 3000 doc_ids plus planted
+    1-edit mutants (substitute an out-of-alphabet char at
+    doc_id % 12 for doc_id % 3 == 0; delete that position for
+    doc_id % 5 == 0), so ground truth contains substitution,
+    deletion, AND mutant-mutant pairs (% 15 docs). Constant per-row
+    fan-out (2 index keys, <= 18 probe keys at d=1), one equi-join
+    on segment keys, codegen levenshtein verify. Oracle: brute-force
+    levenshtein cross join over the same universe (the cap keeps it
+    scale-independent)."""
+    from gliner_transbronchialbiopsy_spark.operators import (
+        editsim as _editsim,
+    )
+
+    base = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 3000)
+        .select(
+            F.col("doc_id").alias("sid"),
+            F.substring(
+                F.sha2(F.col("doc_id").cast("string"), 256), 1, 12
+            ).alias("s"),
+        )
+    )
+    p = F.lit(1) + (F.col("sid") % 12).cast("int")
+    sub = base.filter(F.col("sid") % 3 == 0).select(
+        (F.col("sid") + F.lit(1000000000)).alias("sid"),
+        F.concat(
+            F.col("s").substr(F.lit(1), p - 1),
+            F.lit("g"),
+            F.col("s").substr(p + 1, F.lit(12)),
+        ).alias("s"),
+    )
+    dele = base.filter(F.col("sid") % 5 == 0).select(
+        (F.col("sid") + F.lit(2000000000)).alias("sid"),
+        F.concat(
+            F.col("s").substr(F.lit(1), p - 1),
+            F.col("s").substr(p + 1, F.lit(12)),
+        ).alias("s"),
+    )
+    universe = base.unionByName(sub).unionByName(dele)
+    return _editsim.edit_distance_pairs(universe, "sid", "s", d=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
     return {name: reg[name] for name in _driver_rotation_order(list(reg))}
@@ -3766,6 +3814,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "weighted_sample": q_weighted_sample,
         "cube_revenue": q_cube_revenue,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "graph_communities": q_graph_communities,
         "graph_centrality": q_graph_centrality,
         "graph_jaccard": q_graph_jaccard,
@@ -5935,6 +5984,38 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY valid_from, _tie0) AS valid_to,
                    n_events
             FROM iv
+        """,
+        # PassJoin edit-distance pairs: brute-force levenshtein cross
+        # join over the same deterministic mutant universe
+        "edit_distance_pairs": """
+            WITH base AS (
+              SELECT doc_id AS sid,
+                     substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12) AS s
+              FROM documents WHERE doc_id < 3000
+            ),
+            sub AS (
+              SELECT sid + 1000000000 AS sid,
+                     substr(s, 1, CAST(sid % 12 AS INT)) || 'g'
+                       || substr(s, CAST(sid % 12 AS INT) + 2, 12) AS s
+              FROM base WHERE sid % 3 = 0
+            ),
+            dele AS (
+              SELECT sid + 2000000000 AS sid,
+                     substr(s, 1, CAST(sid % 12 AS INT))
+                       || substr(s, CAST(sid % 12 AS INT) + 2, 12) AS s
+              FROM base WHERE sid % 5 = 0
+            ),
+            u AS (
+              SELECT * FROM base
+              UNION ALL SELECT * FROM sub
+              UNION ALL SELECT * FROM dele
+            )
+            SELECT a.sid AS id_a, b.sid AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS ed
+            FROM u a JOIN u b
+              ON a.sid < b.sid
+             AND abs(length(a.s) - length(b.s)) <= 1
+            WHERE levenshtein(a.s, b.s) <= 1
         """,
         # OLAP cube: GROUPING() bit order verified identical to
         # Spark's grouping_id()

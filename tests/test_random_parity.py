@@ -1546,3 +1546,57 @@ def test_hrw_routing_matches_python_and_minimal_disruption(spark):
             assert mv == nk and st == 0
         else:
             assert mv == 0 and st == nk
+
+
+# --- PassJoin edit-distance pairs vs brute force ------------------------------
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_matches_bruteforce_random(spark):
+    from gliner_transbronchialbiopsy_spark.operators import editsim
+
+    for seed, d in ((11, 1), (12, 1), (13, 2)):
+        rng = random.Random(seed)
+        alpha = "ab"  # tiny alphabet -> dense near-pair structure
+        rows = [
+            (i, "".join(rng.choice(alpha) for _ in range(rng.randint(d + 1, 7))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "id long, s string")
+        got = sorted(
+            (r["id_a"], r["id_b"], r["ed"])
+            for r in editsim.edit_distance_pairs(df, "id", "s", d=d).collect()
+        )
+        exp = sorted(
+            (a[0], b[0], _lev(a[1], b[1]))
+            for i, a in enumerate(rows)
+            for b in rows[i + 1 :]
+            if _lev(a[1], b[1]) <= d
+        )
+        assert got == exp, f"seed={seed} d={d}"
+
+
+def test_edit_distance_pairs_max_bucket_is_lower_bound(spark):
+    from gliner_transbronchialbiopsy_spark.operators import editsim
+
+    # 30 strings sharing segment 'aaa' -> one hot bucket; capping it
+    # drops candidates but never invents pairs
+    rows = [(i, "aaa" + format(i, "03d")) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    full = editsim.edit_distance_pairs(df, "id", "s", d=1).collect()
+    capped = editsim.edit_distance_pairs(
+        df, "id", "s", d=1, max_bucket=5
+    ).collect()
+    full_set = {(r["id_a"], r["id_b"]) for r in full}
+    capped_set = {(r["id_a"], r["id_b"]) for r in capped}
+    assert capped_set <= full_set
+    assert len(full_set) > 0
