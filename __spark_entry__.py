@@ -3713,6 +3713,47 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _editsim.edit_distance_pairs(universe, "sid", "s", d=1)
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/ranges.interval_overlap_pairs):
+    concurrent cross-user state intervals — every user's 'view'
+    interval paired with every OTHER user's 'purchase' interval it
+    overlaps (half-open [s, e), SCD2 intervals from state_intervals,
+    open intervals closed at the global horizon). The inequality
+    predicate becomes a day-bucket equi-join with a canonical-bucket
+    single-match (no distinct pass, no BroadcastNestedLoopJoin);
+    DuckDB oracles the same predicate as a native IEJoin. Contract
+    rows: per view-user counts + exact total overlap seconds."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    iv = ranges.state_intervals(
+        ev, "user_id", "event_type", "ts", tie="event_id"
+    )
+    sec = lambda c: F.col(c).cast("timestamp_ltz").cast("long")  # noqa: E731
+    horizon = iv.agg(
+        (F.max(sec("valid_from")) + F.lit(1)).alias("_h")
+    )
+    iv2 = iv.crossJoin(F.broadcast(horizon)).select(
+        F.col("key").alias("uid"),
+        "state",
+        sec("valid_from").alias("s"),
+        F.coalesce(sec("valid_to"), F.col("_h")).alias("e"),
+    )
+    left = iv2.filter(F.col("state") == "view").select(
+        F.col("uid").alias("u_view"), "s", "e"
+    )
+    right = iv2.filter(F.col("state") == "purchase").select(
+        F.col("uid").alias("u_buy"), "s", "e"
+    )
+    pairs = ranges.interval_overlap_pairs(
+        left, right, "u_view", "u_buy", "s", "e", bucket_width=86400
+    ).filter(F.col("u_view") != F.col("u_buy"))
+    return pairs.groupBy("u_view").agg(
+        F.count("*").alias("n_overlaps"),
+        F.sum("overlap_sec").alias("total_overlap_sec"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
     return {name: reg[name] for name in _driver_rotation_order(list(reg))}
@@ -3815,6 +3856,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "cube_revenue": q_cube_revenue,
         "edit_distance_pairs": q_edit_distance_pairs,
+        "interval_overlap": q_interval_overlap,
         "graph_communities": q_graph_communities,
         "graph_centrality": q_graph_centrality,
         "graph_jaccard": q_graph_jaccard,
@@ -5984,6 +6026,58 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY valid_from, _tie0) AS valid_to,
                    n_events
             FROM iv
+        """,
+        # interval overlap: native IEJoin over the same SCD2 intervals
+        "interval_overlap": """
+            WITH r AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                          IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+            ),
+            r2 AS (
+              SELECT user_id, event_type, ts, event_id,
+                     sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS _run
+              FROM r
+            ),
+            iv AS (
+              SELECT user_id, _run, event_type AS state,
+                     min(ts) AS valid_from, min(event_id) AS _tie0
+              FROM r2 GROUP BY user_id, _run, event_type
+            ),
+            iv2 AS (
+              SELECT user_id, state, valid_from,
+                     lead(valid_from) OVER (
+                       PARTITION BY user_id
+                       ORDER BY valid_from, _tie0) AS valid_to
+              FROM iv
+            ),
+            h AS (
+              SELECT max(CAST(floor(epoch(valid_from)) AS BIGINT)) + 1
+                       AS hz
+              FROM iv2
+            ),
+            ivs AS (
+              SELECT user_id AS uid, state,
+                     CAST(floor(epoch(valid_from)) AS BIGINT) AS s,
+                     coalesce(CAST(floor(epoch(valid_to)) AS BIGINT),
+                              (SELECT hz FROM h)) AS e
+              FROM iv2
+            ),
+            l AS (SELECT uid AS u_view, s, e FROM ivs
+                  WHERE state = 'view'),
+            rr AS (SELECT uid AS u_buy, s, e FROM ivs
+                   WHERE state = 'purchase')
+            SELECT l.u_view,
+                   count(*) AS n_overlaps,
+                   CAST(sum(least(l.e, rr.e) - greatest(l.s, rr.s))
+                        AS BIGINT) AS total_overlap_sec
+            FROM l JOIN rr
+              ON l.s < rr.e AND rr.s < l.e AND l.u_view <> rr.u_buy
+            GROUP BY l.u_view
         """,
         # PassJoin edit-distance pairs: brute-force levenshtein cross
         # join over the same deterministic mutant universe

@@ -344,3 +344,72 @@ def sessionize(
     return flagged.withColumn(
         "session_no", F.sum("_new_sess").over(run).cast("long")
     ).drop("_new_sess")
+
+
+def interval_overlap_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    l_id: str,
+    r_id: str,
+    start_col: str = "s",
+    end_col: str = "e",
+    bucket_width: int = 86400,
+) -> DataFrame:
+    """All (left, right) pairs of HALF-OPEN intervals [s, e) that
+    overlap: s_l < e_r AND s_r < e_l. Returns (l_id, r_id,
+    overlap_sec = least(e) - greatest(s)).
+
+    Why not the direct predicate: Spark plans a pure inequality join
+    as BroadcastNestedLoopJoin — O(n*m). The standard distributed
+    rewrite: explode BOTH sides into the width-W buckets each
+    interval covers, equi-join on the bucket id, then keep each pair
+    exactly once in its CANONICAL bucket — the bucket containing
+    greatest(s_l, s_r), i.e. the overlap's start — so no distinct
+    pass is needed (same one-match discipline as
+    time_window_pairs' 3-bucket scheme). Fan-out per row =
+    ceil(span / W): pick W near the median interval span; intervals
+    spanning thousands of buckets should be split upstream (the
+    SCD2 producer emits bounded runs). One hash-partitioned
+    equi-join, AQE-splittable, no nested loop; DuckDB serves as the
+    oracle precisely because it plans the same predicate as an
+    IEJoin natively.
+    """
+    def buckets(s: Column, e: Column) -> Column:
+        return F.sequence(
+            F.floor(s / bucket_width).cast("long"),
+            F.floor((e - 1) / bucket_width).cast("long"),
+        )
+
+    lb = left.select(
+        F.col(l_id).alias("_lid"),
+        F.col(start_col).cast("long").alias("_ls"),
+        F.col(end_col).cast("long").alias("_le"),
+    ).filter(F.col("_ls") < F.col("_le")).withColumn(
+        "_b", F.explode(buckets(F.col("_ls"), F.col("_le")))
+    )
+    rb = right.select(
+        F.col(r_id).alias("_rid"),
+        F.col(start_col).cast("long").alias("_rs"),
+        F.col(end_col).cast("long").alias("_re"),
+    ).filter(F.col("_rs") < F.col("_re")).withColumn(
+        "_b", F.explode(buckets(F.col("_rs"), F.col("_re")))
+    )
+    canon = F.floor(
+        F.greatest(F.col("_ls"), F.col("_rs")) / bucket_width
+    ).cast("long")
+    return (
+        lb.join(rb, "_b")
+        .filter(
+            (F.col("_ls") < F.col("_re"))
+            & (F.col("_rs") < F.col("_le"))
+            & (F.col("_b") == canon)
+        )
+        .select(
+            F.col("_lid").alias(l_id),
+            F.col("_rid").alias(r_id),
+            (
+                F.least(F.col("_le"), F.col("_re"))
+                - F.greatest(F.col("_ls"), F.col("_rs"))
+            ).alias("overlap_sec"),
+        )
+    )

@@ -570,3 +570,63 @@ def test_cube_single_pass_expand_plan_and_grand_total(spark):
     assert rows[("a", None, 1)] == 3.0           # rollup over c2
     assert rows[(None, "x", 2)] == 4.0           # rollup over c1
     assert len(rows) == 8
+
+
+# --- interval overlap join ---------------------------------------------------
+def test_interval_overlap_semantics_and_single_match(spark):
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+
+    left = spark.createDataFrame(
+        [
+            (1, 0, 100),       # overlaps r1 (same bucket)
+            (2, 950, 1050),    # crosses a bucket boundary (W=1000)
+            (3, 200, 300),     # touches r3 end-to-start: NO overlap
+            (4, 0, 5000),      # spans 5 buckets, overlaps r4 -> ONCE
+        ],
+        "lid long, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 50, 60),
+            (20, 1000, 1100),
+            (30, 300, 400),
+            (40, 3500, 3600),
+        ],
+        "rid long, s long, e long",
+    )
+    out = ranges.interval_overlap_pairs(
+        left, right, "lid", "rid", "s", "e", bucket_width=1000
+    )
+    got = sorted((r["lid"], r["rid"], r["overlap_sec"]) for r in out.collect())
+    assert got == [
+        (1, 10, 10),       # [50,60) inside [0,100)
+        (2, 20, 50),       # [1000,1050)
+        (4, 10, 10),
+        (4, 20, 100),
+        (4, 30, 100),
+        (4, 40, 100),      # matched exactly once despite 5 shared buckets
+    ]
+
+
+def test_interval_overlap_random_parity(spark):
+    import random as _random
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+
+    rng = _random.Random(7)
+    L = [(i, rng.randrange(0, 500), 0) for i in range(60)]
+    L = [(i, s, s + rng.randrange(1, 400)) for i, s, _ in L]
+    R = [(i, rng.randrange(0, 500), 0) for i in range(60)]
+    R = [(i, s, s + rng.randrange(1, 400)) for i, s, _ in R]
+    ldf = spark.createDataFrame(L, "lid long, s long, e long")
+    rdf = spark.createDataFrame(R, "rid long, s long, e long")
+    out = ranges.interval_overlap_pairs(
+        ldf, rdf, "lid", "rid", "s", "e", bucket_width=100
+    )
+    got = sorted((r["lid"], r["rid"], r["overlap_sec"]) for r in out.collect())
+    exp = sorted(
+        (li, ri, min(le, re) - max(ls, rs))
+        for li, ls, le in L
+        for ri, rs, re in R
+        if ls < re and rs < le
+    )
+    assert got == exp

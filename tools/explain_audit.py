@@ -576,6 +576,47 @@ AUDIT = {
         "!InPandas",
         "!Window",
     ),
+    # sessionize: both window expressions (lag gap flag + running
+    # session counter) and the per-session rollup share ONE hash
+    # exchange on user_id; no join anywhere
+    "event_sessions": (
+        "Window",
+        "!InPandas",
+        "!SortMergeJoin",
+        "!BroadcastHashJoin",
+    ),
+    # ES weighted sample: the key is a pure projection (zero
+    # shuffle), top-k is TakeOrdered — never a sort exchange
+    "weighted_sample": (
+        "TakeOrderedAndProject",
+        "!InPandas",
+        "!Exchange hashpartitioning",
+    ),
+    # OLAP cube: one Expand feeding one partial+final aggregate —
+    # never a scan or join per grouping set
+    "cube_revenue": (
+        "Expand",
+        "HashAggregate",
+        "!InPandas",
+        "!Join",
+    ),
+    # PassJoin: the edit-distance inequality becomes an equi-join on
+    # pigeonhole segment keys — no nested loop, no Python
+    "edit_distance_pairs": (
+        "!BroadcastNestedLoopJoin",
+        "!InPandas",
+        "!CartesianProduct",
+    ),
+    # interval overlap: the range predicate becomes a day-bucket
+    # equi-join with canonical-bucket single-match. The one-row
+    # horizon crossJoin is a broadcast BNLJ by design (same
+    # adjudication as tfidf_cosine's ndocs row), so only the
+    # cartesian check applies
+    "interval_overlap": (
+        "HashAggregate",
+        "!InPandas",
+        "!CartesianProduct",
+    ),
 }
 
 
