@@ -3754,6 +3754,49 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session sequential patterns
+    (operators/ranges.session_ngrams): counts of every contiguous
+    event-type trigram inside one inactivity-gap session. The n-gram
+    window reuses sessionize's single user_id exchange (session
+    membership guarded via lead(session_no, 2), NOT a second window
+    key) — one shuffle end-to-end before the count agg. Oracle: the
+    identical lead construction in DuckDB."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return ranges.session_ngrams(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        timeout_sec=1800,
+        n=3,
+        tie="event_id",
+    )
+
+
+def q_weighted_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified ES sampling
+    (operators/sampling.weighted_sample_per_group): top-5 documents
+    per source, weight = 1 + n_chars % 8, ranked by the same
+    float-free integer ES key as weighted_sample — the per-source
+    quota draw a mixture pipeline runs. One hash exchange on source,
+    row_number per group. Oracle restates key and rank."""
+    from gliner_transbronchialbiopsy_spark.operators import (
+        sampling as _sampling,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.lit(1) + F.col("n_chars") % 8).alias("weight"),
+    )
+    return _sampling.weighted_sample_per_group(
+        docs, "source", "doc_id", "weight", k=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
     return {name: reg[name] for name in _driver_rotation_order(list(reg))}
@@ -3857,6 +3900,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": q_cube_revenue,
         "edit_distance_pairs": q_edit_distance_pairs,
         "interval_overlap": q_interval_overlap,
+        "session_ngrams": q_session_ngrams,
+        "weighted_sample_group": q_weighted_sample_group,
         "graph_communities": q_graph_communities,
         "graph_centrality": q_graph_centrality,
         "graph_jaccard": q_graph_jaccard,
@@ -6026,6 +6071,68 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY valid_from, _tie0) AS valid_to,
                    n_events
             FROM iv
+        """,
+        # session trigrams: same session numbering + lead construction
+        "session_ngrams": """
+            WITH e AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                     lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            f AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN prev IS NULL OR ep - prev > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM e
+            ),
+            s AS (
+              SELECT user_id, event_type, ts, event_id,
+                     sum(ns) OVER w AS session_no
+              FROM f
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            g AS (
+              SELECT event_type
+                     || ';' || lead(event_type, 1) OVER w
+                     || ';' || lead(event_type, 2) OVER w AS gram,
+                     CASE WHEN lead(session_no, 2) OVER w = session_no
+                          THEN 1 ELSE 0 END AS ok
+              FROM s
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT gram, count(*) AS n_occurrences
+            FROM g WHERE ok = 1 AND gram IS NOT NULL
+            GROUP BY gram
+        """,
+        # stratified ES sample: same integer key + rank construction
+        "weighted_sample_group": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     CAST(1 + (n_chars % 8) AS BIGINT) AS weight
+              FROM documents
+            ),
+            keyed AS (
+              SELECT doc_id, source, weight,
+                     list_max(list_transform(
+                       generate_series(1, CAST(weight AS INT)),
+                       j -> CAST('0x' || substr(sha256(
+                              CAST(doc_id AS VARCHAR) || chr(31)
+                              || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)
+                     )) AS es_key
+              FROM w
+            ),
+            ranked AS (
+              SELECT doc_id, source, weight, es_key,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY es_key DESC, doc_id ASC
+                     ) AS INT) AS rk
+              FROM keyed
+            )
+            SELECT doc_id, source, weight, es_key, rk
+            FROM ranked WHERE rk <= 5
         """,
         # interval overlap: native IEJoin over the same SCD2 intervals
         "interval_overlap": """

@@ -413,3 +413,49 @@ def interval_overlap_pairs(
             ).alias("overlap_sec"),
         )
     )
+
+
+def session_ngrams(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    timeout_sec: int = 1800,
+    n: int = 2,
+    tie: str | None = None,
+    sep: str = ";",
+) -> DataFrame:
+    """Frequent within-session event-type sequences: counts of every
+    CONTIGUOUS length-n event-type n-gram occurring inside one
+    session (sessionize's inactivity-gap sessions). The
+    sequential-pattern staple for behavioral analysis ("view;click"
+    counts) — the n-gram analogue of textstats' shingle counts, on
+    the event stream.
+
+    Plan shape: sessionize's single hash exchange on ``key`` is
+    REUSED — the n-gram window partitions by ``key`` (not by
+    (key, session)) and instead guards that all n events share the
+    session via lead(session_no, n-1): hashpartitioning(key) would
+    not satisfy a (key, session_no) window and Catalyst would insert
+    a second exchange. One shuffle end-to-end before the count agg.
+
+    Returns (gram, n_occurrences), gram = sep-joined event types.
+    """
+    if n < 2:
+        raise ValueError("session_ngrams: n must be >= 2")
+    s = sessionize(df, key, ts_col, timeout_sec=timeout_sec, tie=tie)
+    order = [F.col(ts_col).asc()] + ([F.col(tie).asc()] if tie else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    parts = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    same_sess = F.lead("session_no", n - 1).over(w) == F.col("session_no")
+    grams = s.withColumn(
+        "_gram",
+        F.when(
+            same_sess, F.concat_ws(sep, *parts)
+        ),
+    ).filter(F.col("_gram").isNotNull())
+    return grams.groupBy(F.col("_gram").alias("gram")).agg(
+        F.count("*").alias("n_occurrences")
+    )

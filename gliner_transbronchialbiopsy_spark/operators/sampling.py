@@ -102,3 +102,44 @@ def weighted_sample(
         "es_key", es_key(F.col(id_col), F.col("_es_w"))
     ).drop("_es_w")
     return keyed.orderBy(F.desc("es_key"), F.col(id_col).asc()).limit(k)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Stratified ES sample: the top-k weighted sample WITHIN each
+    group (the per-source quota form a mixture pipeline uses — k
+    docs per source, weight-proportional within the source). Same
+    integer key as weighted_sample; rank via row_number over ONE
+    hash exchange on the group column. Returns df's columns +
+    es_key + rk (1-based rank within the group)."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col)
+    guarded = df.withColumn(
+        "_es_w",
+        F.when(
+            w.isNull() | (w < 1) | (w > MAX_WEIGHT),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"weighted_sample: weight out of [1, {MAX_WEIGHT}]: "
+                    ),
+                    w.cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(w.cast("long")),
+    )
+    keyed = guarded.withColumn(
+        "es_key", es_key(F.col(id_col), F.col("_es_w"))
+    ).drop("_es_w")
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc("es_key"), F.col(id_col).asc()
+    )
+    return keyed.withColumn("rk", F.row_number().over(win)).filter(
+        F.col("rk") <= k
+    )

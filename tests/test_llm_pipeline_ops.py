@@ -1180,3 +1180,22 @@ def test_weighted_sample_plan_is_takeordered_no_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_weighted_sample_per_group_matches_pure_python(spark):
+    from gliner_transbronchialbiopsy_spark.operators import sampling
+
+    rows = [(i, f"g{i % 3}", 1 + (i * 5) % 4) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, weight long")
+    got = sorted(
+        (r["src"], r["rk"], r["doc_id"])
+        for r in sampling.weighted_sample_per_group(
+            df, "src", "doc_id", "weight", k=4
+        ).collect()
+    )
+    exp = []
+    for g in ("g0", "g1", "g2"):
+        members = [(i, _py_es_key(i, w)) for i, gg, w in rows if gg == g]
+        members.sort(key=lambda t: (-t[1], t[0]))
+        exp += [(g, rk + 1, i) for rk, (i, _) in enumerate(members[:4])]
+    assert got == sorted(exp)

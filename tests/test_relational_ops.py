@@ -630,3 +630,51 @@ def test_interval_overlap_random_parity(spark):
         if ls < re and rs < le
     )
     assert got == exp
+
+
+# --- session n-grams ----------------------------------------------------------
+def test_session_ngrams_respects_session_boundaries(spark):
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 0, "view"),
+            (1, "2024-01-01 00:01:00", 1, "click"),
+            (1, "2024-01-01 00:02:00", 2, "buy"),
+            # 2h gap -> new session: no gram may span it
+            (1, "2024-01-01 02:30:00", 3, "view"),
+            (1, "2024-01-01 02:31:00", 4, "click"),
+            (2, "2024-01-01 00:00:00", 5, "view"),
+            (2, "2024-01-01 00:01:00", 6, "click"),
+        ],
+        "user_id long, ts_s string, event_id long, event_type string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    out = ranges.session_ngrams(
+        df, "user_id", "ts", "event_type", timeout_sec=1800, n=2,
+        tie="event_id",
+    )
+    got = {r["gram"]: r["n_occurrences"] for r in out.collect()}
+    assert got == {"view;click": 3, "click;buy": 1}
+
+
+def test_session_ngrams_single_exchange_plan(spark):
+    """The n-gram window must REUSE sessionize's user_id exchange —
+    a (user, session_no) window key would add a second shuffle."""
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+    import pyspark.sql.functions as F
+
+    df = spark.range(200).select(
+        (F.col("id") % 9).alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 700)
+        .alias("ts"),
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string"))
+        .alias("event_type"),
+    )
+    out = ranges.session_ngrams(
+        df, "user_id", "ts", "event_type", n=3, tie="event_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one exchange for the windows + one for the final gram count agg
+    assert plan.count("Exchange hashpartitioning") == 2

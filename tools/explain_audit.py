@@ -617,6 +617,23 @@ AUDIT = {
         "!InPandas",
         "!CartesianProduct",
     ),
+    # session trigrams: the n-gram window reuses sessionize's
+    # user_id exchange (lead(session_no) guard, not a second window
+    # key); no join anywhere
+    "session_ngrams": (
+        "Window",
+        "HashAggregate",
+        "!InPandas",
+        "!SortMergeJoin",
+        "!BroadcastHashJoin",
+    ),
+    # stratified ES sample: one exchange on source, row_number rank,
+    # key is a projection
+    "weighted_sample_group": (
+        "Window",
+        "!InPandas",
+        "!SortMergeJoin",
+    ),
 }
 
 
