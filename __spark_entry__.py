@@ -3797,6 +3797,48 @@ def q_weighted_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest (operators/graph.boruvka_mst) over the
+    customer-supplier trade graph, weights from the portable 60-bit
+    hash of the edge key (distinct -> unique MST), capped to the
+    1200 lightest edges so the instance is scale-independent.
+    Boruvka halves the component count per round (<= log2 V rounds,
+    contraction via connected_components on the COMPONENT graph).
+    Oracle: the cut property — an edge is in the MST iff its
+    endpoints are not connected by strictly lighter edges — as one
+    recursive CTE, a construction entirely different from the
+    engine's election loop."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rel = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    wedges = rel.select(
+        "src",
+        "dst",
+        F.conv(
+            F.substring(
+                F.sha2(F.concat_ws("|", "src", "dst"), 256), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    edges = wedges.orderBy("w", "src", "dst").limit(1200)
+    return graph.boruvka_mst(edges, "src", "dst", "w")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
     return {name: reg[name] for name in _driver_rotation_order(list(reg))}
@@ -3902,6 +3944,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "session_ngrams": q_session_ngrams,
         "weighted_sample_group": q_weighted_sample_group,
+        "graph_mst": q_graph_mst,
         "graph_communities": q_graph_communities,
         "graph_centrality": q_graph_centrality,
         "graph_jaccard": q_graph_jaccard,
@@ -6071,6 +6114,47 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY valid_from, _tie0) AS valid_to,
                    n_events
             FROM iv
+        """,
+        # Boruvka MST: cut-property oracle — an edge is in the unique
+        # MST iff its endpoints are NOT connected via strictly
+        # lighter edges (distinct weights from the portable hash)
+        "graph_mst": """
+            WITH RECURSIVE base AS MATERIALIZED (
+              SELECT DISTINCT
+                     'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
+                     's:' || CAST(l.l_suppkey AS VARCHAR) AS dst
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            wedges AS (
+              SELECT src, dst,
+                     CAST('0x' || substr(sha256(src || '|' || dst), 1, 15)
+                          AS BIGINT) AS w
+              FROM base
+            ),
+            edges AS MATERIALIZED (
+              SELECT src, dst, w,
+                     row_number() OVER (ORDER BY w, src, dst) AS eid
+              FROM wedges
+              ORDER BY w, src, dst
+              LIMIT 1200
+            ),
+            reach AS (
+              SELECT eid, w, src AS node FROM edges
+              UNION
+              SELECT r.eid, r.w,
+                     CASE WHEN g.src = r.node THEN g.dst
+                          ELSE g.src END AS node
+              FROM reach r
+              JOIN edges g
+                ON (g.src = r.node OR g.dst = r.node) AND g.w < r.w
+            )
+            SELECT e.src, e.dst, e.w
+            FROM edges e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM reach r
+              WHERE r.eid = e.eid AND r.node = e.dst
+            )
         """,
         # session trigrams: same session numbering + lead construction
         "session_ngrams": """

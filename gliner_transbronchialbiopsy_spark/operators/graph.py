@@ -2013,3 +2013,118 @@ def katz_centrality(
         .orderBy(F.desc("katz_fp"), F.col("node").asc())
         .limit(int(k))
     )
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Minimum spanning forest via Boruvka (1926) — the parallel-
+    native MST algorithm: every round, each component elects its
+    minimum-weight outgoing edge; elected edges merge components; the
+    component count at least halves, so the loop runs <= log2(V)
+    rounds (the same O(log) round discipline as the Kiveris
+    large/small-star CC).
+
+    Weights must be DISTINCT (callers derive them from the portable
+    60-bit hash family when the domain has ties) — with distinct
+    weights the MST is unique and the cut property gives an
+    independent oracle: an edge is in the MST iff its endpoints are
+    NOT connected using strictly lighter edges alone. Ties inside one
+    round's election still break deterministically by (w, a, b), but
+    the distinctness requirement is what makes the RESULT canonical.
+
+    Round shape: two hash joins to label endpoints with component
+    ids, one min-struct aggregate per component (partial combine),
+    then the round's contraction reuses connected_components on the
+    COMPONENT graph — whose size is the number of merging components,
+    never the node count. Per-round state is loop_ckpt'd (O(1) plan
+    depth); one bounded isEmpty scalar per round for convergence;
+    raises past the round budget rather than returning a partial
+    forest. Node ids must be strings (the CC election canonicalizes
+    lexicographically).
+
+    Returns the forest edge set (src, dst, w), src < dst.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            F.col(weight).alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = loop_ckpt(e)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    comp = loop_ckpt(nodes.withColumn("comp", F.col("node")))
+    if max_rounds is None:
+        import math
+
+        n = nodes.count()
+        max_rounds = max(4, math.ceil(math.log2(max(n, 2))) + 2)
+
+    mst = None
+    for _ in range(max_rounds):
+        ca = comp.select(
+            F.col("node").alias("a"), F.col("comp").alias("ca")
+        )
+        cb = comp.select(
+            F.col("node").alias("b"), F.col("comp").alias("cb")
+        )
+        cross = (
+            e.join(ca, "a").join(cb, "b").filter(F.col("ca") != F.col("cb"))
+        )
+        if cross.isEmpty():
+            break
+        cand = cross.select(
+            F.col("ca").alias("c"),
+            F.struct("w", "a", "b", "ca", "cb").alias("edge"),
+        ).union(
+            cross.select(
+                F.col("cb").alias("c"),
+                F.struct("w", "a", "b", "ca", "cb").alias("edge"),
+            )
+        )
+        picked = cand.groupBy("c").agg(F.min("edge").alias("edge"))
+        new_edges = picked.select(
+            F.col("edge.a").alias("a"),
+            F.col("edge.b").alias("b"),
+            F.col("edge.w").alias("w"),
+        ).distinct()
+        mst = (
+            new_edges if mst is None else mst.unionByName(new_edges)
+        )
+        mst = loop_ckpt(mst)
+        comp_edges = picked.select(
+            F.col("edge.ca").alias("src"), F.col("edge.cb").alias("dst")
+        ).distinct()
+        from . import components as _components
+
+        cc = _components.connected_components(comp_edges, "src", "dst")
+        relabel = cc.select(
+            F.col("node").alias("comp"), F.col("component").alias("_new")
+        )
+        comp = loop_ckpt(
+            comp.join(relabel, "comp", "left").select(
+                "node", F.coalesce("_new", F.col("comp")).alias("comp")
+            )
+        )
+    else:
+        raise RuntimeError(
+            f"boruvka_mst: not converged in {max_rounds} rounds"
+        )
+    if mst is None:
+        return e.select(
+            F.col("a").alias(src), F.col("b").alias(dst), F.col("w")
+        ).limit(0)
+    return mst.select(
+        F.col("a").alias(src), F.col("b").alias(dst), F.col("w")
+    )

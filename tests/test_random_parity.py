@@ -1600,3 +1600,55 @@ def test_edit_distance_pairs_max_bucket_is_lower_bound(spark):
     capped_set = {(r["id_a"], r["id_b"]) for r in capped}
     assert capped_set <= full_set
     assert len(full_set) > 0
+
+
+# --- Boruvka MST vs Kruskal --------------------------------------------------
+def _kruskal(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for w, a, b in sorted((w, a, b) for a, b, w in edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, w))
+    return sorted(out)
+
+
+def test_boruvka_mst_matches_kruskal_random(spark):
+    for seed in (1, 2, 5):
+        rng = random.Random(seed)
+        nodes = [f"n{i:02d}" for i in range(25)]
+        es = set()
+        while len(es) < 60:
+            a, b = rng.sample(nodes, 2)
+            es.add((min(a, b), max(a, b)))
+        ws = rng.sample(range(1, 100000), len(es))
+        edges = [(a, b, w) for (a, b), w in zip(sorted(es), ws)]
+        df = spark.createDataFrame(edges, "src string, dst string, w long")
+        got = sorted(
+            (r["src"], r["dst"], r["w"])
+            for r in graph.boruvka_mst(df).collect()
+        )
+        assert got == _kruskal(edges), f"seed={seed}"
+
+
+def test_boruvka_mst_disconnected_forest_and_empty(spark):
+    # two components -> spanning FOREST (n1 + n2 - 2 edges); and the
+    # empty edge set returns an empty frame with the right schema
+    edges = [("a", "b", 3), ("b", "c", 1), ("x", "y", 2)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = sorted(
+        (r["src"], r["dst"], r["w"])
+        for r in graph.boruvka_mst(df).collect()
+    )
+    assert got == [("a", "b", 3), ("b", "c", 1), ("x", "y", 2)]
+    empty = spark.createDataFrame([], "src string, dst string, w long")
+    out = graph.boruvka_mst(empty)
+    assert out.columns == ["src", "dst", "w"] and out.count() == 0

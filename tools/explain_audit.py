@@ -634,6 +634,15 @@ AUDIT = {
         "!InPandas",
         "!SortMergeJoin",
     ),
+    # Boruvka MST: per-round state is checkpointed RDD leaves (the
+    # iterative-loop discipline); the visible plan is joins over
+    # those leaves with no Python and no nested loop
+    "graph_mst": (
+        "Scan ExistingRDD",
+        "!InPandas",
+        "!BroadcastNestedLoopJoin",
+        "!CartesianProduct",
+    ),
 }
 
 
