@@ -6258,10 +6258,16 @@ def oracle_sql() -> dict[str, str]:
                               (SELECT hz FROM h)) AS e
               FROM iv2
             ),
+            -- s < e: a zero-length [s,s) interval (two sub-second
+            -- state flips flooring to the same epoch second) is the
+            -- EMPTY set and overlaps nothing; the raw inequality
+            -- pair (l.s < rr.e AND rr.s < l.e) would wrongly admit
+            -- it, so degenerate intervals are excluded exactly as
+            -- the engine's operator does
             l AS (SELECT uid AS u_view, s, e FROM ivs
-                  WHERE state = 'view'),
+                  WHERE state = 'view' AND s < e),
             rr AS (SELECT uid AS u_buy, s, e FROM ivs
-                   WHERE state = 'purchase')
+                   WHERE state = 'purchase' AND s < e)
             SELECT l.u_view,
                    count(*) AS n_overlaps,
                    CAST(sum(least(l.e, rr.e) - greatest(l.s, rr.s))

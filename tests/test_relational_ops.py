@@ -678,3 +678,22 @@ def test_session_ngrams_single_exchange_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # one exchange for the windows + one for the final gram count agg
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_interval_overlap_excludes_degenerate_zero_length(spark):
+    """[s, s) is the empty set: it overlaps nothing even when the raw
+    inequality pair would admit it (caught live at sf0.1 — floored
+    sub-second state flips produce zero-length intervals)."""
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+
+    left = spark.createDataFrame(
+        [(1, 5, 5), (2, 3, 8)], "lid long, s long, e long"
+    )
+    right = spark.createDataFrame(
+        [(10, 3, 8), (20, 5, 5)], "rid long, s long, e long"
+    )
+    out = ranges.interval_overlap_pairs(
+        left, right, "lid", "rid", "s", "e", bucket_width=10
+    )
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert got == [(2, 10)]  # only the two real intervals pair up
