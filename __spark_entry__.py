@@ -3839,6 +3839,37 @@ def q_graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.boruvka_mst(edges, "src", "dst", "w")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed AS-OF join (operators/ranges.asof_join): every
+    'view' event picks the latest same-user 'purchase' value at or
+    before it — the trade-to-quote join Spark lacks as an operator.
+    Implementation is the union + last(ignorenulls) running window:
+    ONE hash exchange, no join node, full-precision timestamp
+    ordering with right-before-left tie rule. The purchase side is
+    pre-aggregated per (user, ts) (max value) so coincident quotes
+    are deterministic. Oracle: DuckDB's NATIVE ASOF JOIN — the
+    engine that owns the operator restates it."""
+    ev = _read(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    quotes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("quote_value"))
+    )
+    out = ranges.asof_join(
+        views, quotes, "user_id", "ts", "ts", ["quote_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("view_ep"),
+        "quote_value",
+        "asof_ts",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
     return {name: reg[name] for name in _driver_rotation_order(list(reg))}
@@ -3945,6 +3976,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_ngrams": q_session_ngrams,
         "weighted_sample_group": q_weighted_sample_group,
         "graph_mst": q_graph_mst,
+        "asof_join_quotes": q_asof_join,
         "graph_communities": q_graph_communities,
         "graph_centrality": q_graph_centrality,
         "graph_jaccard": q_graph_jaccard,
@@ -6114,6 +6146,24 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY valid_from, _tie0) AS valid_to,
                    n_events
             FROM iv
+        """,
+        # as-of join: DuckDB's native ASOF JOIN restates the operator
+        "asof_join_quotes": """
+            WITH v AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view'
+            ),
+            p AS (
+              SELECT user_id, ts, round(max(value), 6) AS quote_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts
+            )
+            SELECT v.event_id, v.user_id,
+                   CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ep,
+                   p.quote_value,
+                   CAST(floor(epoch(p.ts)) AS BIGINT) AS asof_ts
+            FROM v ASOF LEFT JOIN p
+              ON v.user_id = p.user_id AND v.ts >= p.ts
         """,
         # Boruvka MST: cut-property oracle — an edge is in the unique
         # MST iff its endpoints are NOT connected via strictly

@@ -459,3 +459,108 @@ def session_ngrams(
     return grams.groupBy(F.col("_gram").alias("gram")).agg(
         F.count("*").alias("n_occurrences")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance_sec: int | None = None,
+) -> DataFrame:
+    """Distributed AS-OF join: every left row picks the LATEST right
+    row of the same key with right_ts <= left_ts (the trade-to-quote
+    / event-to-state join; asof_state is its single-literal slice).
+
+    Spark has no asof operator, and the naive formulation (theta
+    join on ts + per-pair max) is a nested loop plus a shuffle per
+    side. The canonical distributed rewrite: UNION the two streams
+    tagged by side, ONE window partitioned by key ordered by
+    (ts, side) with right rows sorting BEFORE coincident left rows
+    (ties: a state stamped at exactly t applies to an event at t),
+    and last(value, ignorenulls=True) over the running frame fills
+    each left row with the most recent right values. One hash
+    exchange total, no explode, no join node at all — DuckDB's
+    native ASOF JOIN serves as the oracle precisely because it owns
+    the operator we're restating.
+
+    ``tolerance_sec``: if set, matches older than the tolerance are
+    nulled out (the pandas merge_asof semantics) — carried via the
+    matched right timestamp, so it's a post-filter, not a join
+    change. Returns left's columns + value_cols (+ ``asof_ts``, the
+    matched right timestamp as floor-epoch seconds, NULL when no
+    match).
+
+    Contracts: ``value_cols`` must not collide with left's column
+    names, and ``right`` must be unique per (key, right_ts) —
+    pre-aggregate coincident rows (last-writer-wins) first, or the
+    pick among exact-timestamp duplicates is nondeterministic in ANY
+    asof engine, DuckDB included. Ordering compares the
+    FULL-PRECISION timestamp (sub-second quotes must not tie with
+    later events in the same second); tolerance arithmetic is on
+    floor-epoch seconds.
+    """
+    lcols = left.columns
+    ltag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.col(left_ts).cast("timestamp_ltz").cast("long").alias("_te"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
+          for c in value_cols],
+        F.lit(None).cast("long").alias("_rts"),
+    )
+    rtag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.col(right_ts).cast("timestamp_ltz").cast("long").alias("_te"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in lcols],
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.col(right_ts).cast("timestamp_ltz").cast("long").alias("_rts"),
+    )
+    # right rows order BEFORE left rows at equal ts: side desc
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ltag.unionByName(rtag).select(
+        "_k",
+        "_te",
+        "_side",
+        *[F.col(f"_l_{c}") for c in lcols],
+        *[
+            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in value_cols
+        ],
+        F.last("_rts", ignorenulls=True).over(w).alias("asof_ts"),
+    ).filter(F.col("_side") == 0)
+    if tolerance_sec is not None:
+        stale = F.col("asof_ts").isNull() | (
+            (F.col("_te") - F.col("asof_ts")) > tolerance_sec
+        )
+        filled = filled.select(
+            "_k",
+            "_te",
+            "_side",
+            *[F.col(f"_l_{c}") for c in lcols],
+            *[
+                F.when(stale, F.lit(None)).otherwise(
+                    F.col(f"_f_{c}")
+                ).alias(f"_f_{c}")
+                for c in value_cols
+            ],
+            F.when(stale, F.lit(None)).otherwise(
+                F.col("asof_ts")
+            ).alias("asof_ts"),
+        )
+    return filled.select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col(f"_f_{c}").alias(c) for c in value_cols],
+        "asof_ts",
+    )

@@ -697,3 +697,71 @@ def test_interval_overlap_excludes_degenerate_zero_length(spark):
     )
     got = sorted((r["lid"], r["rid"]) for r in out.collect())
     assert got == [(2, 10)]  # only the two real intervals pair up
+
+
+# --- as-of join ----------------------------------------------------------------
+def test_asof_join_tie_and_latest_semantics(spark):
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [
+            (1, 7, "2024-01-01 00:10:00"),  # between q1 and q2 -> q1
+            (1, 8, "2024-01-01 00:20:00"),  # exactly at q2     -> q2 (tie)
+            (1, 9, "2024-01-01 00:01:00"),  # before any quote  -> NULL
+            (2, 10, "2024-01-01 09:00:00"), # other key         -> NULL
+        ],
+        "user_id long, event_id long, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:05:00", 100.0),
+            (1, "2024-01-01 00:20:00", 200.0),
+        ],
+        "user_id long, ts_s string, quote double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    out = ranges.asof_join(left, right, "user_id", "ts", "ts", ["quote"])
+    got = {r["event_id"]: r["quote"] for r in out.collect()}
+    assert got == {7: 100.0, 8: 200.0, 9: None, 10: None}
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [(1, 7, "2024-01-01 01:00:00")],
+        "user_id long, event_id long, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5.0)],
+        "user_id long, ts_s string, quote double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    loose = ranges.asof_join(
+        left, right, "user_id", "ts", "ts", ["quote"], tolerance_sec=7200
+    ).collect()
+    tight = ranges.asof_join(
+        left, right, "user_id", "ts", "ts", ["quote"], tolerance_sec=60
+    ).collect()
+    assert loose[0]["quote"] == 5.0
+    assert tight[0]["quote"] is None and tight[0]["asof_ts"] is None
+
+
+def test_asof_join_plan_one_exchange_no_join(spark):
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+    import pyspark.sql.functions as F
+
+    mk = lambda n: spark.range(n).select(  # noqa: E731
+        (F.col("id") % 5).alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60)
+        .alias("ts"),
+        F.col("id").alias("v"),
+    )
+    out = ranges.asof_join(
+        mk(100).withColumnRenamed("v", "event_id"),
+        mk(50).withColumnRenamed("v", "quote"),
+        "user_id", "ts", "ts", ["quote"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

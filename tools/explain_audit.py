@@ -634,6 +634,15 @@ AUDIT = {
         "!InPandas",
         "!SortMergeJoin",
     ),
+    # as-of join: union + last(ignorenulls) running window — one
+    # exchange, NO join node at all
+    "asof_join_quotes": (
+        "Window",
+        "!InPandas",
+        "!SortMergeJoin",
+        "!BroadcastHashJoin",
+        "!BroadcastNestedLoopJoin",
+    ),
     # Boruvka MST: per-round state is checkpointed RDD leaves (the
     # iterative-loop discipline); the visible plan is joins over
     # those leaves with no Python and no nested loop
