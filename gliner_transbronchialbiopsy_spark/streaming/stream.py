@@ -296,3 +296,114 @@ def corrections_running_counts(corrections_stream: DataFrame) -> DataFrame:
             F.col("day.start").alias("day_start"), "entity_type", "n_corrections"
         )
     )
+
+
+def streaming_sessions(
+    events_stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    timeout_sec: int = 1800,
+    watermark_delay_sec: int | None = None,
+):
+    """Streaming inactivity-gap sessionization — the stateful session
+    operator (applyInPandasWithState + EventTimeTimeout) that
+    maintains one OPEN session per key and emits each session exactly
+    once when it CLOSES: either a new event arrives past the gap
+    (in-data closure) or the event-time watermark passes
+    last_event + timeout (timeout closure, the piece the batch
+    operator ranges.sessionize cannot express — batch sees the whole
+    log; a stream must decide with only the watermark's lateness
+    bound).
+
+    Semantics match ranges.sessionize on the same closed log: gap >
+    timeout_sec starts a new session (batch rows are folded in event-
+    time order). Late rows inside the open session merge into it
+    (extending sess_start backwards if needed); rows later than the
+    watermark are dropped by Spark upstream — watermark_delay_sec
+    (default = timeout_sec) is that lateness budget. State per key is
+    ONE (start, last, n) triple — bounded by live keys, not history,
+    and the timeout clears it, so an idle key costs nothing forever.
+
+    Output (append mode): (key, sess_start, sess_end, n_events),
+    epoch seconds. The still-open session at end-of-stream is
+    intentionally NOT emitted (it isn't closed — a restart from the
+    checkpoint resumes it).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    delay = (
+        watermark_delay_sec
+        if watermark_delay_sec is not None
+        else timeout_sec
+    )
+
+    def update(key_t, pdfs, state):
+        import pandas as pd  # noqa: PLC0415
+
+        (kid,) = key_t
+        if state.hasTimedOut:
+            if state.exists:
+                s0, last, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        key: [kid],
+                        "sess_start": [s0],
+                        "sess_end": [last],
+                        "n_events": [n],
+                    }
+                )
+            return
+        ts = []
+        for pdf in pdfs:
+            # ns -> floor epoch seconds (deterministic, tz-agnostic:
+            # only differences matter for gap logic)
+            ts += [int(v) // 1_000_000_000 for v in pdf[ts_col].astype("int64")]
+        ts.sort()
+        if state.exists:
+            s0, last, n = state.get
+        else:
+            s0 = last = None
+            n = 0
+        closed = []
+        for t in ts:
+            if s0 is None:
+                s0, last, n = t, t, 1
+            elif t - last > timeout_sec:
+                closed.append((s0, last, n))
+                s0, last, n = t, t, 1
+            else:
+                n += 1
+                if t > last:
+                    last = t
+                elif t < s0:
+                    s0 = t  # late in-session row extends the start
+        state.update((s0, last, n))
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max((last + timeout_sec) * 1000, wm_ms + 1)
+        )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key: [kid] * len(closed),
+                    "sess_start": [c[0] for c in closed],
+                    "sess_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        events_stream.withWatermark(ts_col, f"{delay} seconds")
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                f"{key} long, sess_start long, sess_end long, "
+                "n_events long"
+            ),
+            stateStructType="s0 long, last long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -284,3 +284,77 @@ def test_stream_stage_snapshots_incremental_resume(spark, tmpdir_path):
     # every original row exactly once (not reprocessed), plus the 3 new
     assert len(seen2) == 13
     assert set(seen2) == seen1 | {"n0", "n1", "n2"}
+
+
+def test_streaming_sessions_gap_and_timeout_closure(spark, tmpdir_path):
+    """In-batch gap closure AND watermark-timeout closure: batch1 has
+    user 1 with an in-data gap (two sessions, first closed by gap) and
+    user 2 mid-session; batch2's much-later event advances the
+    watermark past user 1/2's timeout -> their open sessions emit via
+    EventTimeTimeout. User 3's final session stays open (never
+    emitted), matching ranges.sessionize on the closed prefix."""
+    src = os.path.join(tmpdir_path, "sess_in")
+    os.makedirs(src)
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00:00",
+                    "2024-01-01 10:05:00",
+                    "2024-01-01 12:00:00",  # >30min gap -> new session
+                    "2024-01-01 10:30:00",
+                ]
+            ),
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "user_id": [3],
+            "ts": pd.to_datetime(["2024-01-03 00:00:00"]),
+        }
+    )
+    for name, pdf in (("b1", b1), ("b2", b2)):
+        pdf.to_parquet(
+            os.path.join(src, f"{name}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    src_stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream.streaming_sessions(
+        src_stream, "user_id", "ts", timeout_sec=1800
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join(tmpdir_path, "sess_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240), "session stream did not terminate"
+    got = {
+        (r["user_id"], r["sess_start"], r["sess_end"], r["n_events"])
+        for r in spark.sql("select * from sessions_out").collect()
+    }
+    import calendar
+
+    ep = lambda s: calendar.timegm(  # noqa: E731
+        pd.Timestamp(s).to_pydatetime().timetuple()
+    )
+    expected = {
+        # user 1 session 1: closed IN-DATA by the 12:00 event's gap
+        (1, ep("2024-01-01 10:00:00"), ep("2024-01-01 10:05:00"), 2),
+        # user 1 session 2 + user 2: closed by WATERMARK TIMEOUT
+        # after batch2 advances event time to 2024-01-03
+        (1, ep("2024-01-01 12:00:00"), ep("2024-01-01 12:00:00"), 1),
+        (2, ep("2024-01-01 10:30:00"), ep("2024-01-01 10:30:00"), 1),
+    }
+    assert got == expected  # user 3's open session is NOT emitted
