@@ -3870,6 +3870,23 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index phrase search (operators/search):
+    exact occurrences of the 3-token phrase 'key agg row' via
+    posting-list position joins (each join side pre-filtered to one
+    term's postings — the search-engine evaluation order, pruned the
+    way the triple store prunes predicates). Oracle: the window-lead
+    restatement over unnested tokens — different machinery, same
+    counts."""
+    from gliner_transbronchialbiopsy_spark.operators import (
+        search as _search,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = _search.postings(docs)
+    return _search.phrase_match(idx, ["key", "agg", "row"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
     return {name: reg[name] for name in _driver_rotation_order(list(reg))}
@@ -3977,6 +3994,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_group": q_weighted_sample_group,
         "graph_mst": q_graph_mst,
         "asof_join_quotes": q_asof_join,
+        "phrase_search": q_phrase_search,
         "graph_communities": q_graph_communities,
         "graph_centrality": q_graph_centrality,
         "graph_jaccard": q_graph_jaccard,
@@ -6146,6 +6164,31 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY valid_from, _tie0) AS valid_to,
                    n_events
             FROM iv
+        """,
+        # phrase search: window-lead restatement over unnested tokens
+        "phrase_search": """
+            WITH lists AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS l
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(l) AS term,
+                     unnest(generate_series(1, len(l))) - 1 AS pos
+              FROM lists
+            ),
+            g AS (
+              SELECT doc_id, term,
+                     lead(term, 1) OVER w AS t1,
+                     lead(term, 2) OVER w AS t2
+              FROM toks
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            )
+            SELECT doc_id, count(*) AS n_hits
+            FROM g
+            WHERE term = 'key' AND t1 = 'agg' AND t2 = 'row'
+            GROUP BY doc_id
         """,
         # as-of join: DuckDB's native ASOF JOIN restates the operator
         "asof_join_quotes": """

@@ -864,3 +864,42 @@ def test_salted_agg_rejects_reserved_column_collision(spark):
     df = spark.createDataFrame([(1, "a", 0.5)], "_salt long, k string, v double")
     with pytest.raises(ValueError, match="collide with"):
         skew.salted_agg(df, ["k"], {"n": ("count", "v")}, salt_on="v")
+
+
+# --- positional phrase search ---------------------------------------------------
+def test_phrase_match_counts_overlapping_occurrences(spark):
+    from gliner_transbronchialbiopsy_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),        # 'a a' occurs 3x (overlaps count)
+            (2, "x a a y a a"),    # 2x, non-adjacent
+            (3, "a b a"),          # 0x
+            (4, "  a   a  "),      # whitespace runs + padding -> 1x
+        ],
+        "doc_id long, text string",
+    )
+    idx = search.postings(docs)
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in search.phrase_match(idx, ["a", "a"]).collect()
+    }
+    assert got == {1: 3, 2: 2, 4: 1}
+
+
+def test_phrase_match_trigram_and_validation(spark):
+    import pytest as _pytest
+    from gliner_transbronchialbiopsy_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [(1, "k a r k a r k a"), (2, "k a k a r")],
+        "doc_id long, text string",
+    )
+    idx = search.postings(docs)
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in search.phrase_match(idx, ["k", "a", "r"]).collect()
+    }
+    assert got == {1: 2, 2: 1}
+    with _pytest.raises(ValueError, match="empty phrase"):
+        search.phrase_match(idx, [])

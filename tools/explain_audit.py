@@ -634,6 +634,14 @@ AUDIT = {
         "!InPandas",
         "!SortMergeJoin",
     ),
+    # phrase search: each join side pre-filtered to one term's
+    # postings; pure JVM, no nested loop
+    "phrase_search": (
+        "HashAggregate",
+        "!InPandas",
+        "!BroadcastNestedLoopJoin",
+        "!CartesianProduct",
+    ),
     # as-of join: union + last(ignorenulls) running window — one
     # exchange, NO join node at all
     "asof_join_quotes": (
