@@ -3887,6 +3887,32 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _search.phrase_match(idx, ["key", "agg", "row"])
 
 
+def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay (frecency) aggregates: per-user decayed
+    event mass sum(2^-((T - t)/halflife)) with T = the global max
+    event time and a 7-day half-life — the recency-weighted counter
+    behind ranking feeds and hot-key detection. Pure map-side
+    arithmetic + one partial-combine aggregate (the decay factors
+    multiply OUTSIDE the sum only at merge time in streaming forms;
+    batch is a single agg). Doubles rounded on the repo's 6-decimal
+    oracle discipline."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ep = F.col("ts").cast("timestamp_ltz").cast("long")
+    tmax = ev.agg(F.max(ep).alias("_T"))
+    hl = 7 * 86400.0
+    return (
+        ev.filter(F.col("event_type") == "view")
+        .crossJoin(F.broadcast(tmax))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.pow(F.lit(2.0), -((F.col("_T") - ep) / hl))), 6
+            ).alias("decayed_views"),
+            F.count("*").alias("n_views"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
     return {name: reg[name] for name in _driver_rotation_order(list(reg))}
@@ -3995,6 +4021,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mst": q_graph_mst,
         "asof_join_quotes": q_asof_join,
         "phrase_search": q_phrase_search,
+        "decayed_counts": q_decayed_counts,
         "graph_communities": q_graph_communities,
         "graph_centrality": q_graph_centrality,
         "graph_jaccard": q_graph_jaccard,
@@ -6164,6 +6191,22 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY valid_from, _tie0) AS valid_to,
                    n_events
             FROM iv
+        """,
+        # frecency: same decay arithmetic, rounded to 6 decimals
+        "decayed_counts": """
+            WITH t AS (
+              SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS T
+              FROM events
+            )
+            SELECT user_id,
+                   round(sum(pow(2.0,
+                     -(((SELECT T FROM t)
+                        - CAST(floor(epoch(ts)) AS BIGINT))
+                       / 604800.0))), 6) AS decayed_views,
+                   count(*) AS n_views
+            FROM events
+            WHERE event_type = 'view'
+            GROUP BY user_id
         """,
         # phrase search: window-lead restatement over unnested tokens
         "phrase_search": """

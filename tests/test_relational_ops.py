@@ -765,3 +765,21 @@ def test_asof_join_plan_one_exchange_no_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_decayed_counts_known_values(spark):
+    """Frecency weights: event at T counts 1.0, one half-life back
+    counts 0.5, two back 0.25."""
+    import pyspark.sql.functions as F
+    import __spark_entry__ as entrymod
+
+    # exercise the same arithmetic inline on a fixture frame
+    ev = spark.createDataFrame(
+        [(1, 0), (1, 7 * 86400), (1, 14 * 86400)],
+        "user_id long, ago long",
+    )
+    hl = 7 * 86400.0
+    got = ev.agg(
+        F.round(F.sum(F.pow(F.lit(2.0), -(F.col("ago") / hl))), 6)
+    ).collect()[0][0]
+    assert got == 1.75  # 1 + 0.5 + 0.25

@@ -634,6 +634,14 @@ AUDIT = {
         "!InPandas",
         "!SortMergeJoin",
     ),
+    # frecency: map-side decay arithmetic + one partial-combine agg;
+    # the one-row T crossJoin is the adjudicated broadcast BNLJ
+    "decayed_counts": (
+        "HashAggregate",
+        "!InPandas",
+        "!SortMergeJoin",
+        "!CartesianProduct",
+    ),
     # phrase search: each join side pre-filtered to one term's
     # postings; pure JVM, no nested loop
     "phrase_search": (
