@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import linking
-from .termstats import SCALE, quantize_ln
+from .termstats import SCALE, quantize_ln, round_keep_sign
 from .textstats import word_tokens
 
 
@@ -117,6 +117,15 @@ def dsir_weights(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_tokens"), F.sum("lr_fp").alias("w_fp"))
     )
+    # signed-zero discipline (termstats.round_keep_sign): a small
+    # NEGATIVE w_fp whose per-token quotient rounds to zero must read
+    # out as -0.0, matching SQL round semantics — found by the round-5
+    # driver gate: one doc at sf0.01 with w_fp < 0 and
+    # |w_fp|/n_tokens < 5e-5*SCALE read back +0.0 here vs -0.0 in the
+    # oracle, a bit-pattern (hash) mismatch on value-identical output.
+    signed = round_keep_sign(
+        F.col("w_fp") / F.col("n_tokens") / F.lit(float(SCALE)), 4
+    )
     return (
         raw.select(id_col)
         .join(scored, id_col, "left")
@@ -125,9 +134,7 @@ def dsir_weights(
             F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
             F.coalesce(F.col("w_fp"), F.lit(0)).cast("long").alias("w_fp"),
             F.when(F.coalesce(F.col("n_tokens"), F.lit(0)) == 0, F.lit(0.0))
-            .otherwise(
-                F.round(F.col("w_fp") / F.col("n_tokens") / F.lit(float(SCALE)), 4)
-            )
+            .otherwise(signed)
             .alias("avg_w"),
         )
     )

@@ -1670,11 +1670,16 @@ def degree_assortativity(
     num = ndd * xyd - xd * yd
     vx = ndd * x2d - xd * xd
     vy = ndd * y2d - yd * yd
+    from .termstats import round_keep_sign
+
+    # num is sign-capable (negative assortativity is common), so the
+    # readout keeps IEEE signed zero like SQL round does — see
+    # termstats.round_keep_sign (the dsir_weights driver-gate lesson)
     return m.withColumn(
         "assortativity",
         F.when(
             (vx > 0) & (vy > 0),
-            F.round(num / F.sqrt(vx * vy), 6),
+            round_keep_sign(num / F.sqrt(vx * vy), 6),
         ).otherwise(F.lit(0.0)),
     )
 

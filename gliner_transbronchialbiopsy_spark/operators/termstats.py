@@ -63,6 +63,21 @@ def quantize_ln(x: Column) -> Column:
     return F.floor(F.log(x) * F.lit(SCALE)).cast("long")
 
 
+def round_keep_sign(x: Column, digits: int) -> Column:
+    """Sign-preserving round at the fixed-point -> double readout
+    boundary. SQL engines' round() keeps IEEE signed zero (DuckDB:
+    round(-2e-10, 4) = -0.0), while Spark's Round goes through
+    BigDecimal — which has no negative zero — and returns +0.0 for the
+    same input. Value-identical, but bit-pattern different, so any
+    exact (hash) output comparison flags it; the round-5 driver gate
+    did exactly that on dsir_weights. Use this wherever a readout
+    divides a SIGN-CAPABLE exact quantity and rounds; readouts of
+    nonnegative quantities (counts, tf-idf, BM25, Katz) cannot produce
+    a negative zero and stay on plain F.round."""
+    r = F.round(x, digits)
+    return F.when((r == 0.0) & (x < 0), F.lit(-0.0)).otherwise(r)
+
+
 def doc_frequencies(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -217,7 +232,9 @@ def pmi_collocations(
             "c_xy",
             quantize_ln(arg).alias("pmi_fp"),
         )
-        .withColumn("pmi", F.round(F.col("pmi_fp") / F.lit(SCALE), 6))
+        .withColumn(
+            "pmi", round_keep_sign(F.col("pmi_fp") / F.lit(SCALE), 6)
+        )
         .orderBy(F.desc("pmi_fp"), F.col("w1").asc(), F.col("w2").asc())
         .limit(int(k))
     )

@@ -739,6 +739,36 @@ def test_dsir_weights_ranks_target_like_docs_higher(spark):
     assert w[2][1] * 2 == w[0][1] + w[1][1]
 
 
+def test_round_keep_sign_negative_zero_readout(spark):
+    """Regression pin for the round-5 driver red on dsir_weights: a
+    tiny NEGATIVE fixed-point quantity must read out as -0.0 (SQL
+    round keeps IEEE signed zero; Spark's BigDecimal round alone
+    returns +0.0 — value-identical, hash-fatal)."""
+    import math
+
+    from gliner_transbronchialbiopsy_spark.operators.termstats import (
+        round_keep_sign,
+    )
+
+    df = spark.createDataFrame(
+        [(-1, 5_000_000_000), (1, 5_000_000_000), (0, 5),
+         (-600_000, 1), (600_000, 1)],
+        "w_fp long, n long",
+    )
+    rows = df.select(
+        "w_fp",
+        round_keep_sign(
+            F.col("w_fp") / F.col("n") / F.lit(1e9), 4
+        ).alias("avg_w"),
+    ).collect()
+    got = {r["w_fp"]: r["avg_w"] for r in rows}
+    assert got[-1] == 0.0 and math.copysign(1.0, got[-1]) == -1.0
+    assert got[1] == 0.0 and math.copysign(1.0, got[1]) == 1.0
+    assert got[0] == 0.0 and math.copysign(1.0, got[0]) == 1.0
+    # non-zero results pass through the plain round unchanged
+    assert got[-600_000] == -0.0006 and got[600_000] == 0.0006
+
+
 def test_dsir_portable_and_production_agree_on_ranking(spark):
     from gliner_transbronchialbiopsy_spark.operators import dsir
 
