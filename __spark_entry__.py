@@ -121,7 +121,12 @@ def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo", "path", "commit", "content_sha256",
         F.col("content").alias("conclusion"),
     )
-    mentions = kg_pipeline.detect(sectionized, catalog=pat.KEYWORD_PATTERNS)
+    # materialize=False: this cache IS the barrier (persist + count
+    # below) — detect()'s internal localCheckpoint would write the full
+    # mention table a second time for a single-consumer plan
+    mentions = kg_pipeline.detect(
+        sectionized, catalog=pat.KEYWORD_PATTERNS, materialize=False
+    )
     # prune to what the contract queries read before materializing the
     # cache (mention_id's per-row sha256 would otherwise be computed and
     # stored for nothing)
@@ -872,13 +877,32 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Rebalance a CPU-dense, embarrassingly-parallel projection whose
+    SCAN cannot provide core-count parallelism. The local test tables
+    are single-row-group parquet files — Spark can plan byte-range
+    splits but a parquet scan cannot split inside a row group, so a
+    5.7 MB documents.parquet executes as ONE task and every
+    regex-heavy per-doc projection runs serially (measured at sf1.0 /
+    local[32]: lang_id 3.0-3.5s serial vs 0.6-1.3s after the fan-out;
+    quality_score 2.3s vs 0.9s). The exchange is CONDITIONAL on the
+    scan actually being under-parallelized, so on real multi-row-group
+    inputs (any production table) this is a no-op — the same
+    cores-not-bytes lesson as the minhash signature repartition
+    (BENCH/BASELINE.md round 5)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan_out(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fan_out(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     return textstats.quality_score(docs, "text").select(
         "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
     )

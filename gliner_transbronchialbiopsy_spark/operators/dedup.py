@@ -157,10 +157,19 @@ def minhash_near_duplicates(
         F.col(text_col).alias("text"),
     ).withColumn("_tid", F.sha2("text", 256))
     surfaces = keyed.withColumn("label", F.lit("doc"))
-    sigs = linking.minhash_signatures(
-        surfaces, "text", ("label",), num_hashes=num_hashes,
-        shingle_n=shingle_n, portable_hash=portable_hash,
-    )
+    if portable_hash:
+        sigs = linking.minhash_signatures(
+            surfaces, "text", ("label",), num_hashes=num_hashes,
+            shingle_n=shingle_n, portable_hash=True,
+        )
+    else:
+        # production path: the vectorized numpy signature kernel —
+        # same operator contract, ~3x the signature-stage throughput
+        # (see minhash_signatures_np docstring for the measurements)
+        sigs = linking.minhash_signatures_np(
+            surfaces, "text", ("label",), num_hashes=num_hashes,
+            shingle_n=shingle_n,
+        )
     # swap the text identity for its sha before anything shuffles again.
     # ONLY the signature table is materialized: it is referenced five
     # times downstream (bucket census, both candidate-join sides, both

@@ -56,13 +56,23 @@ def detect_mentions(
     threshold: float = 0.5,
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
     partitions: int | None = None,
+    emit_mention_id: bool = True,
 ) -> DataFrame:
     """Run pattern-NER over `text_col`, returning exploded mention rows.
 
     Output: id_cols + (mention_id, text, label, score, start_idx,
     end_idx). Offsets are char offsets into `text_col`'s value, matching
     EntityPrediction.start_idx/end_idx (model_handler.py:25-26).
-    """
+
+    emit_mention_id=False skips the per-mention sha256 + per-doc json
+    key serialization inside the Python worker and emits NULL
+    mention_id instead. Use it when the caller derives its own id from
+    the full document key afterwards (kg_pipeline.detect does, JVM-side
+    over DOC_COLS — the sha-keyed id computed here would be discarded):
+    Spark cannot prune a column out of an opaque mapInPandas, so the
+    only way not to pay for it is not to compute it. Measured: the id
+    machinery is ~1/3 of the worker body (1.21s -> 0.8s per 5k docs /
+    180k mentions single-threaded)."""
     catalog = catalog or pat.MEDICAL_PATTERNS
     schema = _mention_schema(id_cols)
 
@@ -92,8 +102,12 @@ def detect_mentions(
                 # key collides across repos/commits sharing a path; JSON
                 # serialization keeps NULL ids distinct from the string
                 # "None" and field boundaries unambiguous
-                key = json.dumps(
-                    [None if x is None else str(x) for x in ids[i]]
+                key = (
+                    json.dumps(
+                        [None if x is None else str(x) for x in ids[i]]
+                    )
+                    if emit_mention_id
+                    else None
                 )
                 for label, rx in compiled.items():
                     for m in rx.finditer(text):
@@ -109,6 +123,8 @@ def detect_mentions(
                             cols[c].append(v)
                         mid.append(
                             textlib.mention_id(key, m.start(), m.end(), label)
+                            if emit_mention_id
+                            else None
                         )
                         mtext.append(surface)
                         mlabel.append(label)

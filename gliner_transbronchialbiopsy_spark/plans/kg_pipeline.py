@@ -65,6 +65,7 @@ def detect(
     detector=None,
     detector_overlaps: bool | None = None,
     docs_clustered: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Stage 2: dedup-by-content -> detect -> [overlap-merge] -> fan out.
 
@@ -161,16 +162,26 @@ def detect(
             threshold=threshold,
             id_cols=("sha_key",),
             partitions=None,  # the sha repartition above already balanced
+            # the sha-keyed mention_id the worker would emit is
+            # discarded below (the output id is re-derived JVM-side
+            # over the FULL doc key) — don't pay Python sha256+json
+            # per mention for a dropped column
+            emit_mention_id=False,
         )
     # materialization barrier: downstream consumers (canonicalize's edge
     # + node subtrees, materialize_triples' probe side) reference this
     # plan multiple times; without a cut the detection UDF re-executes
     # per consumer (merge_overlaps' materialize=True used to provide
-    # this barrier — skipping the merge must not lose it)
+    # this barrier — skipping the merge must not lose it).
+    # materialize=False is for SINGLE-consumer callers that install
+    # their own barrier right after (e.g. the contract queries'
+    # mention cache: persist + count) — for them the localCheckpoint
+    # here would write the full mention table once only to have the
+    # caller's persist materialize it a second time.
     merged = (
         merge.merge_overlaps(found, group_cols=("sha_key", "label"))
         if detector_overlaps
-        else found.localCheckpoint()
+        else (found.localCheckpoint() if materialize else found)
     )
     fanned = hashed.select(*DOC_COLS, "content_sha256").join(
         merged, hashed["content_sha256"] == merged["sha_key"], "inner"
