@@ -121,9 +121,10 @@ def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo", "path", "commit", "content_sha256",
         F.col("content").alias("conclusion"),
     )
-    # materialize=False: this cache IS the barrier (persist + count
-    # below) — detect()'s internal localCheckpoint would write the full
-    # mention table a second time for a single-consumer plan
+    # materialize=False: this cache IS the barrier (the eager
+    # localCheckpoint below) — detect()'s internal localCheckpoint
+    # would write the full mention table a second time for a
+    # single-consumer plan
     mentions = kg_pipeline.detect(
         sectionized, catalog=pat.KEYWORD_PATTERNS, materialize=False
     )
@@ -153,12 +154,18 @@ def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
             old.unpersist()
         except Exception:
             pass  # owning session may already be stopped
-    _MENTIONS_CACHE[key] = pruned.persist()
-    # materialize the pruned cache NOW so detect()'s internal clustered
-    # doc cache (full conclusion text) can be released immediately —
-    # otherwise the mentions cache transitively pins a whole corpus
-    # copy in block storage for the entry's lifetime
-    _MENTIONS_CACHE[key].count()
+    # EAGER localCheckpoint (not persist+count): one job materializes
+    # the pruned mention table AND truncates the lineage, so every
+    # consumption query's plan reads Scan ExistingRDD — no MapInPandas
+    # subtree survives anywhere downstream (the plan-audit invariant),
+    # and the detection stage can never be silently recomputed by a
+    # cache-evicted consumer. Block cleanup on eviction falls to the
+    # ContextCleaner once the dict drops the reference (unpersist() on
+    # a checkpointed frame is a no-op; the try/except below keeps
+    # working for both shapes).
+    _MENTIONS_CACHE[key] = pruned.localCheckpoint()
+    # the eager checkpoint has run: detect()'s internal clustered doc
+    # cache (full conclusion text) is dead weight now — release it
     kg_pipeline.release_doc_cache(mentions)
     return _MENTIONS_CACHE[key]
 

@@ -109,34 +109,13 @@ def threshold_impact(df: DataFrame, score_col: str, n_steps: int = 21) -> DataFr
 def last_writer_wins(
     df: DataFrame, key_cols: tuple[str, ...], ts_col: str, tiebreak: str
 ) -> DataFrame:
-    """O4 latest state per key (corrections_manager.py:85-97): the row
-    with the max (ts, tiebreak) per key, with a deterministic tiebreak.
-
-    Implemented as max(struct(ts, tiebreak, rest...)) in ONE hash
-    aggregation rather than the window row_number idiom: struct
-    comparison is field-lexicographic, so the max struct IS the row
-    row_number(ORDER BY ts DESC, tiebreak DESC) = 1 would pick
-    (identical output whenever (ts, tiebreak) is unique per key, which
-    the tiebreak contract guarantees; null ts/tiebreak order as
-    smallest on both forms). Why: the window form must SORT every row
-    (partial WindowGroupLimit still sorts each input partition), while
-    the aggregate form does partial MAP-SIDE aggregation — per input
-    partition only one candidate row per key survives into the
-    exchange, no sort anywhere. On a single-row-group (hence 1-task)
-    scan the difference is a serial full-table sort vs a serial hash
-    fold; at 100 TB it is shuffling n_keys rows vs all rows."""
-    others = [
-        c for c in df.columns
-        if c not in key_cols and c not in (ts_col, tiebreak)
-    ]
-    top = df.groupBy(*[F.col(c) for c in key_cols]).agg(
-        F.max(F.struct(ts_col, tiebreak, *others)).alias("_top")
-    )
-    return top.select(
-        *[
-            (F.col(c) if c in key_cols else F.col("_top").getField(c)).alias(c)
-            for c in df.columns
-        ]
+    """O4 latest state per key (corrections_manager.py:85-97): window
+    row_number desc == 1 with a deterministic tiebreak."""
+    w = W.partitionBy(*key_cols).orderBy(F.desc(ts_col), F.desc(tiebreak))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

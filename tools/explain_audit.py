@@ -29,12 +29,20 @@ AUDIT = {
     "q3_top_orders": ("BroadcastHashJoin",),  # dim side broadcast
     "broadcast_lookup": ("BroadcastHashJoin",),
     "filter_range": ("PushedFilters: [IsNotNull(value)", "!InPandas"),
-    "last_writer_wins": ("Window", "!InPandas"),
-    # detection runs upstream behind a localCheckpoint barrier (the UDF
-    # executes once, not per consumer), so the visible plan is the
-    # fan-out join over the checkpointed mention RDD with NO Python in
-    # any downstream operator
-    "kg_triples": ("Scan ExistingRDD", "Join", "!InPandas"),
+    # examined r06: Spark 4.1's WindowGroupLimit(Partial) already
+    # reduces the pre-exchange volume to <=1 row per key per input
+    # partition, and a max(struct(...)) aggregation rewrite plans as
+    # SortAggregate (struct agg buffers defeat HashAggregate) — no win
+    # on either axis, so the window row_number form stays
+    "last_writer_wins": ("Window", "WindowGroupLimit", "!InPandas"),
+    # detection runs upstream behind the mention cache's EAGER
+    # localCheckpoint barrier (the UDF executes once, not per
+    # consumer), so the visible consumption plan is a pure scan of the
+    # checkpointed mention RDD: no Python node, no join, no exchange
+    # (r06 — previously the fan-out join was nested inside the plan;
+    # the full detect pipeline shape is still audited fresh via
+    # lineage_counts)
+    "kg_triples": ("Scan ExistingRDD", "!InPandas", "!Exchange"),
     "text_quality": ("!InPandas",),  # regex/count features stay JVM
     "sim_topk_cosine": ("TakeOrderedAndProject", "!InPandas"),  # no full sort
     # two-level agg: partial combine before the shuffle, no Python
@@ -384,10 +392,16 @@ AUDIT = {
     # compiled axiom rules never stack into one mega-plan; zero Python
     "kg_owl_entail": ("Scan ExistingRDD", "!InPandas"),
     # SPARQL Update (round-5 resumed): delete = solution-sized
-    # left_anti (broadcast build side), insert-dedup anti-join, no
-    # Python, no cartesian anywhere
+    # left_anti, insert-dedup anti-join, no Python, no cartesian
+    # anywhere. r06: the mention cache became a checkpoint scan, and a
+    # Scan ExistingRDD reports no size statistics, so the INITIAL plan
+    # can no longer prove the anti-join's build side small (AQE
+    # converts it to broadcast at runtime from the real shuffle sizes;
+    # production consumption reads pred-partitioned parquet snapshots,
+    # which carry file statistics, so the static decision returns
+    # there) — assert the join family + no cartesian instead of the
+    # static broadcast pick.
     "kg_update_where": (
-        "BroadcastHashJoin",
         "LeftAnti",
         "!InPandas",
         "!BroadcastNestedLoopJoin",
