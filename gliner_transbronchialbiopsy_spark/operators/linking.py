@@ -758,7 +758,14 @@ def snm_pairs(
     from pyspark.sql import Window as W
 
     d = window - 1
-    base = df.select(F.col(key_col).alias("_k"), F.col(id_col).alias("_i"))
+    # NULL keys are EXCLUDED from pairing, explicitly: a NULL key has
+    # no position in the sort order a neighborhood is defined over
+    # (and previously vanished silently anyway — the NULL prefix
+    # bucket never equi-joined the broadcast offsets). The filter
+    # makes the contract visible instead of incidental.
+    base = df.select(
+        F.col(key_col).alias("_k"), F.col(id_col).alias("_i")
+    ).filter(F.col("_k").isNotNull())
     bucketed = base.withColumn(
         "_b", F.substring(F.col("_k"), 1, prefix_len)
     )

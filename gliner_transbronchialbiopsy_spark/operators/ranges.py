@@ -503,15 +503,29 @@ def asof_join(
     floor-epoch seconds.
     """
     lcols = left.columns
+    # the match is ATOMIC: _rts plus every value column travel in ONE
+    # struct, and a single last(struct, ignorenulls=True) picks the
+    # latest right ROW. Filling each value column with its own
+    # last(col, ignorenulls=True) would skip a legitimately-NULL value
+    # in the latest right row and read it from an OLDER row (and
+    # different value_cols could come from different rows) — diverging
+    # from the stated "latest right row" semantics and from any native
+    # ASOF engine whenever right values contain NULLs. The struct is
+    # non-NULL exactly on right rows, so ignorenulls skips left rows
+    # only; NULL members inside the picked struct carry through.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    vstruct = StructType(
+        [StructField("_rts", LongType())]
+        + [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     ltag = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.col(left_ts).cast("timestamp_ltz").cast("long").alias("_te"),
         F.lit(0).alias("_side"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
-          for c in value_cols],
-        F.lit(None).cast("long").alias("_rts"),
+        F.lit(None).cast(vstruct).alias("_vs"),
     )
     rtag = right.select(
         F.col(key).alias("_k"),
@@ -520,8 +534,10 @@ def asof_join(
         F.lit(1).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in lcols],
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
-        F.col(right_ts).cast("timestamp_ltz").cast("long").alias("_rts"),
+        F.struct(
+            F.col(right_ts).cast("timestamp_ltz").cast("long").alias("_rts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("_vs"),
     )
     # right rows order BEFORE left rows at equal ts: side desc
     w = (
@@ -534,33 +550,16 @@ def asof_join(
         "_te",
         "_side",
         *[F.col(f"_l_{c}") for c in lcols],
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in value_cols
-        ],
-        F.last("_rts", ignorenulls=True).over(w).alias("asof_ts"),
+        F.last("_vs", ignorenulls=True).over(w).alias("_fs"),
     ).filter(F.col("_side") == 0)
+    matched = F.col("_fs")
     if tolerance_sec is not None:
-        stale = F.col("asof_ts").isNull() | (
-            (F.col("_te") - F.col("asof_ts")) > tolerance_sec
+        stale = matched.isNull() | (
+            (F.col("_te") - matched.getField("_rts")) > tolerance_sec
         )
-        filled = filled.select(
-            "_k",
-            "_te",
-            "_side",
-            *[F.col(f"_l_{c}") for c in lcols],
-            *[
-                F.when(stale, F.lit(None)).otherwise(
-                    F.col(f"_f_{c}")
-                ).alias(f"_f_{c}")
-                for c in value_cols
-            ],
-            F.when(stale, F.lit(None)).otherwise(
-                F.col("asof_ts")
-            ).alias("asof_ts"),
-        )
+        matched = F.when(stale, F.lit(None).cast(vstruct)).otherwise(matched)
     return filled.select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col(f"_f_{c}").alias(c) for c in value_cols],
-        "asof_ts",
+        *[matched.getField(c).alias(c) for c in value_cols],
+        matched.getField("_rts").alias("asof_ts"),
     )

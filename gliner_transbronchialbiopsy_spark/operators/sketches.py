@@ -394,12 +394,30 @@ def kmv_state(
     from pyspark.sql import Window as W
 
     keys = [group] if group else []
-    h = items.select(
-        *keys, linking.portable_hash60(F.col(col)).alias("h")
-    ).distinct()
-    w = W.partitionBy(*keys).orderBy(F.col("h").asc())
+    h = items.select(*keys, linking.portable_hash60(F.col(col)).alias("h"))
+    # Two-phase bottom-k. A single global window (empty partitionBy
+    # when group=None) funnels EVERY distinct hash through one task —
+    # the single-task window trap (see snm_pairs). Phase 1 buckets the
+    # hashes by pmod(h, P) and takes each bucket's k smallest DISTINCT
+    # values in parallel (dense_rank tolerates duplicate hashes, so no
+    # separate global distinct pass is needed); the global k smallest
+    # are necessarily within their own bucket's k smallest, so phase 2
+    # only ranks the <= P*k survivors — a few thousand rows per group
+    # regardless of input size. Output is identical to the one-window
+    # form (exact, deterministic at any parallelism and any P).
+    par = items.sparkSession.sparkContext.defaultParallelism
+    n_buckets = max(8 * par, 64)
+    b = h.withColumn("_b", F.pmod(F.col("h"), F.lit(n_buckets)))
+    w1 = W.partitionBy(*keys, "_b").orderBy(F.col("h").asc())
+    survivors = (
+        b.withColumn("_dr", F.dense_rank().over(w1))
+        .filter(F.col("_dr") <= k)
+        .select(*keys, "h")
+        .distinct()
+    )
+    w2 = W.partitionBy(*keys).orderBy(F.col("h").asc())
     return (
-        h.select(*keys, "h", F.row_number().over(w).alias("_r"))
+        survivors.select(*keys, "h", F.row_number().over(w2).alias("_r"))
         .filter(F.col("_r") <= k)
         .drop("_r")
     )

@@ -393,13 +393,17 @@ def streaming_sessions(
                 }
             )
 
+    # derive the key field's DDL type from the input schema — the
+    # docstring imposes no key-type contract, so a string device id
+    # must work as well as a long user id
+    key_ddl = events_stream.schema[key].dataType.simpleString()
     return (
         events_stream.withWatermark(ts_col, f"{delay} seconds")
         .groupBy(key)
         .applyInPandasWithState(
             update,
             outputStructType=(
-                f"{key} long, sess_start long, sess_end long, "
+                f"{key} {key_ddl}, sess_start long, sess_end long, "
                 "n_events long"
             ),
             stateStructType="s0 long, last long, n long",

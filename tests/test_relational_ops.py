@@ -747,6 +747,33 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     assert tight[0]["quote"] is None and tight[0]["asof_ts"] is None
 
 
+def test_asof_join_null_value_in_latest_right_row_is_kept(spark):
+    """The match is row-atomic: a legitimately-NULL value in the LATEST
+    right row must be returned as NULL, not skipped over to an older
+    right row's value (and multiple value_cols must all come from the
+    same matched row)."""
+    from gliner_transbronchialbiopsy_spark.operators import ranges
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [(1, 7, "2024-01-01 01:00:00")],
+        "user_id long, event_id long, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 100.0, 11.0),
+            (1, "2024-01-01 00:20:00", None, 22.0),  # latest: bid NULL
+        ],
+        "user_id long, ts_s string, bid double, ask double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    out = ranges.asof_join(
+        left, right, "user_id", "ts", "ts", ["bid", "ask"]
+    ).collect()
+    assert out[0]["bid"] is None          # NOT 100.0 from the older row
+    assert out[0]["ask"] == 22.0          # same matched row
+    assert out[0]["asof_ts"] is not None
+
+
 def test_asof_join_plan_one_exchange_no_join(spark):
     from gliner_transbronchialbiopsy_spark.operators import ranges
     import pyspark.sql.functions as F
