@@ -3556,9 +3556,12 @@ def _driver_rotation_order(names: list[str]) -> list[str]:
     of this registry every round, so a fixed order left half the
     registry outside the hard driver signal forever. This orders the
     registry least-recently-driver-covered FIRST, derived purely from
-    the committed CORRECTNESS_r*.json artifacts (never-covered queries
-    lead, then oldest-covered; registry order breaks ties via the
-    stable sort) — so every query lands in a driver artifact within
+    the committed CORRECTNESS_r*.json artifacts. Order (round-5
+    VERDICT #1/#4): queries RED in their most recent artifact lead
+    (a failed driver row must be re-demonstrated green the very next
+    round, not after a full rotation), then never-covered queries,
+    then oldest-covered; registry order breaks ties via the stable
+    sort — so every query lands in a driver artifact within
     ~ceil(registry/50) rounds with no state beyond the artifacts
     themselves. tools/select_driver_set.py prints the computed
     rotation; README documents the scheme. The tri-scale oracle gate
@@ -3570,6 +3573,7 @@ def _driver_rotation_order(names: list[str]) -> list[str]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     last_seen: dict[str, int] = {}
+    last_result: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -3580,9 +3584,24 @@ def _driver_rotation_order(names: list[str]) -> list[str]:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
-        for k in data:
+        for k, row in data.items():
             last_seen[k] = max(rnd, last_seen.get(k, -1))
-    return sorted(names, key=lambda n: last_seen.get(n, -1))
+            green = bool(
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)
+                and not row.get("err")
+            )
+            if k not in last_result or rnd > last_result[k][0]:
+                last_result[k] = (rnd, green)
+    def _key(n: str):
+        rnd, green = last_result.get(n, (-1, True))
+        red_last = (not green) and rnd == max(
+            (r for r, _ in last_result.values()), default=-1
+        )
+        return (0 if red_last else 1, last_seen.get(n, -1))
+    return sorted(names, key=_key)
 
 
 def q_kg_composed_construct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,8 +1,14 @@
 """Driver-set rotation (__spark_entry__._driver_rotation_order): the
-registry must surface least-recently-driver-covered queries first so
-the driver's 50-row CORRECTNESS artifact reaches every query within
-~ceil(registry/50) rounds (round-4 VERDICT #2)."""
+registry must surface (1) queries RED in their most recent driver
+artifact, then (2) least-recently-driver-covered queries, so a failed
+driver row is re-demonstrated green the very next round (round-5
+VERDICT #1/#4) and the 50-row CORRECTNESS artifact still reaches every
+query within ~ceil(registry/50) rounds (round-4 VERDICT #2)."""
 
+import glob
+import json
+import os
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -10,55 +16,72 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
 
 
-def test_rotation_preserves_registry_and_orders_uncovered_first():
+def _artifact_state():
+    here = os.path.dirname(os.path.abspath(entrymod.__file__))
+    last_seen, last_result = {}, {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        with open(path) as fh:
+            data = json.load(fh)
+        for k, row in data.items():
+            last_seen[k] = max(rnd, last_seen.get(k, -1))
+            green = bool(
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)
+                and not row.get("err")
+            )
+            if k not in last_result or rnd > last_result[k][0]:
+                last_result[k] = (rnd, green)
+    return last_seen, last_result
+
+
+def test_rotation_preserves_registry_and_orders_red_then_uncovered():
     reg = list(entrymod._registry())
     order = list(entrymod.queries())
     assert sorted(order) == sorted(reg)  # a permutation, nothing lost
     # deterministic
     assert order == list(entrymod.queries())
-    # recompute coverage the same way the rotation does
-    import glob
-    import json
-    import os
-    import re
-
-    here = os.path.dirname(os.path.abspath(entrymod.__file__))
-    last_seen = {}
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        with open(path) as fh:
-            for k in json.load(fh):
-                last_seen[k] = max(int(m.group(1)), last_seen.get(k, -1))
+    last_seen, last_result = _artifact_state()
     if not last_seen:
         return  # fresh clone without artifacts: order == registry order
-    keys = [last_seen.get(n, -1) for n in order]
-    assert keys == sorted(keys)  # monotone: least-recently-covered first
-    # every never-covered query outranks every covered one
-    n_uncovered = sum(1 for n in reg if n not in last_seen)
-    assert all(n not in last_seen for n in order[:n_uncovered])
+    latest_round = max(r for r, _ in last_result.values())
+    reds = {
+        k for k, (r, green) in last_result.items()
+        if r == latest_round and not green
+    }
+    # reds lead the rotation (they must re-enter the driver window)
+    assert order[: len(reds & set(reg))] == sorted(
+        reds & set(reg), key=lambda n: last_seen.get(n, -1)
+    ) or set(order[: len(reds & set(reg))]) == (reds & set(reg))
+    # after the reds, the order is monotone least-recently-covered
+    rest = [n for n in order if n not in reds]
+    keys = [last_seen.get(n, -1) for n in rest]
+    assert keys == sorted(keys)
+    # every never-covered query outranks every covered non-red one
+    n_uncovered = sum(1 for n in rest if n not in last_seen)
+    assert all(n not in last_seen for n in rest[:n_uncovered])
 
 
-def test_rotation_window_refreshes_driver_artifact():
-    """With >50 uncovered queries (the round-5 state), the first 50 —
-    the driver's window — must all be absent from the latest
-    artifact."""
-    import glob
-    import json
-    import os
-    import re
-
-    here = os.path.dirname(os.path.abspath(entrymod.__file__))
-    arts = sorted(
-        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)),
-    )
-    if not arts:
+def test_rotation_window_holds_reds_plus_fresh():
+    """The driver window (first 50) must contain every red-last-round
+    query AND fill the rest with queries absent from the latest
+    artifact (while uncovered queries remain)."""
+    last_seen, last_result = _artifact_state()
+    if not last_seen:
         return
-    with open(arts[-1]) as fh:
-        latest = set(json.load(fh))
+    latest_round = max(r for r, _ in last_result.values())
+    latest = {k for k, (r, _) in last_result.items() if r == latest_round}
+    reds = {
+        k for k, (r, green) in last_result.items()
+        if r == latest_round and not green
+    }
     order = list(entrymod.queries())
-    uncovered_total = [n for n in order if n not in latest]
     window = order[:50]
+    assert reds <= set(window)  # every red re-enters the hard signal
+    uncovered_total = [n for n in order if n not in latest]
     fresh = [n for n in window if n not in latest]
-    # at least min(50, uncovered) fresh queries enter the driver window
-    assert len(fresh) >= min(50, len(uncovered_total))
+    budget = 50 - len(reds)
+    assert len(fresh) >= min(budget, len(uncovered_total))
